@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run graft.Verify's
+parquet dumps against DuckDB executing oracle_sql.json on the same
+fixture tables, sort columns by name, sort rows, and compare values.
+
+Usage: python3 scripts/check.py <sfDir> <outDir> [name ...]
+"""
+import sys, json, math, glob
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), kind="mergesort",
+                        ignore_index=True, na_position="last")
+    return df
+
+def cmp_cell(a, b):
+    if a is None and b is None:
+        return True, 0.0
+    if isinstance(a, float) or isinstance(b, float):
+        if a is None or b is None or (isinstance(a, float) and math.isnan(a)) != (isinstance(b, float) and math.isnan(b)):
+            return False, float("inf")
+        if isinstance(a, float) and math.isnan(a):
+            return True, 0.0
+        eq = (a == b)
+        return eq, abs(float(a) - float(b))
+    return a == b, 0.0
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        sql = oracle[name]
+        try:
+            files = glob.glob(f"{outdir}/{name}/*.parquet")
+            got = pd.concat([pd.read_parquet(f) for f in files]) if files else None
+            if got is None:
+                print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+            exp = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        got, exp = norm(got), norm(exp)
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: cols spark={list(got.columns)} duck={list(exp.columns)}")
+            n_fail += 1; continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows spark={len(got)} duck={len(exp)}")
+            n_fail += 1; continue
+        bad = 0; maxdiff = 0.0; first = None
+        ga, ea = got.to_numpy(), exp.to_numpy()
+        for i in range(len(got)):
+            for j in range(len(got.columns)):
+                ok, d = cmp_cell(ga[i][j], ea[i][j])
+                maxdiff = max(maxdiff, d if d != float("inf") else 0)
+                if not ok:
+                    bad += 1
+                    if first is None:
+                        first = (i, got.columns[j], ga[i][j], ea[i][j])
+        if bad:
+            print(f"FAIL {name}: {bad} cells differ, first={first}, maxfloatdiff={maxdiff:.3g}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
