@@ -33,8 +33,11 @@ object Exact {
   def dstddev(c: Column): Column = {
     val d  = c.cast(D)
     val n  = count(c).cast(DoubleType)
-    val s  = sum(d).cast(DoubleType)
-    val sq = sum(d * d).cast(DoubleType)
+    // decimal → string → double: the string parse is correctly rounded
+    // in both engines, whereas direct decimal→double double-rounds
+    // through (int / 10^scale) differently per engine for >2^53 sums.
+    val s  = sum(d).cast("string").cast(DoubleType)
+    val sq = sum(d * d).cast("string").cast(DoubleType)
     sqrt((sq - s * s / n) / (n - lit(1.0)))
   }
 
@@ -44,7 +47,10 @@ object Exact {
   def sqlAvg(x: String): String =
     s"(${sqlSum(x)} / COUNT($x))"
   def sqlStddev(x: String): String = {
-    val d = s"CAST(($x) AS DECIMAL(18,6))"
-    s"SQRT((CAST(SUM($d * $d) AS DOUBLE) - CAST(SUM($d) AS DOUBLE) * CAST(SUM($d) AS DOUBLE) / CAST(COUNT($x) AS DOUBLE)) / (CAST(COUNT($x) AS DOUBLE) - 1.0))"
+    // DECIMAL(19,6): same scale-6 quantization as the Spark side, but
+    // forces DuckDB onto int128 storage so d*d cannot overflow at bind.
+    val d = s"CAST(($x) AS DECIMAL(19,6))"
+    def dbl(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+    s"SQRT((${dbl(s"SUM($d * $d)")} - ${dbl(s"SUM($d)")} * ${dbl(s"SUM($d)")} / CAST(COUNT($x) AS DOUBLE)) / (CAST(COUNT($x) AS DOUBLE) - 1.0))"
   }
 }
