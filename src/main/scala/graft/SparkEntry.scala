@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.analytics.TraceAnalytics
+import graft.analytics.{Metrics, TraceAnalytics}
 import graft.operators.{Advanced, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,10 +21,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Advanced.queries ++ TraceAnalytics.queries
+    Relational.queries ++ Advanced.queries ++ TraceAnalytics.queries ++
+      Metrics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Advanced.oracles ++ TraceAnalytics.oracles
+    Relational.oracles ++ Advanced.oracles ++ TraceAnalytics.oracles ++
+      Metrics.oracles
 }

@@ -1,0 +1,106 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution._
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins._
+
+/** Physical-plan featurizer (SURVEY.md §2.B): walks a query's
+  * `executedPlan` and emits node/edge DataFrames carrying the
+  * reference's GNN feature vocabulary
+  * (models/GNN/Results/&lt;dataset&gt;/feature_stats.json): per-node categorical
+  * `opname` mapped onto the reference's Trino operator dictionary plus
+  * numeric `log1p_est_rows` / `tuple_width_bytes` from Catalyst
+  * statistics. Observer code — no Catalyst rule involved (§7.4).
+  */
+object PlanFeaturizer {
+
+  final case class PlanNode(id: Int, opname: String, spark_op: String,
+    log1p_est_rows: Double, tuple_width_bytes: Long, n_children: Int)
+  final case class PlanEdge(src: Int, dst: Int)
+
+  /** Map a Spark physical node onto the reference's Trino opname vocab
+    * (feature_stats.json `opname_idx`). */
+  def opname(p: SparkPlan): String = p match {
+    case _: FileSourceScanExec                  => "ScanFilterProject"
+    case _: FilterExec                          => "FilterProject"
+    case _: ProjectExec                         => "Project"
+    case a: HashAggregateExec =>
+      if (a.aggregateExpressions.exists(_.mode ==
+        org.apache.spark.sql.catalyst.expressions.aggregate.Partial))
+        "Aggregate_PARTIAL" else "Aggregate_FINAL"
+    case _: SortAggregateExec | _: ObjectHashAggregateExec => "Aggregate"
+    case j: BroadcastHashJoinExec  => s"${joinSide(j.joinType)}_REPLICATED"
+    case j: ShuffledHashJoinExec   => s"${joinSide(j.joinType)}_PARTITIONED"
+    case j: SortMergeJoinExec      => s"${joinSide(j.joinType)}_PARTITIONED"
+    case _: CartesianProductExec   => "CrossJoin_PARTITIONED"
+    case _: BroadcastNestedLoopJoinExec => "CrossJoin_REPLICATED"
+    case _: ShuffleExchangeExec    => "LocalExchange_HASH"
+    case _: BroadcastExchangeExec  => "LocalExchange_SINGLE"
+    case _: SortExec               => "PartialSort"
+    case _: TakeOrderedAndProjectExec => "Output"
+    case _: LocalTableScanExec     => "Values"
+    case _                         => "Unknown"
+  }
+
+  private def joinSide(jt: org.apache.spark.sql.catalyst.plans.JoinType): String =
+    jt.toString match {
+      case "Inner"                      => "InnerJoin"
+      case "LeftOuter"                  => "LeftJoin"
+      case "RightOuter"                 => "RightJoin"
+      case "FullOuter"                  => "FullJoin"
+      case "LeftSemi"                   => "SemiJoin"
+      case "LeftAnti"                   => "AntiJoin"
+      case other                        => other + "Join"
+    }
+
+  /** Strip execution wrappers (AQE stages, codegen, reuse, columnar
+    * bridges) down to the semantically meaningful operator, so the
+    * emitted graph matches the logical operator structure the
+    * reference featurizes regardless of adaptive execution. */
+  @annotation.tailrec
+  private def unwrap(p: SparkPlan): SparkPlan = p match {
+    case a: adaptive.AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+    case q: adaptive.QueryStageExec        => unwrap(q.plan)
+    case w: WholeStageCodegenExec          => unwrap(w.child)
+    case i: InputAdapter                   => unwrap(i.child)
+    case r: exchange.ReusedExchangeExec    => unwrap(r.child)
+    case c: ColumnarToRowExec              => unwrap(c.child)
+    case other                             => other
+  }
+
+  private def realChildren(p: SparkPlan): Seq[SparkPlan] =
+    p.children.map(unwrap)
+
+  /** Walk the executed plan of `df` and emit (nodes, edges). Node
+    * features: opname (reference vocab), native Spark op, log1p of the
+    * estimated row count, estimated tuple width in bytes. */
+  def featurize(spark: SparkSession, df: DataFrame): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val nodes = scala.collection.mutable.ArrayBuffer[PlanNode]()
+    val edges = scala.collection.mutable.ArrayBuffer[PlanEdge]()
+    var nextId = 0
+    def visit(p: SparkPlan): Int = {
+      val unwrapped = unwrap(p)
+      val id = nextId; nextId += 1
+      val stats = unwrapped.logicalLink.map(_.stats)
+      val rows = stats.flatMap(_.rowCount).map(_.toDouble)
+        .getOrElse(stats.map(_.sizeInBytes.toDouble / math.max(rowWidth(unwrapped), 1))
+          .getOrElse(0.0))
+      nodes += PlanNode(id, opname(unwrapped), unwrapped.nodeName,
+        math.log1p(math.max(rows, 0.0)), rowWidth(unwrapped),
+        realChildren(unwrapped).size)
+      realChildren(unwrapped).foreach { c =>
+        val cid = visit(c)
+        edges += PlanEdge(cid, id)
+      }
+      id
+    }
+    visit(df.queryExecution.executedPlan)
+    (nodes.toSeq.toDF(), edges.toSeq.toDF())
+  }
+
+  private def rowWidth(p: SparkPlan): Long =
+    p.output.map(a => a.dataType.defaultSize.toLong).sum
+}
