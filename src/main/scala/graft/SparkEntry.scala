@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics.{Metrics, TraceAnalytics}
 import graft.operators.{Advanced, Relational}
 import graft.scheduling.SchedulingQueries
+import graft.sources.Ingest
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,11 +24,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Advanced.queries ++ TraceAnalytics.queries ++
-      Metrics.queries ++ SchedulingQueries.queries
+      Metrics.queries ++ SchedulingQueries.queries ++ Ingest.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Advanced.oracles ++ TraceAnalytics.oracles ++
-      Metrics.oracles ++ SchedulingQueries.oracles
+      Metrics.oracles ++ SchedulingQueries.oracles ++ Ingest.oracles
 }

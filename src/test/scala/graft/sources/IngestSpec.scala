@@ -1,0 +1,84 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+class IngestSpec extends SparkSpec {
+
+  test("sanitizeColumnName: whitespace, symbols, runs, digit-leading, case") {
+    assert(Ingest.sanitizeColumnName("Runtime (s)") === "runtime_s_")
+    assert(Ingest.sanitizeColumnName("user\tid") === "user_id")
+    assert(Ingest.sanitizeColumnName("Event__Type") === "event_type")
+    assert(Ingest.sanitizeColumnName("2nd_col") === "col_2nd_col")
+    assert(Ingest.sanitizeColumnName("plain") === "plain")
+    assert(Ingest.sanitizeColumnName("a-b.c") === "a_b_c")
+  }
+
+  test("parseTrinoType: base types, decimal caps, fallback") {
+    assert(Ingest.parseTrinoType("INTEGER") === IntegerType)
+    assert(Ingest.parseTrinoType("smallint") === IntegerType)
+    assert(Ingest.parseTrinoType("BIGINT") === LongType)
+    assert(Ingest.parseTrinoType("VARCHAR(255)") === StringType)
+    assert(Ingest.parseTrinoType("CHAR") === StringType)
+    assert(Ingest.parseTrinoType("BOOLEAN") === BooleanType)
+    assert(Ingest.parseTrinoType("REAL") === DoubleType)
+    assert(Ingest.parseTrinoType("DATE") === DateType)
+    assert(Ingest.parseTrinoType("TIMESTAMP WITH TIME ZONE") === TimestampType)
+    assert(Ingest.parseTrinoType("DECIMAL(12,2)") === DecimalType(12, 2))
+    assert(Ingest.parseTrinoType("DECIMAL( 50 , 45 )") === DecimalType(38, 38))
+    assert(Ingest.parseTrinoType("DECIMAL(10,20)") === DecimalType(10, 10))
+    assert(Ingest.parseTrinoType("GEOMETRY") === StringType)
+  }
+
+  test("buildSchema sanitizes names and keeps order") {
+    val st = Ingest.buildSchema(Seq(
+      "Order Key" -> "BIGINT", "2fast" -> "DOUBLE", "note" -> "VARCHAR"))
+    assert(st.fieldNames.toSeq === Seq("order_key", "col_2fast", "note"))
+    assert(st.fields(0).dataType === LongType)
+  }
+
+  test("readCsv honors pipe delimiter, disabled quoting, explicit schema") {
+    val dir = Files.createTempDirectory("graft_csv").toFile
+    val f = new java.io.File(dir, "t.csv")
+    // embedded double-quote must survive since quoting is disabled
+    Files.writeString(f.toPath, "1|a \"quoted\" token|2.5\n2|plain|3.0\n")
+    val schema = Ingest.buildSchema(Seq(
+      "id" -> "BIGINT", "s" -> "VARCHAR", "x" -> "DOUBLE"))
+    val rows = Ingest.readCsv(spark, f.getAbsolutePath, schema)
+      .orderBy("id").collect()
+    assert(rows.length === 2)
+    assert(rows(0) === Row(1L, "a \"quoted\" token", 2.5))
+    assert(rows(1) === Row(2L, "plain", 3.0))
+  }
+
+  test("writeTable + NDJSON sink round-trip") {
+    import spark.implicits._
+    val df = Seq(("q1", 15.78), ("q2", 3.2)).toDF("query_id", "elapsed_s")
+    val dir = Files.createTempDirectory("graft_sink").toFile
+    Ingest.writeTable(df, s"$dir/tbl")
+    assert(spark.read.parquet(s"$dir/tbl").count() === 2)
+    intercept[Exception](Ingest.writeTable(df, s"$dir/tbl", "create"))
+    Ingest.writeTable(df, s"$dir/tbl", "append")
+    assert(spark.read.parquet(s"$dir/tbl").count() === 4)
+    Ingest.writeNdjsonLog(df, s"$dir/log")
+    val back = spark.read.json(s"$dir/log")
+    assert(back.count() === 2)
+    assert(back.columns.sorted.toSeq === Seq("elapsed_s", "query_id"))
+  }
+
+  test("loadQueryFiles: name-sorted q*.sql only") {
+    val dir = Files.createTempDirectory("graft_q").toFile
+    for (n <- Seq("q2.sql", "q10.sql", "q1.sql", "notes.txt"))
+      Files.writeString(new java.io.File(dir, n).toPath, s"SELECT '$n'")
+    val loaded = Ingest.loadQueryFiles(dir.getAbsolutePath)
+    // name-sorted (string sort: q1 < q10 < q2), like the reference's sorted glob
+    assert(loaded.map(_._1) === Seq("q1", "q10", "q2"))
+    assert(loaded.head._2 === "SELECT 'q1.sql'")
+  }
+
+  test("ingest_sanitize_types fixture query returns rows") {
+    assert(Ingest.queries("ingest_sanitize_types")(spark, sfSmoke).count() > 0)
+  }
+}
