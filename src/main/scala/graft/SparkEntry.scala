@@ -5,6 +5,7 @@ import graft.analytics.{Metrics, TraceAnalytics}
 import graft.operators.{Advanced, Relational}
 import graft.scheduling.SchedulingQueries
 import graft.sources.Ingest
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,11 +25,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Advanced.queries ++ TraceAnalytics.queries ++
-      Metrics.queries ++ SchedulingQueries.queries ++ Ingest.queries
+      Metrics.queries ++ SchedulingQueries.queries ++ Ingest.queries ++
+      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
+      Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Advanced.oracles ++ TraceAnalytics.oracles ++
-      Metrics.oracles ++ SchedulingQueries.oracles ++ Ingest.oracles
+      Metrics.oracles ++ SchedulingQueries.oracles ++ Ingest.oracles ++
+      TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+      Multimodal.oracles
 }

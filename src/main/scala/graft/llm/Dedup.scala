@@ -1,0 +1,405 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators for training-data pipelines (north-star
+  * extension): exact content-hash dedup, char-n-gram Jaccard, MinHash
+  * + LSH banding, SimHash with band-blocked near-pair search, and
+  * embedding-cosine near-duplicates.
+  *
+  * Scale design (100 TB): every operator is expressed as
+  * shuffle-on-key DataFrame ops —
+  *  - exact dedup is one hash-partitioned groupBy on the content hash;
+  *  - MinHash/LSH candidate generation joins on (band, bucket), never
+  *    all-pairs; the quadratic verify runs only inside candidate
+  *    groups (bounded by band collision rates);
+  *  - SimHash near-pair search blocks on 8-bit sub-bands (pigeonhole:
+  *    hamming ≤ 3 ⇒ some band of 4 equal), again join-on-key;
+  *  - hash functions are md5-derived (deterministic, partitioning-
+  *    independent), so signatures are reproducible across engines and
+  *    cluster sizes — no RNG state to ship.
+  * Fixture queries restrict to a fixed doc subset so their cost is
+  * scale-invariant while the operators themselves stay generic.
+  */
+object Dedup {
+
+  /** First 60 bits of md5 as a non-negative long (portable across
+    * engines: DuckDB mirrors it as CAST('0x'||substr(md5(x),1,15) AS
+    * BIGINT)). */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  // ------------------------------------------------------ exact dedup
+
+  /** Group by content hash: keep the smallest id, count copies. */
+  def exactGroups(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup: one row per distinct content, the minimum-id copy. */
+  def dropExactDuplicates(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ------------------------------------------------------- shingling
+
+  /** Distinct char-k-gram shingles per document: (id, shingle). The
+    * shingle set is computed row-locally (transform over a position
+    * sequence) then exploded — one narrow pass, shuffle only on the
+    * consumer's key. */
+  def charShingles(df: DataFrame, k: Int = 9, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val shingles = when(length(text) < k, array(text)).otherwise(
+      array_distinct(transform(
+        sequence(lit(1), length(text) - (k - 1)),
+        i => substring(text, i, lit(k)))))
+    df.select(col(idCol).as("id"), explode(shingles).as("shingle"))
+  }
+
+  /** Pairwise Jaccard over a shingle frame via self-join on shingle —
+    * the quadratic fallback; use [[minHashLshPairs]] at scale. */
+  def jaccardPairs(shingles: DataFrame, threshold: Double): DataFrame = {
+    val sizes = shingles.groupBy("id").agg(count(lit(1)).as("set_size"))
+    val inter = shingles.as("a").join(shingles.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("set_size", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("set_size", "size_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("size_a") + col("size_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ----------------------------------------------------- MinHash/LSH
+
+  /** MinHash signatures: for each of `numHashes` seeds, the minimum
+    * md5(seed:shingle) over the document's shingle set — the classic
+    * min-over-random-permutation family with the permutation induced
+    * by hex ordering. Output: (id, seed, sig). */
+  def minHashSignatures(shingles: DataFrame, numHashes: Int = 16): DataFrame =
+    shingles
+      .withColumn("seed", explode(sequence(lit(0), lit(numHashes - 1))))
+      .groupBy("id", "seed")
+      .agg(min(md5(concat(col("seed").cast("string"), lit(":"),
+        col("shingle")))).as("sig"))
+
+  /** LSH banding: bucket = md5 of the band's signature slice, ordered
+    * by seed. Docs sharing any (band, bucket) become candidates. */
+  def lshBuckets(sigs: DataFrame, rowsPerBand: Int = 4): DataFrame =
+    sigs.groupBy(col("id"), floor(col("seed") / rowsPerBand).as("band"))
+      .agg(md5(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("seed"), col("sig")))),
+          x => x.getField("sig")))).as("bucket"))
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → sign → band →
+    * candidate join on (band, bucket) → exact Jaccard verify. */
+  def minHashLshPairs(df: DataFrame, threshold: Double,
+      numHashes: Int = 16, rowsPerBand: Int = 4, k: Int = 9,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val shingles = charShingles(df, k, idCol, textCol)
+    val buckets = lshBuckets(minHashSignatures(shingles, numHashes), rowsPerBand)
+    val candidates = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    verifyJaccard(candidates, shingles, threshold)
+  }
+
+  /** Exact Jaccard on candidate pairs only (joins bounded by the
+    * candidate set, not all-pairs). */
+  def verifyJaccard(candidates: DataFrame, shingles: DataFrame,
+      threshold: Double): DataFrame = {
+    val sizes = shingles.groupBy("id").agg(count(lit(1)).as("set_size"))
+    val inter = candidates
+      .join(shingles.as("sa"), col("id_a") === col("sa.id"))
+      .join(shingles.as("sb"),
+        col("id_b") === col("sb.id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("set_size", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("set_size", "size_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("size_a") + col("size_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // --------------------------------------------------------- SimHash
+
+  /** 32-bit SimHash over lowercase whitespace tokens (frequency-
+    * weighted — every occurrence votes ±1 per bit). Bit extraction and
+    * reassembly use integer shifts only (a double round-trip would
+    * corrupt the low bits of 60-bit hashes). */
+  def simHash(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(TextAnalysis.tokensWs(lower(col(textCol)))).as("token"))
+      .withColumn("h60", md5Long(col("token")))
+      .withColumn("j", explode(sequence(lit(0), lit(31))))
+      .withColumn("bitv",
+        when(expr("(shiftright(h60, j) & 1)") === 1, lit(1)).otherwise(lit(-1)))
+      .groupBy("id", "j").agg(sum(col("bitv")).as("v"))
+      .withColumn("bit", when(col("v") > 0, 1L).otherwise(0L))
+      .groupBy("id")
+      .agg(sum(expr("shiftleft(bit, j)")).as("simhash"))
+
+  /** SimHash near-pairs with 8-bit band blocking: pairs at hamming ≤ 3
+    * must agree on one of the 4 bytes (pigeonhole), so candidates come
+    * from equi-joins on (byte_index, byte_value) — shuffle-on-key, no
+    * all-pairs. */
+  def simHashNearPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bands = hashes.withColumn("bi", explode(sequence(lit(0), lit(3))))
+      .withColumn("bv", expr("shiftright(simhash, bi * 8) & 255"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.simhash").as("sh_a"),
+        col("b.id").as("id_b"), col("b.simhash").as("sh_b")).distinct()
+    cand.withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ------------------------------------- embedding-cosine near-dups
+
+  /** Exact cosine on micro-scaled integer embeddings: elements are
+    * quantized once to round(e·1e6) longs, all dot products and norms
+    * are exact integer sums (associative — partitioning-independent),
+    * and the only float ops are the final sqrt/divide, a fixed IEEE
+    * sequence. Input: (id, i, e_micro) exploded embeddings. */
+  def cosinePairsMicro(elems: DataFrame, threshold: Double): DataFrame = {
+    val norms = elems.groupBy("id")
+      .agg(sum(col("e_micro") * col("e_micro")).as("norm2"))
+    val dots = elems.as("a").join(elems.as("b"),
+        col("a.i") === col("b.i") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(sum(col("a.e_micro") * col("b.e_micro")).as("dot"))
+    dots
+      .join(norms.select(col("id").as("id_a"), col("norm2").as("na")), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("norm2").as("nb")), "id_b")
+      .withColumn("cosine",
+        col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  // --------------------------------------------------- fixture corpus
+
+  /** Deterministic dedup corpus: base docs ∪ near-dup variants
+    * (id+10000, a marker tail appended, every 5th doc) ∪ exact copies
+    * (id+20000, every 7th doc). Mirrored literally in oracle SQL. */
+  def fixtureCorpus(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val near = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" graft near dup tail")).as("text"))
+    val copies = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 20000).as("doc_id"), col("text"))
+    base.unionByName(near).unionByName(copies)
+  }
+
+  // --------------------------------------------------- fixture queries
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Subset keeping fixture-query cost scale-invariant. */
+  private def docsSmall(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).filter(col("doc_id") < 200)
+
+  private val dedupExact: Q = (s, dir) =>
+    exactGroups(fixtureCorpus(docs(s, dir)))
+      .orderBy("keep_id")
+
+  private val dedupJaccard: Q = (s, dir) =>
+    jaccardPairs(charShingles(fixtureCorpus(docsSmall(s, dir))), 0.5)
+      .orderBy("id_a", "id_b")
+
+  private val dedupMinHashLsh: Q = (s, dir) =>
+    minHashLshPairs(fixtureCorpus(docsSmall(s, dir)), 0.5)
+      .orderBy("id_a", "id_b")
+
+  private val dedupSimHash: Q = (s, dir) =>
+    simHash(fixtureCorpus(docsSmall(s, dir)))
+      .select(col("id").as("doc_id"), col("simhash"))
+      .orderBy("doc_id")
+
+  private val dedupEmbeddingCosine: Q = (s, dir) => {
+    val base = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 200)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "e")))
+      .select(col("vec_id").as("id"), (col("pos") + 1).as("i"),
+        round(col("e").cast("double") * 1e6).cast("long").as("e_micro"))
+    val variants = base.filter(col("id") % 5 === 0)
+      .select((col("id") + 10000).as("id"), col("i"),
+        (col("e_micro") + lit(10000) * ((col("i") % 3) - 1)).as("e_micro"))
+    cosinePairsMicro(base.unionByName(variants), 0.9)
+      .orderBy("id_a", "id_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact"            -> dedupExact,
+    "dedup_ngram_jaccard"    -> dedupJaccard,
+    "dedup_minhash_lsh"      -> dedupMinHashLsh,
+    "dedup_simhash"          -> dedupSimHash,
+    "dedup_embedding_cosine" -> dedupEmbeddingCosine,
+  )
+
+  // ------------------------------------------------------- oracle SQL
+
+  private val corpusSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 10000, text || ' graft near dup tail'
+      |FROM documents WHERE doc_id % 5 = 0
+      |UNION ALL
+      |SELECT doc_id + 20000, text FROM documents WHERE doc_id % 7 = 0""".stripMargin
+
+  private val corpusSmallSql =
+    """SELECT doc_id, text FROM documents WHERE doc_id < 200
+      |UNION ALL
+      |SELECT doc_id + 10000, text || ' graft near dup tail'
+      |FROM documents WHERE doc_id < 200 AND doc_id % 5 = 0
+      |UNION ALL
+      |SELECT doc_id + 20000, text
+      |FROM documents WHERE doc_id < 200 AND doc_id % 7 = 0""".stripMargin
+
+  private val shinglesSql =
+    """SELECT doc_id AS id, unnest(CASE WHEN length(text) < 9 THEN [text]
+      |  ELSE list_distinct(list_transform(range(1, length(text) - 7),
+      |    i -> substr(text, CAST(i AS INT), 9))) END) AS shingle
+      |FROM corpus""".stripMargin
+
+  private val jaccardTailSql =
+    """sizes AS (SELECT id, COUNT(*) AS set_size FROM shingles GROUP BY id),
+      |inter AS (
+      |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      |  FROM shingles a JOIN shingles b
+      |    ON a.shingle = b.shingle AND a.id < b.id
+      |  GROUP BY a.id, b.id)
+      |SELECT i.id_a, i.id_b,
+      |  CAST(i.n_common AS DOUBLE) / (sa.set_size + sb.set_size - i.n_common)
+      |    AS jaccard
+      |FROM inter i
+      |JOIN sizes sa ON i.id_a = sa.id
+      |JOIN sizes sb ON i.id_b = sb.id
+      |WHERE CAST(i.n_common AS DOUBLE)
+      |  / (sa.set_size + sb.set_size - i.n_common) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""WITH corpus AS ($corpusSql)
+         |SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+         |  COUNT(*) AS n_copies
+         |FROM corpus GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH corpus AS ($corpusSmallSql),
+         |shingles AS ($shinglesSql),
+         |$jaccardTailSql""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""WITH corpus AS ($corpusSmallSql),
+         |shingles AS ($shinglesSql),
+         |sigs AS (
+         |  SELECT id, seed,
+         |    MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS sig
+         |  FROM shingles CROSS JOIN (SELECT unnest(range(0, 16)) AS seed)
+         |  GROUP BY id, seed),
+         |buckets AS (
+         |  SELECT id, seed // 4 AS band,
+         |    md5(string_agg(sig, ',' ORDER BY seed)) AS bucket
+         |  FROM sigs GROUP BY id, seed // 4),
+         |candidates AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+         |pairshingles AS (
+         |  SELECT c.id_a, c.id_b, sa.shingle
+         |  FROM candidates c
+         |  JOIN shingles sa ON c.id_a = sa.id
+         |  JOIN shingles sb ON c.id_b = sb.id AND sa.shingle = sb.shingle),
+         |sizes AS (SELECT id, COUNT(*) AS set_size FROM shingles GROUP BY id),
+         |inter AS (
+         |  SELECT id_a, id_b, COUNT(*) AS n_common
+         |  FROM pairshingles GROUP BY id_a, id_b)
+         |SELECT i.id_a, i.id_b,
+         |  CAST(i.n_common AS DOUBLE) / (sa.set_size + sb.set_size - i.n_common)
+         |    AS jaccard
+         |FROM inter i
+         |JOIN sizes sa ON i.id_a = sa.id
+         |JOIN sizes sb ON i.id_b = sb.id
+         |WHERE CAST(i.n_common AS DOUBLE)
+         |  / (sa.set_size + sb.set_size - i.n_common) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH corpus AS ($corpusSmallSql),
+         |toks AS (
+         |  SELECT doc_id AS id,
+         |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+         |      t -> len(t) > 0)) AS token
+         |  FROM corpus),
+         |votes AS (
+         |  SELECT id, j,
+         |    SUM(CASE WHEN ((CAST(('0x' || substr(md5(token), 1, 15))
+         |        AS BIGINT) >> j) & 1) = 1
+         |      THEN 1 ELSE -1 END) AS v
+         |  FROM toks CROSS JOIN (SELECT unnest(range(0, 32)) AS j)
+         |  GROUP BY id, j)
+         |SELECT id AS doc_id,
+         |  SUM(CAST(CASE WHEN v > 0 THEN 1 ELSE 0 END AS BIGINT) << j)
+         |    AS simhash
+         |FROM votes GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      """WITH base AS (
+        |  SELECT vec_id AS id, i,
+        |    CAST(ROUND(embedding[i] * 1e6) AS BIGINT) AS e_micro
+        |  FROM embeddings e, generate_series(1, 64) t(i)
+        |  WHERE vec_id < 200),
+        |elems AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT id + 10000, i, e_micro + 10000 * ((i % 3) - 1)
+        |  FROM base WHERE id % 5 = 0),
+        |norms AS (
+        |  SELECT id, SUM(e_micro * e_micro) AS norm2 FROM elems GROUP BY id),
+        |dots AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, SUM(a.e_micro * b.e_micro) AS dot
+        |  FROM elems a JOIN elems b ON a.i = b.i AND a.id < b.id
+        |  GROUP BY a.id, b.id)
+        |SELECT d.id_a, d.id_b,
+        |  CAST(d.dot AS DOUBLE)
+        |    / (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE)))
+        |    AS cosine
+        |FROM dots d
+        |JOIN norms na ON d.id_a = na.id
+        |JOIN norms nb ON d.id_b = nb.id
+        |WHERE CAST(d.dot AS DOUBLE)
+        |  / (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE)))
+        |  >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+  )
+}

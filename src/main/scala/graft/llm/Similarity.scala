@@ -1,0 +1,285 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over an embedding column (north-star extension):
+  * brute-force cosine top-k as the correctness baseline, sign-LSH
+  * bucketing and IVF (inverted-file) partitioning as the scale paths.
+  *
+  * Scale design (100 TB of vectors):
+  *  - brute-force is a query-broadcast join: the query set is small and
+  *    broadcast, the corpus streams — one pass, no corpus shuffle, and
+  *    the per-partition top-k (Window + filter on rank) combines
+  *    map-side before the final k·|queries| row shuffle;
+  *  - LSH/IVF first bucket the corpus (one narrow pass, written
+  *    bucket-partitioned), then probe only matching buckets —
+  *    candidate joins are equi-joins on the bucket key;
+  *  - hyperplanes/centroid assignment are md5-derived, so bucketing is
+  *    deterministic and reproducible with no RNG state shipped.
+  *
+  * Float-path functions (fast, codegen) serve production; the fixture
+  * queries run the same algorithms in micro-scaled exact integers so
+  * the DuckDB oracle matches bit-for-bit (see [[Dedup]] scale note).
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns in one row-local
+    * expression: zip_with dot product + per-side norms. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Brute-force cosine top-k (float path): for each query vector, the
+    * k nearest corpus vectors by cosine, ties broken by corpus id. */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("q_emb"), col("c_emb")))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** Sign-LSH bucket id from md5-derived hyperplanes: bit p of the
+    * bucket is the sign of Σ_i e_i·r_{p,i} with pseudo-random weights
+    * r_{p,i} = (md5_60(p:i) mod 2001) − 1000. Row-local expression. */
+  def hyperplaneBucket(emb: Column, numPlanes: Int = 8): Column = {
+    val bits = (0 until numPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(emb, sequence(lit(1), size(emb)), (e, i) =>
+          e.cast("double") *
+            ((Dedup.md5Long(concat(lit(p.toString), lit(":"),
+              i.cast("string"))) % 2001) - 1000).cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L) * (1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN (float path): corpus and queries bucketed by
+    * [[hyperplaneBucket]]; candidates = same-bucket equi-join; top-k
+    * within candidates. Recall < 1 by construction; raise `numPlanes`
+    * groups or probe multiple buckets for more. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numPlanes: Int = 8, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val cb = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"),
+      hyperplaneBucket(col(embCol), numPlanes).as("bucket"))
+    val qb = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
+      hyperplaneBucket(col(embCol), numPlanes).as("bucket"))
+    val scored = cb.join(broadcast(qb), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("q_emb"), col("c_emb")))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** IVF: assign every vector to its nearest centroid (broadcast
+    * centroid join), producing a partition key for bucket-pruned
+    * search. Centroids are any small (id, embedding) frame — at scale,
+    * a k-means output or a deterministic sample. */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val c = centroids.select(col(idCol).as("centroid_id"),
+      col(embCol).as("cent_emb"))
+    corpus.crossJoin(broadcast(c))
+      .withColumn("sim", cosine(col(embCol), col("cent_emb")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(idCol).orderBy(col("sim").desc, col("centroid_id"))))
+      .filter(col("rank") === 1)
+      .select(col(idCol), col(embCol), col("centroid_id"))
+  }
+
+  /** IVF probe: search only the members of the query's `nprobe`
+    * nearest centroid lists. */
+  def ivfTopK(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int = 2, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val c = centroids.select(col(idCol).as("centroid_id"),
+      col(embCol).as("cent_emb"))
+    val probes = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+      .crossJoin(broadcast(c))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(cosine(col("q_emb"), col("cent_emb")).desc, col("centroid_id"))))
+      .filter(col("crank") <= nprobe)
+      .select("query_id", "q_emb", "centroid_id")
+    val cand = assigned.join(probes, Seq("centroid_id"))
+      .filter(col("query_id") =!= col(idCol))
+      .withColumn("cosine", cosine(col("q_emb"), col(embCol)))
+    cand.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("rank"), col("cosine"))
+  }
+
+  // --------------------------------------------------- fixture queries
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact micro-int exploded elements of the fixture corpus
+    * (vec_id < 200), 1-based dim index. */
+  private def microElems(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings").filter(col("vec_id") < 200)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "e")))
+      .select(col("vec_id").as("id"), (col("pos") + 1).as("i"),
+        round(col("e").cast("double") * 1e6).cast("long").as("e_micro"))
+
+  /** Brute-force exact top-5 for query vectors vec_id % 50 = 0, micro-
+    * int arithmetic so ranks and cosines hash-match the oracle. */
+  private val annBruteForce: Q = (s, dir) => {
+    val elems = microElems(s, dir)
+    val norms = elems.groupBy("id")
+      .agg(sum(col("e_micro") * col("e_micro")).as("norm2"))
+    val dots = elems.filter(col("id") % 50 === 0).as("q")
+      .join(elems.as("c"), col("q.i") === col("c.i") &&
+        col("q.id") =!= col("c.id"))
+      .groupBy(col("q.id").as("query_id"), col("c.id").as("neighbor_id"))
+      .agg(sum(col("q.e_micro") * col("c.e_micro")).as("dot"))
+    val scored = dots
+      .join(norms.select(col("id").as("query_id"), col("norm2").as("nq")),
+        "query_id")
+      .join(norms.select(col("id").as("neighbor_id"), col("norm2").as("nc")),
+        "neighbor_id")
+      .withColumn("cosine", col("dot").cast("double") /
+        (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Sign-LSH on the first 8 dims (axis-aligned hyperplanes): bucket =
+    * Σ (e_d > 0)·2^(d−1); candidates share the query's bucket; top-3.
+    * The deliberately coarse planes make pruning visible in the
+    * result (fewer than 3 rows for sparse buckets is legitimate). */
+  private val annLshBucketed: Q = (s, dir) => {
+    val elems = microElems(s, dir)
+    val buckets = elems.filter(col("i") <= 8)
+      .groupBy("id")
+      .agg(sum(when(col("e_micro") > 0,
+        expr("shiftleft(1L, i - 1)")).otherwise(0L)).as("bucket"))
+    val norms = elems.groupBy("id")
+      .agg(sum(col("e_micro") * col("e_micro")).as("norm2"))
+    val qb = buckets.filter(col("id") % 50 === 0)
+      .select(col("id").as("query_id"), col("bucket"))
+    val cb = buckets.select(col("id").as("neighbor_id"), col("bucket"))
+    val cand = qb.join(cb, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val dots = cand
+      .join(elems.select(col("id").as("query_id"), col("i"),
+        col("e_micro").as("qe")), "query_id")
+      .join(elems.select(col("id").as("neighbor_id"), col("i"),
+        col("e_micro").as("ce")), Seq("neighbor_id", "i"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("qe") * col("ce")).as("dot"))
+    val scored = dots
+      .join(norms.select(col("id").as("query_id"), col("norm2").as("nq")),
+        "query_id")
+      .join(norms.select(col("id").as("neighbor_id"), col("norm2").as("nc")),
+        "neighbor_id")
+      .withColumn("cosine", col("dot").cast("double") /
+        (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= 3)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ann_brute_force"  -> annBruteForce,
+    "ann_lsh_bucketed" -> annLshBucketed,
+  )
+
+  // ------------------------------------------------------- oracle SQL
+
+  private val elemsSql =
+    """SELECT vec_id AS id, i,
+      |  CAST(ROUND(embedding[i] * 1e6) AS BIGINT) AS e_micro
+      |FROM embeddings e, generate_series(1, 64) t(i)
+      |WHERE vec_id < 200""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ann_brute_force" ->
+      s"""WITH elems AS ($elemsSql),
+         |norms AS (SELECT id, SUM(e_micro * e_micro) AS norm2
+         |          FROM elems GROUP BY id),
+         |dots AS (
+         |  SELECT q.id AS query_id, c.id AS neighbor_id,
+         |    SUM(q.e_micro * c.e_micro) AS dot
+         |  FROM elems q JOIN elems c ON q.i = c.i AND q.id <> c.id
+         |  WHERE q.id % 50 = 0
+         |  GROUP BY q.id, c.id),
+         |scored AS (
+         |  SELECT d.query_id, d.neighbor_id,
+         |    CAST(d.dot AS DOUBLE)
+         |      / (SQRT(CAST(nq.norm2 AS DOUBLE)) * SQRT(CAST(nc.norm2 AS DOUBLE)))
+         |      AS cosine
+         |  FROM dots d
+         |  JOIN norms nq ON d.query_id = nq.id
+         |  JOIN norms nc ON d.neighbor_id = nc.id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rank, cosine FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_lsh_bucketed" ->
+      s"""WITH elems AS ($elemsSql),
+         |buckets AS (
+         |  SELECT id, SUM(CASE WHEN e_micro > 0
+         |    THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END) AS bucket
+         |  FROM elems WHERE i <= 8 GROUP BY id),
+         |norms AS (SELECT id, SUM(e_micro * e_micro) AS norm2
+         |          FROM elems GROUP BY id),
+         |cand AS (
+         |  SELECT q.id AS query_id, c.id AS neighbor_id
+         |  FROM buckets q JOIN buckets c
+         |    ON q.bucket = c.bucket AND q.id <> c.id
+         |  WHERE q.id % 50 = 0),
+         |dots AS (
+         |  SELECT cd.query_id, cd.neighbor_id,
+         |    SUM(qe.e_micro * ce.e_micro) AS dot
+         |  FROM cand cd
+         |  JOIN elems qe ON cd.query_id = qe.id
+         |  JOIN elems ce ON cd.neighbor_id = ce.id AND qe.i = ce.i
+         |  GROUP BY cd.query_id, cd.neighbor_id),
+         |scored AS (
+         |  SELECT d.query_id, d.neighbor_id,
+         |    CAST(d.dot AS DOUBLE)
+         |      / (SQRT(CAST(nq.norm2 AS DOUBLE)) * SQRT(CAST(nc.norm2 AS DOUBLE)))
+         |      AS cosine
+         |  FROM dots d
+         |  JOIN norms nq ON d.query_id = nq.id
+         |  JOIN norms nc ON d.neighbor_id = nc.id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rank, cosine FROM ranked
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+  )
+}

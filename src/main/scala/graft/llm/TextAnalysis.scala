@@ -1,0 +1,224 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text analysis for large-scale training-data pipelines (north-star
+  * extension, BASELINE.json): tokenization, token counting, language
+  * identification, quality scoring, and document fingerprinting over
+  * the `documents` table.
+  *
+  * Everything here is a per-row column expression built from Spark
+  * built-ins (split / higher-order array functions / regexp) — no UDFs,
+  * no shuffles, embarrassingly parallel over document partitions, so
+  * the 100 TB path is simply "more partitions". The only aggregation
+  * in this file is the caller's own groupBy on the outputs.
+  */
+object TextAnalysis {
+
+  /** BPE-ish token pattern: letter runs, digit runs, single
+    * non-space symbols — the shape GPT-style pre-tokenizers use. */
+  val BpeTokenRe = "[\\p{L}]+|[\\p{N}]+|[^\\s\\p{L}\\p{N}]"
+
+  /** Whitespace tokens, empty strings dropped. */
+  def tokensWs(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  def tokenCountWs(text: Column): Column = size(tokensWs(text))
+
+  /** Token count under the BPE-ish pre-tokenizer (regexp scan — no
+    * array materialization). */
+  def tokenCountBpe(text: Column): Column = regexp_count(text, lit(BpeTokenRe))
+
+  // --------------------------------------------------- language ID
+
+  /** Per-language function-word lists for the n-gram-free stopword
+    * heuristic. Deliberately tiny: language ID at corpus scale is a
+    * membership count per partition, not a model. */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "you", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una"))
+
+  /** How many lowercase whitespace tokens of `text` are in `words`. */
+  def stopwordCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokensWs(lower(text)), t => t.isin(words.map(lit): _*)))
+
+  /** Heuristic language ID: highest function-word count wins, ties
+    * break in [[Stopwords]] order, all-zero → "und". */
+  def langId(text: Column): Column = {
+    val scores = Stopwords.map { case (lang, words) =>
+      lang -> stopwordCount(text, words)
+    }
+    val allZero = scores.map(_._2 === 0).reduce(_ && _)
+    // en wins ties over de over fr over es: each branch requires >= all later
+    val Seq(en, de, fr, es) = scores.map(_._2)
+    when(allZero, lit("und"))
+      .when(en >= de && en >= fr && en >= es, lit("en"))
+      .when(de >= fr && de >= es, lit("de"))
+      .when(fr >= es, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  // ------------------------------------------------ quality scoring
+
+  /** Quality facets: length, punctuation density, stopword density,
+    * mean token length — the standard cheap pre-filters of a training
+    * corpus pipeline. All exact-integer ratios cast to double. */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text)
+    val nTokens = tokenCountWs(text)
+    val punct = nChars - length(regexp_replace(text, "[\\p{P}]", ""))
+    val nonspace = length(regexp_replace(text, "[\\s]", ""))
+    val stopEn = stopwordCount(text, Stopwords.head._2)
+    val punctRatio = punct.cast("double") / nullif(nChars, lit(0))
+    val stopRatio = stopEn.cast("double") / nullif(nTokens, lit(0))
+    val meanTokLen = nonspace.cast("double") / nullif(nTokens, lit(0))
+    val score =
+      lit(0.25) * when(nTokens >= 10 && nTokens <= 100000, 1.0).otherwise(0.0) +
+      lit(0.25) * when(meanTokLen >= 3.0 && meanTokLen <= 10.0, 1.0).otherwise(0.0) +
+      lit(0.25) * (lit(1.0) - coalesce(punctRatio, lit(1.0))) +
+      lit(0.25) * least(lit(1.0), coalesce(stopRatio, lit(0.0)) * 5.0)
+    Seq("n_chars" -> nChars, "n_tokens_ws" -> nTokens,
+      "n_tokens_bpe" -> tokenCountBpe(text),
+      "punct_ratio" -> punctRatio, "stopword_ratio" -> stopRatio,
+      "mean_token_len" -> meanTokLen, "quality_score" -> score)
+  }
+
+  // ------------------------------------------------- fingerprinting
+
+  /** Polynomial rolling hash of the whole document, folded per-char
+    * with base 131 mod 1e9+7 — values stay < 2^37 so the fold never
+    * overflows in any engine. Pure expression (higher-order
+    * `aggregate`), no UDF. */
+  def rollingHash(text: Column): Column =
+    when(length(text) === 0, lit(0L)).otherwise(
+      aggregate(
+        transform(split(text, ""), c => ascii(c).cast("long")),
+        lit(0L),
+        (h, c) => (h * 131L + c) % 1000000007L))
+
+  /** Char-k-gram MinHash fingerprint: the minimum md5 over all k-char
+    * shingles — one row-local expression (transform over a position
+    * sequence), no explode. Short texts fall back to md5(text). */
+  def minShingleFingerprint(text: Column, k: Int = 9): Column =
+    when(length(text) < k, md5(text)).otherwise(
+      array_min(transform(
+        sequence(lit(1), length(text) - (k - 1)),
+        i => md5(substring(text, i, lit(k))))))
+
+  // --------------------------------------------------- fixture queries
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private val textTokenize: Q = (s, dir) =>
+    docs(s, dir).select(col("doc_id"),
+      tokenCountWs(col("text")).as("n_tokens_ws"),
+      tokenCountBpe(col("text")).as("n_tokens_bpe"),
+      length(col("text")).as("n_chars"))
+      .orderBy("doc_id")
+
+  private val textLangId: Q = (s, dir) =>
+    docs(s, dir).select(
+      (col("doc_id") +: Stopwords.map { case (lang, words) =>
+        stopwordCount(col("text"), words).as(s"score_$lang")
+      }) :+ langId(col("text")).as("lang_pred"): _*)
+      .orderBy("doc_id")
+
+  private val textQuality: Q = (s, dir) => {
+    val cols = qualityColumns(col("text")).map { case (n, c) => c.as(n) }
+    docs(s, dir).select((col("doc_id") +: cols): _*).orderBy("doc_id")
+  }
+
+  private val docFingerprint: Q = (s, dir) =>
+    docs(s, dir).select(col("doc_id"),
+      rollingHash(col("text")).as("rolling_hash"),
+      minShingleFingerprint(col("text")).as("min_shingle_md5"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, Q] = Map(
+    "text_tokenize"   -> textTokenize,
+    "text_langid"     -> textLangId,
+    "text_quality"    -> textQuality,
+    "doc_fingerprint" -> docFingerprint,
+  )
+
+  // ------------------------------------------------------- oracle SQL
+
+  private def sqlStopCount(words: Seq[String]): String = {
+    val list = words.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN ($list)))"
+  }
+
+  private val sqlTokWs =
+    "len(list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0))"
+  private val sqlTokBpe =
+    "len(regexp_extract_all(text, '[\\p{L}]+|[\\p{N}]+|[^\\s\\p{L}\\p{N}]'))"
+
+  val oracles: Map[String, String] = Map(
+    "text_tokenize" ->
+      s"""SELECT doc_id, CAST($sqlTokWs AS INT) AS n_tokens_ws,
+         |  CAST($sqlTokBpe AS INT) AS n_tokens_bpe,
+         |  CAST(length(text) AS INT) AS n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid" -> {
+      val scores = Stopwords.map { case (lang, words) =>
+        s"CAST(${sqlStopCount(words)} AS INT) AS score_$lang" }.mkString(",\n    ")
+      s"""SELECT doc_id, score_en, score_de, score_fr, score_es,
+         |  CASE WHEN score_en = 0 AND score_de = 0 AND score_fr = 0
+         |         AND score_es = 0 THEN 'und'
+         |    WHEN score_en >= score_de AND score_en >= score_fr
+         |         AND score_en >= score_es THEN 'en'
+         |    WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+         |    WHEN score_fr >= score_es THEN 'fr'
+         |    ELSE 'es' END AS lang_pred
+         |FROM (SELECT doc_id,
+         |    $scores
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS INT) AS n_chars,
+         |  CAST($sqlTokWs AS INT) AS n_tokens_ws,
+         |  CAST($sqlTokBpe AS INT) AS n_tokens_bpe,
+         |  CAST(length(text) - length(regexp_replace(text, '[\\p{P}]', '', 'g'))
+         |    AS DOUBLE) / NULLIF(length(text), 0) AS punct_ratio,
+         |  CAST(${sqlStopCount(Stopwords.head._2)} AS DOUBLE)
+         |    / NULLIF($sqlTokWs, 0) AS stopword_ratio,
+         |  CAST(length(regexp_replace(text, '[\\s]', '', 'g')) AS DOUBLE)
+         |    / NULLIF($sqlTokWs, 0) AS mean_token_len,
+         |  0.25 * (CASE WHEN $sqlTokWs BETWEEN 10 AND 100000
+         |            THEN 1.0 ELSE 0.0 END) +
+         |  0.25 * (CASE WHEN (CAST(length(regexp_replace(text, '[\\s]', '', 'g'))
+         |              AS DOUBLE) / NULLIF($sqlTokWs, 0)) BETWEEN 3.0 AND 10.0
+         |            THEN 1.0 ELSE 0.0 END) +
+         |  0.25 * (1.0 - COALESCE(CAST(length(text)
+         |            - length(regexp_replace(text, '[\\p{P}]', '', 'g'))
+         |            AS DOUBLE) / NULLIF(length(text), 0), 1.0)) +
+         |  0.25 * LEAST(1.0, COALESCE(CAST(${sqlStopCount(Stopwords.head._2)}
+         |            AS DOUBLE) / NULLIF($sqlTokWs, 0), 0.0) * 5.0)
+         |    AS quality_score
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(text) = 0 THEN 0
+        |    ELSE list_reduce(
+        |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |      (h, c) -> (h * 131 + c) % 1000000007)
+        |  END AS rolling_hash,
+        |  CASE WHEN length(text) < 9 THEN md5(text)
+        |    ELSE list_min(list_transform(range(1, length(text) - 7),
+        |      i -> md5(substr(text, CAST(i AS INT), 9))))
+        |  END AS min_shingle_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,178 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+class LlmSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private def textDf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // ------------------------------------------------------ TextAnalysis
+
+  test("rollingHash matches a direct Scala fold") {
+    def direct(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 131L + c.toLong) % 1000000007L)
+    val samples = Seq("", "a", "hello world", "the quick brown fox")
+    val got = textDf(samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }: _*)
+      .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("h"))
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    assert(got.toSeq === samples.map(direct))
+  }
+
+  test("langId picks the dominant stopword language") {
+    val df = textDf(
+      (0L, "the cat and the dog in a house"),
+      (1L, "der hund und die katze ist nicht da"),
+      (2L, "le chat et la souris est une histoire"),
+      (3L, "el perro y los gatos es una historia"),
+      (4L, "xyzzy plugh"))
+    val got = df.select(col("doc_id"), TextAnalysis.langId(col("text")))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(got.toSeq === Seq("en", "de", "fr", "es", "und"))
+  }
+
+  test("token counts: whitespace vs BPE-ish") {
+    val df = textDf((0L, "hello world, it's 42 degrees!"))
+    val r = df.select(
+      TextAnalysis.tokenCountWs(col("text")),
+      TextAnalysis.tokenCountBpe(col("text"))).head()
+    assert(r.getInt(0) === 5)
+    // hello | world | , | it | ' | s | 42 | degrees | ! = 9
+    assert(r.getInt(1) === 9)
+  }
+
+  test("minShingleFingerprint: short-text fallback and determinism") {
+    val df = textDf((0L, "tiny"), (1L, "a longer document body"))
+    val r = df.select(TextAnalysis.minShingleFingerprint(col("text")))
+      .collect().map(_.getString(0))
+    assert(r(0).length === 32) // md5 of whole text
+    assert(r(1).length === 32)
+    val again = df.select(TextAnalysis.minShingleFingerprint(col("text")))
+      .collect().map(_.getString(0))
+    assert(r.toSeq === again.toSeq)
+  }
+
+  // ------------------------------------------------------------ Dedup
+
+  test("dropExactDuplicates keeps the minimum id per content") {
+    val df = textDf((5L, "same"), (1L, "same"), (3L, "other"))
+    val kept = Dedup.dropExactDuplicates(df).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(1L, 3L))
+  }
+
+  test("minHashLsh finds the same near-dup pairs as all-pairs Jaccard on the fixture") {
+    val corpus = Dedup.fixtureCorpus(
+      graft.Tables.load(spark, sfSmoke, "documents").filter(col("doc_id") < 60))
+    val all = Dedup.jaccardPairs(Dedup.charShingles(corpus), 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashLshPairs(corpus, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(all), "LSH must never invent pairs")
+    // 16 hashes / 4 bands at jaccard>=0.9 → near-certain recall on this corpus
+    assert(lsh === all, s"LSH missed ${all -- lsh}")
+    assert(all.nonEmpty)
+  }
+
+  test("simHash: identical docs collide, near docs are close, pairs found") {
+    val df = textDf(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy cat again and again"),
+      (3L, "completely different content about spark query engines"))
+    val hashes = Dedup.simHash(df)
+    val m = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(0L) === m(1L))
+    val nearHam = java.lang.Long.bitCount(m(0L) ^ m(2L))
+    val farHam = java.lang.Long.bitCount(m(0L) ^ m(3L))
+    assert(nearHam < farHam)
+    val pairs = Dedup.simHashNearPairs(hashes, maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  // ------------------------------------------------------- Similarity
+
+  test("cosine float path agrees with exact micro-int path to 1e-6") {
+    val emb = graft.Tables.load(spark, sfSmoke, "embeddings")
+      .filter(col("vec_id") < 20)
+    val float = Similarity.cosineTopK(emb, emb.filter(col("vec_id") === 0), 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toMap
+    val exact = Similarity.queries("ann_brute_force")(spark, sfSmoke)
+      .filter(col("query_id") === 0).collect()
+      .map(r => (r.getLong(1), r.getDouble(3))).toMap
+    // same corpus subset only where both computed the neighbor
+    for ((id, c) <- float; ce <- exact.get(id))
+      assert(math.abs(c - ce) < 1e-6, s"neighbor $id: $c vs $ce")
+  }
+
+  test("lshTopK candidates are bucket-pruned true cosines") {
+    val emb = graft.Tables.load(spark, sfSmoke, "embeddings")
+      .filter(col("vec_id") < 50)
+    val q = emb.filter(col("vec_id") % 25 === 0)
+    val res = Similarity.lshTopK(emb, q, 3, numPlanes = 4).collect()
+    val brute = Similarity.cosineTopK(emb, q, 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    res.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(brute.contains(key))
+      assert(math.abs(brute(key) - r.getDouble(3)) < 1e-12)
+    }
+  }
+
+  test("ivfTopK searches only probed lists and ranks correctly") {
+    val emb = graft.Tables.load(spark, sfSmoke, "embeddings")
+      .filter(col("vec_id") < 100)
+    val centroids = emb.filter(col("vec_id") % 20 === 0)
+    val assigned = Similarity.ivfAssign(emb, centroids)
+    assert(assigned.count() === emb.count()) // every vector assigned once
+    val q = emb.filter(col("vec_id") === 1)
+    val res = Similarity.ivfTopK(assigned, centroids, q, 5, nprobe = 2)
+      .orderBy("rank").collect()
+    assert(res.nonEmpty)
+    // ranks are 1..n with non-increasing cosine
+    val cosines = res.map(_.getDouble(3))
+    assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    assert(res.map(_.getInt(2)).toSeq === (1 to res.length))
+  }
+
+  // ------------------------------------------------------- Multimodal
+
+  test("multimodal: stub decode, batched features, frame sampling") {
+    implicit val sp: SparkSession = spark
+    val docs = graft.Tables.load(spark, sfSmoke, "documents")
+      .filter(col("doc_id") < 30)
+    val media = Multimodal.synthesizeMedia(docs)
+    val feats = Multimodal.extractFeatures(media, batchSize = 7).collect()
+    assert(feats.length === docs.count())
+    feats.foreach { f =>
+      assert(f.n_bytes > 0)
+      assert(f.mean_byte > 0 && f.mean_byte < 256)
+      if (f.kind == "audio") assert(f.width === 0)
+      else assert(f.width >= 16)
+    }
+    val frames = Multimodal.sampleFrames(media, stride = 2).collect()
+    assert(frames.nonEmpty)
+    // stride-2 sampling keeps only even frame indices
+    assert(frames.forall(_.frame_index % 2 == 0))
+    // resize stub rewrites metadata only
+    val row = media.head()
+    val resized = Multimodal.MediaCodec.resizeStub(row, 32, 32)
+    assert(resized.meta.width === 32 && resized.meta.height === 32)
+    assert(resized.bytes.sameElements(row.bytes))
+  }
+
+  test("fixture queries return rows on sf0.001") {
+    val names = TextAnalysis.queries.keys ++ Dedup.queries.keys ++
+      Similarity.queries.keys ++ Multimodal.queries.keys
+    for (name <- names) {
+      val df = graft.SparkEntry.queries(name)(spark, sfSmoke)
+      assert(df.count() > 0, s"query $name returned no rows")
+    }
+  }
+}
