@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming surface (SURVEY.md §7.5: the reference has no
+  * streaming operators, so this is free design kept out of the
+  * oracle-verified set — the batch twins of these pipelines are what
+  * the correctness gate covers).
+  *
+  * Patterns: watermarked tumbling/sliding windowed aggregation,
+  * streaming exact dedup, and mapGroupsWithState sessionization. Every
+  * transform takes and returns DataFrames/Datasets, so the same code
+  * runs on `readStream` sources in production and on MemoryStream in
+  * tests. State stores shard by grouping key — at 100 TB/day the keys
+  * (user, window) hash-partition across executors and the watermark
+  * bounds state size.
+  */
+object Streams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionUpdate(user_id: Long, n_events: Long, total_value: Double,
+      session_end: Boolean)
+
+  /** Tumbling (or sliding, if `slide` differs) windowed counts + sums
+    * per event type, late data bounded by `watermark`. */
+  def windowedAgg(events: DataFrame, watermark: String = "10 minutes",
+      window: String = "5 minutes", slide: Option[String] = None): DataFrame = {
+    val w = slide.fold(org.apache.spark.sql.functions.window(col("ts"), window))(
+      s => org.apache.spark.sql.functions.window(col("ts"), window, s))
+    events.withWatermark("ts", watermark)
+      .groupBy(w.as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("win.start").as("window_start"),
+        col("win.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+  }
+
+  /** Streaming exact dedup on an id column: state = ids seen within
+    * the watermark horizon (the streaming twin of
+    * [[graft.llm.Dedup.dropExactDuplicates]]). */
+  def dedupStream(events: DataFrame, watermark: String = "10 minutes",
+      idCols: Seq[String] = Seq("event_id")): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates(idCols :+ "ts")
+
+  /** Per-user sessionization with an event-time inactivity gap:
+    * counts and sums accumulate per user; when the watermark passes
+    * last-event-time + `gapMs`, the closed session is emitted.
+    * Event-time timeouts fire with watermark progress (data-driven) —
+    * unlike processing-time timeouts they never spin empty batches. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 60000,
+      watermark: String = "10 minutes")
+      (implicit spark: SparkSession): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Double, Long), SessionUpdate](
+        GroupStateTimeout.EventTimeTimeout) {
+        case (userId, rows, state: GroupState[(Long, Double, Long)]) =>
+          if (state.hasTimedOut) {
+            val (n, v, _) = state.get
+            state.remove()
+            SessionUpdate(userId, n, v, session_end = true)
+          } else {
+            var (n, v, maxTs) = state.getOption.getOrElse((0L, 0.0, 0L))
+            rows.foreach { e =>
+              n += 1; v += e.value
+              maxTs = math.max(maxTs, e.ts.getTime)
+            }
+            state.update((n, v, maxTs))
+            state.setTimeoutTimestamp(maxTs + gapMs)
+            SessionUpdate(userId, n, v, session_end = false)
+          }
+      }
+  }
+
+  /** Standard sink wiring: append-mode parquet with checkpointing (the
+    * production shape) — callers own trigger/location. */
+  def startParquetSink(df: DataFrame, path: String, checkpoint: String,
+      outputMode: OutputMode = OutputMode.Append()) =
+    df.writeStream
+      .outputMode(outputMode)
+      .option("checkpointLocation", checkpoint)
+      .format("parquet")
+      .option("path", path)
+      .start()
+}

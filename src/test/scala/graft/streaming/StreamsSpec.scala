@@ -1,0 +1,95 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class StreamsSpec extends SparkSpec {
+
+  private def ts(minute: Int, second: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:$second%02d")
+
+  test("windowedAgg: tumbling windows aggregate by type, watermark drops late data") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Streams.Event]
+    val query = Streams.windowedAgg(input.toDF(), watermark = "2 minutes",
+        window = "5 minutes")
+      .writeStream.format("memory").queryName("winagg")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        Streams.Event(1, ts(1), 10, "view", 1.0),
+        Streams.Event(2, ts(2), 10, "view", 2.0),
+        Streams.Event(3, ts(6), 11, "click", 5.0))
+      query.processAllAvailable()
+      // advance the watermark past the first window's end (10:05):
+      // max ts 10:08 − 2 min watermark = 10:06 ≥ 10:05 → window closed
+      input.addData(Streams.Event(4, ts(8), 11, "click", 6.0))
+      query.processAllAvailable()
+      // now an event for the closed window is genuinely late → dropped
+      input.addData(Streams.Event(5, ts(0), 12, "view", 100.0))
+      query.processAllAvailable()
+      // updates per window are monotone; the final state is the max
+      val rows = spark.table("winagg")
+        .groupBy("window_start", "event_type")
+        .max("n_events", "total_value").collect()
+      val view = rows.find(_.getString(1) == "view").get
+      assert(view.getTimestamp(0) === ts(0))
+      assert(view.getLong(2) === 2) // the late event never landed
+      val click = rows.find(r => r.getString(1) == "click" &&
+        r.getTimestamp(0) == ts(5)).get
+      assert(click.getLong(2) === 2)
+    } finally query.stop()
+  }
+
+  test("dedupStream drops replayed ids") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Streams.Event]
+    val query = Streams.dedupStream(input.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedupst")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val e = Streams.Event(7, ts(1), 10, "view", 1.0)
+      input.addData(e, e.copy(event_id = 8))
+      query.processAllAvailable()
+      input.addData(e) // exact replay — must be deduped
+      query.processAllAvailable()
+      assert(spark.table("dedupst").count() === 2)
+    } finally query.stop()
+  }
+
+  test("sessionize accumulates per-user state across batches") {
+    implicit val sp = spark
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Streams.Event]
+    val query = Streams.sessionize(input.toDS(), gapMs = 60000,
+        watermark = "1 minute")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        Streams.Event(1, ts(1), 10, "view", 1.0),
+        Streams.Event(2, ts(1, 30), 10, "view", 2.0),
+        Streams.Event(3, ts(2), 11, "click", 5.0))
+      query.processAllAvailable()
+      input.addData(Streams.Event(4, ts(3), 10, "view", 4.0))
+      query.processAllAvailable()
+      // watermark far past every session gap → both sessions close
+      input.addData(Streams.Event(5, ts(30), 12, "view", 9.0))
+      query.processAllAvailable()
+      val byUser = spark.table("sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      // user 10's running session saw 2 then 3 events
+      assert(byUser.contains((10L, 2L, 3.0, false)))
+      assert(byUser.contains((10L, 3L, 7.0, false)))
+      assert(byUser.contains((11L, 1L, 5.0, false)))
+      // closed sessions emitted once the watermark passed the gap
+      assert(byUser.contains((10L, 3L, 7.0, true)))
+      assert(byUser.contains((11L, 1L, 5.0, true)))
+    } finally query.stop()
+  }
+}
