@@ -89,21 +89,41 @@ object Dedup {
   /** MinHash signatures: for each of `numHashes` seeds, the minimum
     * md5(seed:shingle) over the document's shingle set — the classic
     * min-over-random-permutation family with the permutation induced
-    * by hex ordering. Output: (id, seed, sig). */
-  def minHashSignatures(shingles: DataFrame, numHashes: Int = 16): DataFrame =
-    shingles
-      .withColumn("seed", explode(sequence(lit(0), lit(numHashes - 1))))
-      .groupBy("id", "seed")
-      .agg(min(md5(concat(col("seed").cast("string"), lit(":"),
-        col("shingle")))).as("sig"))
+    * by hex ordering.
+    *
+    * Computed as ONE wide aggregation (numHashes min columns in a
+    * single groupBy(id)) rather than a seed-explode: min() combines
+    * map-side, so the shuffle carries one 16-column row per (partition,
+    * doc) instead of numHashes× exploded shingle rows — at 100 TB the
+    * difference is the whole job. Output: (id, sig_0..sig_{n-1}). */
+  def minHashSignaturesWide(shingles: DataFrame, numHashes: Int = 16): DataFrame =
+    shingles.groupBy("id")
+      .agg(
+        min(md5(concat(lit("0:"), col("shingle")))).as("sig_0"),
+        (1 until numHashes).map(s =>
+          min(md5(concat(lit(s + ":"), col("shingle")))).as(s"sig_$s")): _*)
 
-  /** LSH banding: bucket = md5 of the band's signature slice, ordered
-    * by seed. Docs sharing any (band, bucket) become candidates. */
-  def lshBuckets(sigs: DataFrame, rowsPerBand: Int = 4): DataFrame =
-    sigs.groupBy(col("id"), floor(col("seed") / rowsPerBand).as("band"))
-      .agg(md5(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("seed"), col("sig")))),
-          x => x.getField("sig")))).as("bucket"))
+  /** Long-form (id, seed, sig) view of the wide signatures, for
+    * consumers that want one row per hash. */
+  def minHashSignatures(shingles: DataFrame, numHashes: Int = 16): DataFrame = {
+    val wide = minHashSignaturesWide(shingles, numHashes)
+    val stacked = (0 until numHashes)
+      .map(s => s"$s, sig_$s").mkString(", ")
+    wide.selectExpr("id", s"stack($numHashes, $stacked) AS (seed, sig)")
+  }
+
+  /** LSH banding over wide signatures: bucket = md5 of the band's
+    * signature slice (seed order) — row-local, no extra shuffle. */
+  def lshBucketsWide(wide: DataFrame, numHashes: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val nBands = numHashes / rowsPerBand
+    val bands = (0 until nBands).map { b =>
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(s => s"sig_$s").mkString(", ")
+      s"$b, md5(concat_ws(',', $slice))"
+    }.mkString(", ")
+    wide.selectExpr("id", s"stack($nBands, $bands) AS (band, bucket)")
+  }
 
   /** Full MinHash-LSH near-dup pipeline: shingle → sign → band →
     * candidate join on (band, bucket) → exact Jaccard verify. */
@@ -111,7 +131,8 @@ object Dedup {
       numHashes: Int = 16, rowsPerBand: Int = 4, k: Int = 9,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val shingles = charShingles(df, k, idCol, textCol)
-    val buckets = lshBuckets(minHashSignatures(shingles, numHashes), rowsPerBand)
+    val buckets = lshBucketsWide(
+      minHashSignaturesWide(shingles, numHashes), numHashes, rowsPerBand)
     val candidates = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
@@ -146,19 +167,26 @@ object Dedup {
   /** 32-bit SimHash over lowercase whitespace tokens (frequency-
     * weighted — every occurrence votes ±1 per bit). Bit extraction and
     * reassembly use integer shifts only (a double round-trip would
-    * corrupt the low bits of 60-bit hashes). */
+    * corrupt the low bits of 60-bit hashes).
+    *
+    * All 32 bit-votes aggregate in ONE groupBy(id) pass (wide sum
+    * columns combine map-side) instead of a 32× bit-explode — the
+    * shuffle carries one 32-int row per doc per partition, not
+    * 32·|tokens| rows. */
   def simHash(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text"): DataFrame = {
+    val votes = (0 until 32).map(j =>
+      sum(when(expr(s"(shiftright(h60, $j) & 1)") === 1, lit(1))
+        .otherwise(lit(-1))).as(s"v_$j"))
+    val assemble = (0 until 32).map(j =>
+      when(col(s"v_$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
     df.select(col(idCol).as("id"),
         explode(TextAnalysis.tokensWs(lower(col(textCol)))).as("token"))
       .withColumn("h60", md5Long(col("token")))
-      .withColumn("j", explode(sequence(lit(0), lit(31))))
-      .withColumn("bitv",
-        when(expr("(shiftright(h60, j) & 1)") === 1, lit(1)).otherwise(lit(-1)))
-      .groupBy("id", "j").agg(sum(col("bitv")).as("v"))
-      .withColumn("bit", when(col("v") > 0, 1L).otherwise(0L))
       .groupBy("id")
-      .agg(sum(expr("shiftleft(bit, j)")).as("simhash"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id"), assemble.as("simhash"))
+  }
 
   /** SimHash near-pairs with 8-bit band blocking: pairs at hamming ≤ 3
     * must agree on one of the 4 bytes (pigeonhole), so candidates come
