@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.analytics.{Metrics, TraceAnalytics}
+import graft.analytics.{Metrics, PlanFeaturizer, TraceAnalytics}
 import graft.operators.{Advanced, Relational}
 import graft.scheduling.SchedulingQueries
 import graft.sources.Ingest
@@ -25,7 +25,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Advanced.queries ++ TraceAnalytics.queries ++
-      Metrics.queries ++ SchedulingQueries.queries ++ Ingest.queries ++
+      Metrics.queries ++ PlanFeaturizer.queries ++
+      SchedulingQueries.queries ++ Ingest.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries
 

@@ -103,4 +103,22 @@ object PlanFeaturizer {
 
   private def rowWidth(p: SparkPlan): Long =
     p.output.map(a => a.dataType.defaultSize.toLong).sum
+
+  /** Rows-only driver query (`plan_featurize`): featurize a
+    * representative join+agg plan into its node frame. Not
+    * SQL-expressible (reads Spark's own physical plan), so there is no
+    * oracle entry — the driver records a rows>0 check and
+    * PlanFeaturizerSpec pins the structure. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "plan_featurize" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val li = graft.Tables.load(s, dir, "lineitem")
+      val o = graft.Tables.load(s, dir, "orders")
+      val q = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_quantity") > 10)
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("l_extendedprice")).as("rev"))
+      val (nodes, _) = featurize(s, q)
+      nodes.orderBy("id")
+    })
 }

@@ -141,11 +141,34 @@ object TextAnalysis {
       minShingleFingerprint(col("text")).as("min_shingle_md5"))
       .orderBy("doc_id")
 
+  /** Mean-pooled pseudo-embedding (the RF pipeline's SQL-text encoder
+    * shape, `models/RF/Model/sql_encoder.py:33-41`: token embeddings →
+    * mean over tokens). Token vectors are md5-derived integers in
+    * [-1000,1000], summed exactly per dimension, so the pooled doubles
+    * hash-match the oracle; swap the hash lookup for a real embedding
+    * table at production time — the pooling dataflow is identical. */
+  private val textEmbedMeanpool: Q = (s, dir) => {
+    val toks = docs(s, dir).select(col("doc_id"),
+      explode(tokensWs(lower(col("text")))).as("token"))
+    val dims = (0 until 4).map { d =>
+      sum(graft.llm.Dedup.md5Long(concat(lit(s"$d:"), col("token"))) % 2001
+        - 1000).as(s"s_$d")
+    }
+    val pooled = (0 until 4).map { d =>
+      ((col(s"s_$d").cast("double") / col("n_tokens")) / 1000.0).as(s"emb_$d")
+    }
+    toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), dims: _*)
+      .select((col("doc_id") +: col("n_tokens") +: pooled): _*)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
-    "text_tokenize"   -> textTokenize,
-    "text_langid"     -> textLangId,
-    "text_quality"    -> textQuality,
-    "doc_fingerprint" -> docFingerprint,
+    "text_tokenize"       -> textTokenize,
+    "text_langid"         -> textLangId,
+    "text_quality"        -> textQuality,
+    "doc_fingerprint"     -> docFingerprint,
+    "text_embed_meanpool" -> textEmbedMeanpool,
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -207,6 +230,30 @@ object TextAnalysis {
          |            AS DOUBLE) / NULLIF($sqlTokWs, 0), 0.0) * 5.0)
          |    AS quality_score
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_embed_meanpool" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0)) AS token
+        |  FROM documents),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens,
+        |    SUM(CAST(('0x' || substr(md5('0:' || token), 1, 15)) AS BIGINT)
+        |      % 2001 - 1000) AS s_0,
+        |    SUM(CAST(('0x' || substr(md5('1:' || token), 1, 15)) AS BIGINT)
+        |      % 2001 - 1000) AS s_1,
+        |    SUM(CAST(('0x' || substr(md5('2:' || token), 1, 15)) AS BIGINT)
+        |      % 2001 - 1000) AS s_2,
+        |    SUM(CAST(('0x' || substr(md5('3:' || token), 1, 15)) AS BIGINT)
+        |      % 2001 - 1000) AS s_3
+        |  FROM toks GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  (CAST(s_0 AS DOUBLE) / n_tokens) / 1000.0 AS emb_0,
+        |  (CAST(s_1 AS DOUBLE) / n_tokens) / 1000.0 AS emb_1,
+        |  (CAST(s_2 AS DOUBLE) / n_tokens) / 1000.0 AS emb_2,
+        |  (CAST(s_3 AS DOUBLE) / n_tokens) / 1000.0 AS emb_3
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "doc_fingerprint" ->
       """SELECT doc_id,

@@ -47,6 +47,24 @@ object Advanced {
         col("l_linestatus").asc_nulls_first)
   }
 
+  /** Row 18: grouping()/grouping_id() distinguishing subtotal levels
+    * (q36.sql:5's `grouping(i_category)+grouping(i_class) AS
+    * lochierarchy` and the rank-within-parent partition key). DuckDB
+    * mirrors grouping_id() as GROUPING(a)*2+GROUPING(b) — same bit
+    * order as Spark's builtin. */
+  private val aggGroupingFn: Q = (s, dir) => {
+    val o = t(s, dir)("orders")
+    o.rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        dsum(col("o_totalprice")).as("sum_price"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+        grouping_id().cast("int").as("gid"))
+      .orderBy(col("gid").desc,
+        col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
   // ------------------------------------------------------- aggregates
   /** Row 16: multiple COUNT(DISTINCT) in one aggregate (q28 shape —
     * planned via Expand + two-phase aggregation). */
@@ -246,6 +264,7 @@ object Advanced {
 
   val queries: Map[String, Q] = Map(
     "agg_rollup"                    -> aggRollup,
+    "agg_grouping_fn"               -> aggGroupingFn,
     "agg_count_distinct"            -> aggCountDistinct,
     "agg_stats_stddev"              -> aggStatsStddev,
     "window_rank"                   -> windowRank,
@@ -273,6 +292,19 @@ object Advanced {
          |ORDER BY lochierarchy DESC,
          |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
         .stripMargin,
+
+    "agg_grouping_fn" ->
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  ${sqlSum("o_totalprice")} AS sum_price,
+         |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+         |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+         |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+         |    AS INT) AS gid
+         |FROM orders
+         |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         |ORDER BY gid DESC,
+         |  o_orderstatus ASC NULLS FIRST,
+         |  o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "agg_count_distinct" ->
       """SELECT l_returnflag,
