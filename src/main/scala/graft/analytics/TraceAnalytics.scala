@@ -147,10 +147,11 @@ object TraceAnalytics {
     configDelta(base, variant, Seq("mean_value"))
   }
 
-  /** Duration parser driven through the UDF over strings constructed
-    * from events — each row exercises one unit family, incl. H:MM:SS. */
+  /** Duration parser driven through the native codegen expression
+    * ([[graft.functions.ParseDuration]]) over strings constructed
+    * from events — each row exercises one unit family, incl. H:MM:SS.
+    * The registered UDF twin stays available for ad-hoc SQL. */
   private val parseDurationQ: Q = (s, dir) => {
-    Durations.register(s)
     val e = ev(s, dir)
     val unit = col("event_id") % 7
     val durStr = when(unit === 0, concat(col("value").cast("string"), lit("ns")))
@@ -163,7 +164,8 @@ object TraceAnalytics {
         lpad((col("event_id") % 60).cast("string"), 2, "0"), lit(":"),
         lpad((col("event_id") % 60).cast("string"), 2, "0")))
     e.withColumn("dur_str", durStr)
-      .withColumn("seconds", call_udf("parse_duration", col("dur_str")))
+      .withColumn("seconds",
+        graft.functions.ParseDuration.parseDuration(col("dur_str")))
       .select("event_id", "seconds")
       .orderBy("event_id")
   }

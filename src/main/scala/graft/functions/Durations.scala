@@ -49,6 +49,10 @@ object Durations {
     case _ => None
   }
 
+  /** Boxed variant for the codegen path ([[ParseDuration]]). */
+  def parseBoxed(s: String): java.lang.Double =
+    parse(s).map(Double.box).orNull
+
   def register(spark: SparkSession): Unit =
     spark.udf.register("parse_duration",
       (s: String) => parse(s).map(Double.box).orNull)

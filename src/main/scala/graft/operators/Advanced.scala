@@ -144,15 +144,20 @@ object Advanced {
   /** Row 23: lag/lead — the idiomatic form of q47/q57's
     * self-join-on-rank previous/next-period trick. */
   private val windowLagLead: Q = (s, dir) => {
+    // (l_orderkey, l_linenumber) is NOT unique in the fixtures, so
+    // l_quantity joins the sort key to make the value sequence total —
+    // rows still tied are then identical in every output column, so
+    // lag/lead results are engine-independent as a row multiset.
     val w = Window.partitionBy(col("l_suppkey"))
       .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
-        col("l_linenumber").asc)
+        col("l_linenumber").asc, col("l_quantity").asc)
     t(s, dir)("lineitem")
       .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
         col("l_linenumber"), col("l_quantity"))
       .withColumn("prev_qty", lag(col("l_quantity"), 1).over(w))
       .withColumn("next_qty", lead(col("l_quantity"), 1).over(w))
-      .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+      .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+        "l_quantity")
   }
 
   // ------------------------------------------------------ expressions
@@ -366,8 +371,8 @@ object Advanced {
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_suppkey
         |             ORDER BY l_shipdate ASC, l_orderkey ASC,
-        |                      l_linenumber ASC)
-        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber"""
+        |                      l_linenumber ASC, l_quantity ASC)
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity"""
         .stripMargin,
 
     "expr_case_when" ->
