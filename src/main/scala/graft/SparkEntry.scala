@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics.{Metrics, PlanFeaturizer, TraceAnalytics}
-import graft.operators.{Advanced, Relational}
+import graft.operators.{Advanced, AsOf, Relational}
 import graft.scheduling.SchedulingQueries
 import graft.sources.Ingest
 import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
@@ -24,7 +24,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Advanced.queries ++ TraceAnalytics.queries ++
+    Relational.queries ++ Advanced.queries ++ AsOf.queries ++
+      TraceAnalytics.queries ++
       Metrics.queries ++ PlanFeaturizer.queries ++
       SchedulingQueries.queries ++ Ingest.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
@@ -33,7 +34,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Advanced.oracles ++ TraceAnalytics.oracles ++
+    Relational.oracles ++ Advanced.oracles ++ AsOf.oracles ++
+      TraceAnalytics.oracles ++
       Metrics.oracles ++ SchedulingQueries.oracles ++ Ingest.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       Multimodal.oracles

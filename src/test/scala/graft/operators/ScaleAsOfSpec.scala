@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.Exact
+import org.apache.spark.sql.functions._
+
+class ScaleAsOfSpec extends SparkSpec {
+
+  // --------------------------------------------------------- AsOf
+
+  test("joinBackward: latest earlier match, equal-time match, no-match nulls") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "l1"), (1L, 20L, "l2"), (2L, 15L, "l3"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 5L, 100.0), (1L, 20L, 200.0), (2L, 99L, 300.0))
+      .toDF("k", "t", "v")
+    val got = AsOf.joinBackward(left, right, on = "t", by = "k",
+      valueCols = Seq("v")).orderBy("k", "t").collect()
+    assert(got.length === 3)
+    // k=1 t=10 → rt=5, v=100
+    assert(got(0).getLong(3) === 5L && got(0).getDouble(4) === 100.0)
+    // k=1 t=20 → equal-time match rt=20
+    assert(got(1).getLong(3) === 20L && got(1).getDouble(4) === 200.0)
+    // k=2 t=15: right row is later → no match
+    assert(got(2).isNullAt(3) && got(2).isNullAt(4))
+  }
+
+  test("joinBackward tolerance nulls stale payloads but keeps matched_on") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "x")).toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 7.0)).toDF("k", "t", "v")
+    val tol = AsOf.joinBackward(left, right, "t", "k", Seq("v"),
+      tolerance = Some(50L)).head()
+    assert(tol.getLong(3) === 10L) // matched_on survives
+    assert(tol.isNullAt(4))        // payload nulled: 90 > 50
+    val ok = AsOf.joinBackward(left, right, "t", "k", Seq("v"),
+      tolerance = Some(90L)).head()
+    assert(ok.getDouble(4) === 7.0)
+  }
+
+  // --------------------------------------------------------- Scale
+
+  test("saltedSum equals direct exact groupBy sum regardless of salt source") {
+    val e = graft.Tables.load(spark, sfSmoke, "events")
+    val direct = e.groupBy("event_type")
+      .agg(Exact.dsum(col("value")).as("total"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for (saltSrc <- Seq(None, Some(col("event_id")))) {
+      val salted = Scale.saltedSum(e, Seq("event_type"), "value", "total",
+          saltBuckets = 8, saltSource = saltSrc)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(salted === direct)
+    }
+  }
+
+  test("saltedJoin equals plain join") {
+    val e = graft.Tables.load(spark, sfSmoke, "events")
+      .select(col("event_id"), (col("user_id") % 10).as("k"), col("value"))
+    val dim = graft.Tables.load(spark, sfSmoke, "events")
+      .filter(col("event_id") < 10)
+      .select((col("event_id") % 10).as("k"), col("value").as("dim_v"))
+      .groupBy("k").agg(max("dim_v").as("dim_v"))
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getDouble(3))).sortBy(_._1).toSeq
+    val plain = e.join(dim, "k").select(col("event_id"), col("k"),
+      col("value"), col("dim_v")).collect()
+    val salted = Scale.saltedJoin(e, dim, "k", saltBuckets = 4,
+        saltSource = Some(col("event_id")))
+      .select(col("event_id"), col("k"), col("value"), col("dim_v")).collect()
+    assert(key(salted) === key(plain))
+  }
+
+  test("prefixSumsDistributed is bit-identical to the single-window form") {
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.Tables.load(spark, sfSmoke, "events")
+      .select((row_number().over(Window.orderBy("event_id")) - 1)
+        .cast("long").as("slot"), col("value").as("ci"))
+    val single = graft.scheduling.Carbon.prefixSums(e)
+      .select("slot", "prefix").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dist = Scale.prefixSumsDistributed(e, numBuckets = 7)
+      .select("slot", "prefix").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(dist.size === single.size)
+    dist.foreach { case (slot, p) =>
+      assert(p === single(slot), s"slot $slot")
+    }
+  }
+
+  test("join_asof fixture query returns rows on sf0.001") {
+    assert(AsOf.queries("join_asof")(spark, sfSmoke).count() > 0)
+  }
+}
