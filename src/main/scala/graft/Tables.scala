@@ -34,4 +34,40 @@ object Tables {
     * registration, import_tables.py:12-26, without a metastore). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Register as EXTERNAL catalog tables and ANALYZE them — the
+    * rebuild of the reference's statistics stance (Iceberg
+    * `write.metadata.statistics.enabled=true` + Trino
+    * `extended-statistics.enabled`, csv_to_iceberg.py:86): with table
+    * and column stats in the catalog and CBO on, Catalyst's join
+    * reordering and the §2.B plan features (rowCount, n_distinct,
+    * null_frac) run on real numbers instead of size guesses. */
+  def registerCatalog(spark: SparkSession, dir: String,
+      analyze: Boolean = true, namespace: String = "graft"): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $namespace")
+    names.foreach { n =>
+      spark.sql(s"DROP TABLE IF EXISTS $namespace.$n")
+      spark.sql(
+        s"CREATE TABLE $namespace.$n USING parquet LOCATION '$dir/$n.parquet'")
+      if (analyze) {
+        // column stats only exist for atomic types (arrays — e.g.
+        // embeddings — are unsupported by ANALYZE ... FOR COLUMNS)
+        val atomic = spark.table(s"$namespace.$n").schema.fields
+          .filterNot(f => f.dataType match {
+            case _: org.apache.spark.sql.types.ArrayType |
+                 _: org.apache.spark.sql.types.MapType |
+                 _: org.apache.spark.sql.types.StructType |
+                 org.apache.spark.sql.types.BinaryType => true
+            case _ => false
+          })
+          .map(f => s"`${f.name}`")
+        if (atomic.nonEmpty)
+          spark.sql(s"ANALYZE TABLE $namespace.$n COMPUTE STATISTICS " +
+            s"FOR COLUMNS ${atomic.mkString(", ")}")
+        else
+          spark.sql(s"ANALYZE TABLE $namespace.$n COMPUTE STATISTICS")
+      }
+    }
+  }
 }

@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, Future, TimeoutException}
+
+/** Sequential workload runner (behavior of
+  * `docker/trino-client/src/run_workload.py` + the 5-minute
+  * `query_max_run_time` session property, `import_tables.py:36`):
+  * name-sorted q*.sql files execute one at a time against the session
+  * catalog, each fully drained and wall-clock timed; failures (and
+  * timeouts) record the reference's -1 sentinel; per-query plan JSON
+  * replaces the Trino UI scrape with `queryExecution.explainString` +
+  * Spark's own plan JSON — no HTTP, the plan is in-process (SURVEY.md
+  * §3.1); results land as one NDJSON object per query.
+  */
+object WorkloadRunner {
+
+  case class QueryResult(queryId: String, startTime: String, endTime: String,
+      runtimeS: Double)
+
+  private val TsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+    .withZone(ZoneOffset.UTC)
+
+  /** Run one SQL text: drain all rows, wall-clock it, dump plan JSON
+    * next to `planDir` if given. Timeout cancels the job group and
+    * returns the -1 sentinel (the reference's failed-query shape). */
+  def executeQuery(spark: SparkSession, queryId: String, sql: String,
+      timeout: Duration = Duration.Inf,
+      planDir: Option[String] = None): QueryResult = {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val group = s"graft-workload-$queryId"
+    spark.sparkContext.setJobGroup(group, queryId, interruptOnCancel = true)
+    val startPerf = System.nanoTime()
+    val startTime = TsFmt.format(Instant.now())
+    try {
+      val df = spark.sql(sql)
+      val work = Future {
+        df.collect() // drain like the reference's cursor loop
+        ()
+      }
+      Await.result(work, timeout)
+      val duration = (System.nanoTime() - startPerf) / 1e9
+      val endTime = TsFmt.format(Instant.now())
+      planDir.foreach { dir =>
+        Files.createDirectories(Paths.get(dir))
+        // the "metrics"-stripped query-info analog: formatted + JSON plan
+        val doc = s"""{"query_id":"$queryId","plan":${
+          jsonQuote(df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))},"metrics":{}}"""
+        Files.writeString(Paths.get(dir, s"$queryId.json"), doc)
+      }
+      QueryResult(queryId, startTime, endTime, duration)
+    } catch {
+      case _: TimeoutException =>
+        spark.sparkContext.cancelJobGroup(group)
+        QueryResult(queryId, "-1", "-1", -1.0)
+      case _: Throwable =>
+        QueryResult(queryId, "-1", "-1", -1.0)
+    } finally spark.sparkContext.clearJobGroup()
+  }
+
+  /** Run every q*.sql in `queryDir` (name-sorted), write the per-run
+    * NDJSON workload log (`Workload_log_run_<attempt>.ndjson` shape:
+    * query_id / start_time / end_time / "Runtime (s)"). */
+  def runWorkload(spark: SparkSession, queryDir: String, outDir: String,
+      attempt: Int = 1, timeout: Duration = Duration.Inf,
+      dumpPlans: Boolean = false): Seq[QueryResult] = {
+    val results = Ingest.loadQueryFiles(queryDir).map { case (name, sql) =>
+      executeQuery(spark, name, sql, timeout,
+        if (dumpPlans) Some(s"$outDir/plans") else None)
+    }
+    Files.createDirectories(Paths.get(outDir))
+    val log = results.map { r =>
+      s"""{"query_id":${jsonQuote(r.queryId)},"start_time":${jsonQuote(r.startTime)},""" +
+        s""""end_time":${jsonQuote(r.endTime)},"Runtime (s)":${r.runtimeS}}"""
+    }.mkString("", "\n", "\n")
+    Files.writeString(
+      Paths.get(outDir, s"Workload_log_run_$attempt.ndjson"), log)
+    results
+  }
+
+  private def jsonQuote(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}

@@ -1,0 +1,49 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.Files
+import scala.concurrent.duration._
+
+class WorkloadRunnerSpec extends SparkSpec {
+
+  test("runWorkload: name-sorted execution, timing, NDJSON log, plan dump, -1 sentinel") {
+    graft.Tables.registerAll(spark, sfSmoke)
+    val qdir = Files.createTempDirectory("graft_wl_q").toFile
+    val odir = Files.createTempDirectory("graft_wl_o").toFile
+    Files.writeString(new java.io.File(qdir, "q1.sql").toPath,
+      "SELECT count(*) AS n FROM lineitem")
+    Files.writeString(new java.io.File(qdir, "q2.sql").toPath,
+      "SELECT broken syntax here")
+    Files.writeString(new java.io.File(qdir, "q3.sql").toPath,
+      "SELECT o_orderstatus, sum(o_totalprice) FROM orders GROUP BY 1")
+
+    val results = WorkloadRunner.runWorkload(spark, qdir.getAbsolutePath,
+      odir.getAbsolutePath, attempt = 2, dumpPlans = true)
+    assert(results.map(_.queryId) === Seq("q1", "q2", "q3"))
+    assert(results(0).runtimeS > 0)
+    assert(results(1).runtimeS === -1.0) // failure sentinel
+    assert(results(1).startTime === "-1")
+    assert(results(2).runtimeS > 0)
+
+    // NDJSON log loads through the trace-analytics reader shape
+    val log = spark.read.json(s"$odir/Workload_log_run_2.ndjson")
+    assert(log.count() === 3)
+    assert(log.columns.toSet ===
+      Set("query_id", "start_time", "end_time", "Runtime (s)"))
+
+    // plan dump exists for succeeding queries and parses as JSON
+    val p1 = Files.readString(new java.io.File(odir, "plans/q1.json").toPath)
+    assert(p1.contains("\"metrics\":{}"))
+    assert(p1.contains("HashAggregate") || p1.contains("count"))
+    assert(!new java.io.File(odir, "plans/q2.json").exists())
+  }
+
+  test("executeQuery timeout returns the -1 sentinel") {
+    graft.Tables.registerAll(spark, sfSmoke)
+    // a cartesian heavy enough to outlive 1ms
+    val r = WorkloadRunner.executeQuery(spark, "qslow",
+      "SELECT count(*) FROM lineitem a, lineitem b, lineitem c",
+      timeout = 1.millisecond)
+    assert(r.runtimeS === -1.0)
+  }
+}
