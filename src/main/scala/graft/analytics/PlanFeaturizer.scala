@@ -17,8 +17,40 @@ import org.apache.spark.sql.execution.joins._
 object PlanFeaturizer {
 
   final case class PlanNode(id: Int, opname: String, spark_op: String,
-    log1p_est_rows: Double, tuple_width_bytes: Long, n_children: Int)
+    log1p_est_rows: Double, tuple_width_bytes: Long, n_children: Int,
+    pred_ops: Map[String, Int], agg_fns: Seq[String], literal_feature: Int)
   final case class PlanEdge(src: Int, dst: Int)
+
+  /** Per-node expression vocabulary — the reference's predicate
+    * `operator` dictionary (`<>`,`=`,`AND`,`IN`,`LIKE`,`OR` —
+    * feature_stats.json) plus aggregation names and a literal count
+    * (`literal_feature`). */
+  private def exprVocab(p: SparkPlan)
+      : (Map[String, Int], Seq[String], Int) = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val ops = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    val aggs = scala.collection.mutable.ArrayBuffer.empty[String]
+    var literals = 0
+    def walk(e: Expression): Unit = {
+      e match {
+        case Not(_: EqualTo)  => ops("<>") += 1
+        case _: EqualTo | _: EqualNullSafe => ops("=") += 1
+        case _: And           => ops("AND") += 1
+        case _: Or            => ops("OR") += 1
+        case _: In | _: InSet => ops("IN") += 1
+        case _: Like          => ops("LIKE") += 1
+        case _: GreaterThan | _: GreaterThanOrEqual |
+             _: LessThan | _: LessThanOrEqual => ops("CMP") += 1
+        case _: Literal       => literals += 1
+        case ae: aggregate.AggregateExpression =>
+          aggs += ae.aggregateFunction.prettyName.toUpperCase
+        case _                =>
+      }
+      e.children.foreach(walk)
+    }
+    p.expressions.foreach(walk)
+    (ops.toMap, aggs.toSeq.sorted, literals)
+  }
 
   /** Map a Spark physical node onto the reference's Trino opname vocab
     * (feature_stats.json `opname_idx`). */
@@ -88,9 +120,10 @@ object PlanFeaturizer {
       val rows = stats.flatMap(_.rowCount).map(_.toDouble)
         .getOrElse(stats.map(_.sizeInBytes.toDouble / math.max(rowWidth(unwrapped), 1))
           .getOrElse(0.0))
+      val (predOps, aggFns, literals) = exprVocab(unwrapped)
       nodes += PlanNode(id, opname(unwrapped), unwrapped.nodeName,
         math.log1p(math.max(rows, 0.0)), rowWidth(unwrapped),
-        realChildren(unwrapped).size)
+        realChildren(unwrapped).size, predOps, aggFns, literals)
       realChildren(unwrapped).foreach { c =>
         val cid = visit(c)
         edges += PlanEdge(cid, id)

@@ -32,6 +32,26 @@ class PlanFeaturizerSpec extends SparkSpec {
     assert(ops.contains("LocalExchange_HASH"), s"got $ops")
   }
 
+  test("predicate and aggregation vocab extracted per node") {
+    val li = Tables.load(spark, sfSmoke, "lineitem")
+    val q = li.filter(col("l_quantity") > 10 &&
+        (col("l_returnflag") === "R" || col("l_returnflag") === "A"))
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("s"))
+    val (nodes, _) = PlanFeaturizer.featurize(spark, q)
+    val rows = nodes.collect()
+    val filterNode = rows.find(_.getString(1) == "FilterProject")
+      .orElse(rows.find(_.getString(1) == "ScanFilterProject")).get
+    val predOps = filterNode.getMap[String, Int](6)
+    assert(predOps.getOrElse("=", 0) >= 2)    // two equality disjuncts
+    assert(predOps.getOrElse("OR", 0) >= 1)
+    assert(predOps.getOrElse("CMP", 0) >= 1)  // l_quantity > 10
+    assert(filterNode.getInt(8) > 0)          // literal_feature
+    val aggNode = rows.filter(_.getString(1).startsWith("Aggregate"))
+    assert(aggNode.exists(_.getSeq[String](7).contains("COUNT")))
+    assert(aggNode.exists(_.getSeq[String](7).contains("SUM")))
+  }
+
   test("node features carry non-negative log1p row estimates") {
     val q = Tables.load(spark, sfSmoke, "customer").filter(col("c_custkey") > 5)
     val (nodes, _) = PlanFeaturizer.featurize(spark, q)
