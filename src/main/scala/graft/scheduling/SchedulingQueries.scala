@@ -33,11 +33,15 @@ object SchedulingQueries {
       col("value").cast(D).as("ci"))
 
   /** Exclusive prefix sums with a sentinel row at slot = numSlots, so
-    * prefix lookups for horizon-clipped ends resolve by equi-join. */
+    * prefix lookups for horizon-clipped ends resolve by equi-join.
+    * Computed through the range-bucketed distributed form
+    * ([[graft.operators.Scale.prefixSumsDistributed]]) — bit-identical
+    * to a global window (decimal-exact), but parallel over buckets,
+    * so the oracle gate exercises the 100 TB path. */
   private def prefixFull(ci: DataFrame): DataFrame = {
-    val w = Window.orderBy("slot").rowsBetween(Window.unboundedPreceding, -1)
-    val p = ci.select(col("slot"),
-      coalesce(sum("ci").over(w), lit(0).cast(D)).as("prefix"))
+    val p = graft.operators.Scale
+      .prefixSumsDistributed(ci.withColumn("ci", col("ci").cast("double")))
+      .select(col("slot"), col("prefix").cast(D).as("prefix"))
     val tot = ci.agg(count(lit(1)).as("slot"),
       coalesce(sum("ci"), lit(0).cast(D)).as("prefix"))
     p.unionByName(tot)

@@ -44,6 +44,31 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("windowedAgg over a parquet file source (production wiring)") {
+    // file streams read directories; stage a normalized copy (the raw
+    // fixture file carries TIMESTAMP(NANOS), which Tables.load rewrites)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    val batch = graft.Tables.load(spark, sfSmoke, "events")
+    batch.write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir.toString)
+    assert(stream.isStreaming)
+    val query = Streams.windowedAgg(stream, watermark = "1 hour",
+        window = "10 minutes", slide = Some("5 minutes"))
+      .writeStream.format("memory").queryName("filewin")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      query.processAllAvailable()
+      val rows = spark.table("filewin")
+      assert(rows.count() > 0)
+      // sliding: each event lands in exactly 2 windows → total n_events
+      // across windows is 2× the event count
+      val total = rows.agg(org.apache.spark.sql.functions.sum("n_events"))
+        .head().getLong(0)
+      val events = graft.Tables.load(spark, sfSmoke, "events").count()
+      assert(total === 2 * events)
+    } finally query.stop()
+  }
+
   test("dedupStream drops replayed ids") {
     implicit val sq = spark.sqlContext
     import spark.implicits._

@@ -1,0 +1,16 @@
+-- TPC-DS q36/q70 shape: rollup + grouping() hierarchy + rank within
+-- the subtotal level (CASE in the window partition key).
+SELECT * FROM (
+  SELECT n_name, r_name,
+         SUM(s_acctbal) AS total_bal,
+         GROUPING(r_name) + GROUPING(n_name) AS lochierarchy,
+         RANK() OVER (
+           PARTITION BY GROUPING(r_name) + GROUPING(n_name),
+                        CASE WHEN GROUPING(n_name) = 0 THEN r_name END
+           ORDER BY SUM(s_acctbal) DESC) AS rank_within_parent
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY ROLLUP(r_name, n_name))
+ORDER BY lochierarchy DESC, rank_within_parent,
+         r_name NULLS FIRST, n_name NULLS FIRST
