@@ -65,6 +65,23 @@ object Advanced {
         col("o_orderpriority").asc_nulls_first)
   }
 
+  /** HLL++ sketch distinct counts — the scale path where §2.A row 16's
+    * exact multi-distinct (Expand ×N shuffle) is too hot: one pass, no
+    * Expand, mergeable partials. Not in the reference corpus (SURVEY
+    * §2.A notes approx/HLL functions absent) and engine-specific by
+    * nature → rows-only driver check; AdvancedSpec bounds the error
+    * vs exact. */
+  private val aggApproxDistinct: Q = (s, dir) => {
+    val li = t(s, dir)("lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_suppkey")).as("exact_supps"))
+      .orderBy("l_returnflag")
+  }
+
   // ------------------------------------------------------- aggregates
   /** Row 16: multiple COUNT(DISTINCT) in one aggregate (q28 shape —
     * planned via Expand + two-phase aggregation). */
@@ -271,6 +288,7 @@ object Advanced {
     "agg_rollup"                    -> aggRollup,
     "agg_grouping_fn"               -> aggGroupingFn,
     "agg_count_distinct"            -> aggCountDistinct,
+    "agg_approx_distinct"           -> aggApproxDistinct,
     "agg_stats_stddev"              -> aggStatsStddev,
     "window_rank"                   -> windowRank,
     "window_avg_over_agg"           -> windowAvgOverAgg,

@@ -11,8 +11,10 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
-  test("every advanced query has a matching oracle") {
-    assert(Advanced.oracles.keySet == Advanced.queries.keySet)
+  test("every advanced query has a matching oracle (minus declared rows-only)") {
+    // approx sketches are engine-specific by nature → rows-only check
+    val rowsOnly = Set("agg_approx_distinct")
+    assert(Advanced.oracles.keySet == Advanced.queries.keySet -- rowsOnly)
   }
 
   test("rollup emits grand total + per-flag subtotals + leaves") {
@@ -58,5 +60,17 @@ class AdvancedSpec extends SparkSpec {
     assert(scan.contains("PushedFilters: [IsNotNull(l_shipdate), " +
       "GreaterThanOrEqual(l_shipdate") || scan.contains("PushedFilters"),
       "filter should reach the parquet scan")
+  }
+
+  test("approx distinct sketch lands within 10% of exact per group") {
+    val rows = Advanced.queries("agg_approx_distinct")(spark, sfCorrect)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ap, as_, ep, es) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(math.abs(ap - ep).toDouble / ep < 0.10, s"parts: $ap vs $ep")
+      assert(math.abs(as_ - es).toDouble / es < 0.10, s"supps: $as_ vs $es")
+    }
   }
 }
