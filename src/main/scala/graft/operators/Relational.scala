@@ -200,6 +200,30 @@ object Relational {
     c.unionByName(su).orderBy("side", "nationkey", "acctbal")
   }
 
+  /** Row 27: UNION with distinct semantics (q10/q35 variants) —
+    * union + dedup planned as one hash aggregate over the concat. */
+  private val setUnionDistinct: Q = (s, dir) => {
+    val c = t(s, dir)("customer").select(col("c_nationkey").as("nationkey"))
+    val su = t(s, dir)("supplier").select(col("s_nationkey").as("nationkey"))
+    c.union(su).distinct().orderBy("nationkey")
+  }
+
+  /** Row 41: scalar subquery in the SELECT list (q6/q9 shape) — the
+    * per-row global-aggregate lookup Catalyst plans as a broadcast of
+    * the 1-row subquery result. */
+  private val scalarSubquerySelect: Q = (s, dir) => {
+    Tables.registerAll(s, dir)
+    // decimal-exact average so the scalar is bit-equal across engines
+    s.sql(
+      """SELECT o_orderkey, o_totalprice,
+        |  o_totalprice - (
+        |    SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |           / COUNT(*) FROM orders) AS delta,
+        |  (SELECT COUNT(*) FROM lineitem) AS corpus_lines
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Row 28: INTERSECT (set semantics, q14/q38 shape). */
   private val setIntersect: Q = (s, dir) => {
     val c = t(s, dir)("customer").select(col("c_nationkey").as("nationkey"))
@@ -239,6 +263,8 @@ object Relational {
     "sort_multikey_expr"     -> sortMultikeyExpr,
     "topk_limit"             -> topkLimit,
     "set_union_all"          -> setUnionAll,
+    "set_union_distinct"     -> setUnionDistinct,
+    "scalar_subquery_select" -> scalarSubquerySelect,
     "set_intersect"          -> setIntersect,
     "set_except"             -> setExcept,
     "distinct_rows"          -> distinctRows,
@@ -353,6 +379,21 @@ object Relational {
         |  SELECT 'supplier' AS side, s_nationkey AS nationkey,
         |         s_acctbal AS acctbal FROM supplier)
         |ORDER BY side, nationkey, acctbal""".stripMargin,
+
+    "set_union_distinct" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "scalar_subquery_select" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  o_totalprice - (
+        |    SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |           / COUNT(*) FROM orders) AS delta,
+        |  (SELECT COUNT(*) FROM lineitem) AS corpus_lines
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
 
     "set_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
