@@ -95,6 +95,21 @@ object Ingest {
     }
   }
 
+  /** Bucketed + sorted managed table (the co-located-join layout:
+    * Iceberg's bucket partition transform ↔ Spark's bucketBy). Two
+    * tables bucketed the same way on the join key join WITHOUT a
+    * shuffle — at 100 TB that is the difference between a map-side
+    * sort-merge and re-shuffling both fact tables every query. */
+  def writeBucketedTable(df: org.apache.spark.sql.DataFrame, table: String,
+      bucketCols: Seq[String], numBuckets: Int = 32,
+      sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.format("parquet").mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    val sorted = if (sortCols.nonEmpty)
+      w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    sorted.saveAsTable(table)
+  }
+
   /** Per-run NDJSON workload-log sink (run_workload.py:66-80): one JSON
     * object per query execution. */
   def writeNdjsonLog(df: DataFrame, path: String): Unit =

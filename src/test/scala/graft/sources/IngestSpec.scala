@@ -78,6 +78,29 @@ class IngestSpec extends SparkSpec {
     assert(loaded.head._2 === "SELECT 'q1.sql'")
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    import org.apache.spark.sql.functions._
+    val o = graft.Tables.load(spark, sfSmoke, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val li = graft.Tables.load(spark, sfSmoke, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    Ingest.writeBucketedTable(o, "b_orders", Seq("o_orderkey"), 8,
+      sortCols = Seq("o_orderkey"))
+    Ingest.writeBucketedTable(li, "b_lineitem", Seq("l_orderkey"), 8,
+      sortCols = Seq("l_orderkey"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders").join(spark.table("b_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      // and it still answers correctly
+      assert(joined.count() === li.count())
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("ingest_sanitize_types fixture query returns rows") {
     assert(Ingest.queries("ingest_sanitize_types")(spark, sfSmoke).count() > 0)
   }
