@@ -103,6 +103,20 @@ object Ingest {
   def writeBucketedTable(df: org.apache.spark.sql.DataFrame, table: String,
       bucketCols: Seq[String], numBuckets: Int = 32,
       sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    // true create-or-replace: drop the catalog entry AND any orphaned
+    // warehouse location a previous session left behind
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = new java.io.File(warehouse, table.toLowerCase)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(loc)
+    }
     val w = df.write.format("parquet").mode("overwrite")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     val sorted = if (sortCols.nonEmpty)
