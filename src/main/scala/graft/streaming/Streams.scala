@@ -78,6 +78,38 @@ object Streams {
       }
   }
 
+  /** Append-mode sessionization via flatMapGroupsWithState: emits
+    * NOTHING while a session is open and exactly one closed-session
+    * row when the event-time gap expires — the right shape for
+    * downstream consumers that must see each session once (vs
+    * [[sessionize]]'s update stream). */
+  def sessionizeOnClose(events: Dataset[Event], gapMs: Long = 60000,
+      watermark: String = "10 minutes")
+      (implicit spark: SparkSession): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double, Long), SessionUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) {
+        case (userId, rows, state: GroupState[(Long, Double, Long)]) =>
+          if (state.hasTimedOut) {
+            val (n, v, _) = state.get
+            state.remove()
+            Iterator.single(SessionUpdate(userId, n, v, session_end = true))
+          } else {
+            var (n, v, maxTs) = state.getOption.getOrElse((0L, 0.0, 0L))
+            rows.foreach { e =>
+              n += 1; v += e.value
+              maxTs = math.max(maxTs, e.ts.getTime)
+            }
+            state.update((n, v, maxTs))
+            state.setTimeoutTimestamp(maxTs + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Standard sink wiring: append-mode parquet with checkpointing (the
     * production shape) — callers own trigger/location. */
   def startParquetSink(df: DataFrame, path: String, checkpoint: String,

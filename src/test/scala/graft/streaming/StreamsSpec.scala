@@ -86,6 +86,32 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sessionizeOnClose emits each session exactly once, on close") {
+    implicit val sp = spark
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Streams.Event]
+    val query = Streams.sessionizeOnClose(input.toDS(), gapMs = 60000,
+        watermark = "1 minute")
+      .writeStream.format("memory").queryName("closed_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Streams.Event(1, ts(1), 10, "view", 1.0),
+        Streams.Event(2, ts(2), 10, "view", 2.0),
+        Streams.Event(3, ts(2), 11, "click", 5.0))
+      query.processAllAvailable()
+      // nothing emitted while sessions are open
+      assert(spark.table("closed_sessions").count() === 0)
+      // watermark sweep closes both
+      input.addData(Streams.Event(4, ts(30), 12, "view", 9.0))
+      query.processAllAvailable()
+      val rows = spark.table("closed_sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      assert(rows.toSet === Set((10L, 2L, 3.0, true), (11L, 1L, 5.0, true)))
+    } finally query.stop()
+  }
+
   test("sessionize accumulates per-user state across batches") {
     implicit val sp = spark
     implicit val sq = spark.sqlContext
