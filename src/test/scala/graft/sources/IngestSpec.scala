@@ -101,6 +101,35 @@ class IngestSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("partitioned table prunes statically and dynamically (DPP)") {
+    import org.apache.spark.sql.functions._
+    val o = graft.Tables.load(spark, sfSmoke, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    Ingest.writePartitionedTable(o, "p_orders", Seq("o_orderstatus"))
+    // static pruning: the partition filter reaches PartitionFilters
+    val static = spark.table("p_orders")
+      .filter(col("o_orderstatus") === "F")
+    val splan = static.queryExecution.executedPlan.toString
+    assert(splan.contains("PartitionFilters") &&
+      splan.contains("o_orderstatus"), splan.take(600))
+    assert(static.count() > 0)
+    // dynamic pruning: the dim filter is on a NON-key column, so the
+    // partition filter can only be derived at runtime from the dim's
+    // rows (a key-column filter would be inferred statically instead)
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    val dim = graft.Tables.load(spark, sfSmoke, "orders")
+      .groupBy(col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    val joined = spark.table("p_orders")
+      .join(dim, col("o_orderstatus") === col("st"))
+    val dplan = joined.queryExecution.executedPlan.toString
+    assert(dplan.contains("dynamicpruning"), dplan.take(600))
+    assert(joined.count() > 0)
+  }
+
   test("ingest_sanitize_types fixture query returns rows") {
     assert(Ingest.queries("ingest_sanitize_types")(spark, sfSmoke).count() > 0)
   }
