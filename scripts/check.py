@@ -54,6 +54,13 @@ def main():
         if list(got.columns) != list(exp.columns):
             print(f"FAIL {name}: cols spark={list(got.columns)} duck={list(exp.columns)}")
             n_fail += 1; continue
+        # Driver hashes values dtype-strictly: int64 3117361715 vs float64
+        # 3117361715.0 is a FAIL there, so flag any dtype-kind mismatch here.
+        kinds = [(c, got[c].dtype.kind, exp[c].dtype.kind)
+                 for c in got.columns if got[c].dtype.kind != exp[c].dtype.kind]
+        if kinds:
+            print(f"FAIL {name}: dtype kinds (col, spark, duck) = {kinds}")
+            n_fail += 1; continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows spark={len(got)} duck={len(exp)}")
             n_fail += 1; continue

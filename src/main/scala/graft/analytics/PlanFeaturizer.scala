@@ -152,6 +152,11 @@ object PlanFeaturizer {
         .groupBy(col("o_orderstatus"))
         .agg(sum(col("l_extendedprice")).as("rev"))
       val (nodes, _) = featurize(s, q)
-      nodes.orderBy("id")
+      // Driver's rows-check sorts the frame in pandas: map/array columns
+      // are unhashable there, so serialize them to scalars at the edge.
+      nodes
+        .withColumn("pred_ops", to_json(col("pred_ops")))
+        .withColumn("agg_fns", array_join(col("agg_fns"), ","))
+        .orderBy("id")
     })
 }

@@ -397,8 +397,8 @@ object Dedup {
          |  FROM toks CROSS JOIN (SELECT unnest(range(0, 32)) AS j)
          |  GROUP BY id, j)
          |SELECT id AS doc_id,
-         |  SUM(CAST(CASE WHEN v > 0 THEN 1 ELSE 0 END AS BIGINT) << j)
-         |    AS simhash
+         |  CAST(SUM(CAST(CASE WHEN v > 0 THEN 1 ELSE 0 END AS BIGINT) << j)
+         |    AS BIGINT) AS simhash
          |FROM votes GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "dedup_embedding_cosine" ->
