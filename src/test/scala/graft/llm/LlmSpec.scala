@@ -79,6 +79,40 @@ class LlmSpec extends SparkSpec {
     assert(all.nonEmpty)
   }
 
+  test("capped jaccardPairs equals the uncapped all-pairs answer") {
+    val corpus = Dedup.fixtureCorpus(
+      graft.Tables.load(spark, sfSmoke, "documents").filter(col("doc_id") < 60))
+    val sh = Dedup.charShingles(corpus)
+    def pairs(cap: Int) = Dedup.jaccardPairs(sh, 0.5, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val uncapped = pairs(Int.MaxValue)
+    val capped = pairs(Dedup.fixtureShingleDfCap)
+    assert(uncapped.nonEmpty)
+    assert(capped === uncapped,
+      s"cap lost ${uncapped -- capped} / invented ${capped -- uncapped}")
+  }
+
+  test("cosineNearDupPairs (band-bucket candidates) equals all-pairs cosine") {
+    val base = graft.Tables.load(spark, sfSmoke, "embeddings")
+      .filter(col("vec_id") < 80)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "e")))
+      .select(col("vec_id").as("id"), (col("pos") + 1).as("i"),
+        round(col("e").cast("double") * 1e6).cast("long").as("e_micro"))
+    val variants = base.filter(col("id") % 5 === 0)
+      .select((col("id") + 10000).as("id"), col("i"),
+        (col("e_micro") + lit(10000) * ((col("i") % 3) - 1)).as("e_micro"))
+    val elems = base.unionByName(variants)
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val all = toSet(Dedup.cosinePairsMicro(elems, 0.9))
+    val lshDf = Dedup.cosineNearDupPairs(elems, 0.9)
+    assert(all.nonEmpty)
+    assert(toSet(lshDf) === all)
+    // the candidate join must key on the LSH bucket, not the dim index
+    val plan = lshDf.queryExecution.optimizedPlan.toString
+    assert(plan.contains("bucket"), "expected band-bucket candidate join")
+  }
+
   test("simHash: identical docs collide, near docs are close, pairs found") {
     val df = textDf(
       (0L, "the quick brown fox jumps over the lazy dog again and again"),
