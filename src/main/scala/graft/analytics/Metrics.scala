@@ -1,7 +1,8 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 import graft.Tables
 import graft.functions.Exact._
 
@@ -41,9 +42,65 @@ object Metrics {
         count(lit(1)).as("n"))
   }
 
+  // --------------------------------------------- GNN val-list parsing
+
+  /** Parse a stringified float list `"[1.0, 2.5, …]"` into
+    * `array<double>` — the Spark twin of `ast.literal_eval` in
+    * `models/GNN/table3.ipynb` cell 0 (`load_val_lists`). */
+  def parseValList(c: Column): Column = from_json(c, ArrayType(DoubleType))
+
+  /** Load a GNN results CSV (columns `val_labels`/`val_preds` holding
+    * stringified prediction lists), select row `rowIdx`, and explode to
+    * one (idx, label, pred) row per element — `load_val_lists` +
+    * the zip the notebook's numpy math implies. The CSV is a one-row
+    * metadata artifact, so the single-partition coalesce is the
+    * legitimate shape (not a distributed scan). */
+  def loadValLists(spark: SparkSession, csvPath: String,
+      rowIdx: Int = 0): DataFrame =
+    spark.read.option("header", "true").option("escape", "\"").csv(csvPath)
+      .coalesce(1).withColumn("__rid", monotonically_increasing_id())
+      .filter(col("__rid") === rowIdx)
+      .select(posexplode(arrays_zip(
+          parseValList(col("val_labels")).as("label"),
+          parseValList(col("val_preds")).as("pred")))
+        .as(Seq("idx", "lp")))
+      .select(col("idx"), col("lp.label").as("label"), col("lp.pred").as("pred"))
+
+  /** table3.ipynb `compute_first_three_columns` over exploded val
+    * lists: positive-mask → MAE + P50/P99 q-error. The fixture builds
+    * the stringified lists from the (pred, label) pairs frame (sorted
+    * by order key), round-trips them through [[parseValList]], and
+    * computes the metrics — the full parse→explode→metric dataflow. */
+  private val metricGnnLists: Q = (s, dir) => {
+    val p = pairs(s, dir)
+    def listStr(v: Column, key: Column): Column =
+      concat(lit("["), concat_ws(", ",
+        transform(
+          array_sort(collect_list(struct(key.as("k"), v.cast("double").as("v")))),
+          x => x.getField("v").cast("string"))), lit("]"))
+    val strs = p.agg(
+      listStr(col("label"), col("o_orderkey")).as("val_labels"),
+      listStr(col("pred"), col("o_orderkey")).as("val_preds"))
+    val exploded = strs.select(posexplode(arrays_zip(
+        parseValList(col("val_labels")).as("label"),
+        parseValList(col("val_preds")).as("pred"))).as(Seq("idx", "lp")))
+      .select(col("lp.label").as("label"), col("lp.pred").as("pred"))
+      .filter(col("label") > 0 && col("pred") > 0)
+    exploded
+      .select(col("label"), col("pred"),
+        (greatest(col("pred"), col("label")) /
+          greatest(least(col("pred"), col("label")), lit(1e-3))).as("qerr"))
+      .agg(
+        davg(abs(col("pred") - col("label"))).as("mae"),
+        expr("percentile(qerr, 0.5)").as("p50_qerr"),
+        expr("percentile(qerr, 0.99)").as("p99_qerr"),
+        count(lit(1)).as("n"))
+  }
+
   val queries: Map[String, Q] = Map(
-    "metric_mae"    -> metricMae,
-    "metric_qerror" -> metricQerror,
+    "metric_mae"       -> metricMae,
+    "metric_qerror"    -> metricQerror,
+    "metric_gnn_lists" -> metricGnnLists,
   )
 
   private val pairsSql =
@@ -67,5 +124,32 @@ object Metrics {
          |         / GREATEST(LEAST(pred, label), 1e-3) AS qerr
          |  FROM ($pairsSql)
          |  WHERE pred > 0 AND label > 0)""".stripMargin,
+
+    "metric_gnn_lists" ->
+      s"""WITH pairs AS ($pairsSql),
+         |strs AS (
+         |  SELECT '[' || string_agg(CAST(CAST(label AS DOUBLE) AS VARCHAR),
+         |           ', ' ORDER BY o_orderkey) || ']' AS val_labels,
+         |         '[' || string_agg(CAST(CAST(pred AS DOUBLE) AS VARCHAR),
+         |           ', ' ORDER BY o_orderkey) || ']' AS val_preds
+         |  FROM pairs),
+         |lists AS (
+         |  SELECT list_transform(string_split(trim(val_labels, '[]'), ', '),
+         |           x -> CAST(x AS DOUBLE)) AS ll,
+         |         list_transform(string_split(trim(val_preds, '[]'), ', '),
+         |           x -> CAST(x AS DOUBLE)) AS pl
+         |  FROM strs),
+         |zipped AS (
+         |  SELECT unnest(ll) AS label, unnest(pl) AS pred FROM lists),
+         |exploded AS (
+         |  SELECT label, pred FROM zipped WHERE label > 0 AND pred > 0)
+         |SELECT ${sqlAvg("ABS(pred - label)")} AS mae,
+         |  quantile_cont(qerr, 0.5) AS p50_qerr,
+         |  quantile_cont(qerr, 0.99) AS p99_qerr,
+         |  COUNT(*) AS n
+         |FROM (
+         |  SELECT label, pred,
+         |    GREATEST(pred, label) / GREATEST(LEAST(pred, label), 1e-3) AS qerr
+         |  FROM exploded)""".stripMargin,
   )
 }

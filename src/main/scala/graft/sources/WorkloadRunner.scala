@@ -20,7 +20,7 @@ import scala.concurrent.{Await, Future, TimeoutException}
 object WorkloadRunner {
 
   case class QueryResult(queryId: String, startTime: String, endTime: String,
-      runtimeS: Double)
+      runtimeS: Double, planningS: Double = -1.0, executionS: Double = -1.0)
 
   private val TsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
     .withZone(ZoneOffset.UTC)
@@ -38,11 +38,19 @@ object WorkloadRunner {
     val startTime = TsFmt.format(Instant.now())
     try {
       val df = spark.sql(sql)
+      // Planning/execution split (the reference logs analysisTime /
+      // executionTime per query, make_lakehouse_workload_logs.sh:91-104):
+      // forcing executedPlan runs analysis + optimization + physical
+      // planning on the driver; what remains is execution.
+      df.queryExecution.executedPlan
+      val planningS = (System.nanoTime() - startPerf) / 1e9
+      val execStart = System.nanoTime()
       val work = Future {
         df.collect() // drain like the reference's cursor loop
         ()
       }
       Await.result(work, timeout)
+      val executionS = (System.nanoTime() - execStart) / 1e9
       val duration = (System.nanoTime() - startPerf) / 1e9
       val endTime = TsFmt.format(Instant.now())
       planDir.foreach { dir =>
@@ -53,7 +61,7 @@ object WorkloadRunner {
             org.apache.spark.sql.execution.FormattedMode))},"metrics":{}}"""
         Files.writeString(Paths.get(dir, s"$queryId.json"), doc)
       }
-      QueryResult(queryId, startTime, endTime, duration)
+      QueryResult(queryId, startTime, endTime, duration, planningS, executionS)
     } catch {
       case _: TimeoutException =>
         spark.sparkContext.cancelJobGroup(group)
@@ -74,9 +82,17 @@ object WorkloadRunner {
         if (dumpPlans) Some(s"$outDir/plans") else None)
     }
     Files.createDirectories(Paths.get(outDir))
+    // Field set mirrors the reference's derived workload logs
+    // (make_lakehouse_workload_logs.sh:96-102): elapsed_s twins
+    // "Runtime (s)", planning/execution are the split, and
+    // resource_waiting_s is 0 in local mode (no queueing tier) with the
+    // -1 null sentinel on failures.
     val log = results.map { r =>
+      val waiting = if (r.runtimeS < 0) -1.0 else 0.0
       s"""{"query_id":${jsonQuote(r.queryId)},"start_time":${jsonQuote(r.startTime)},""" +
-        s""""end_time":${jsonQuote(r.endTime)},"Runtime (s)":${r.runtimeS}}"""
+        s""""end_time":${jsonQuote(r.endTime)},"Runtime (s)":${r.runtimeS},""" +
+        s""""elapsed_s":${r.runtimeS},"execution_s":${r.executionS},""" +
+        s""""planning_s":${r.planningS},"resource_waiting_s":$waiting}"""
     }.mkString("", "\n", "\n")
     Files.writeString(
       Paths.get(outDir, s"Workload_log_run_$attempt.ndjson"), log)

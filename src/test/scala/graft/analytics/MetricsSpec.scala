@@ -1,0 +1,38 @@
+package graft.analytics
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** GNN val-list post-processing (table3.ipynb cell 0): stringified
+  * list parsing, row selection, positive masking, metric math. */
+class MetricsSpec extends SparkSpec {
+
+  test("loadValLists parses stringified lists from a CSV row into (idx, label, pred)") {
+    val dir = Files.createTempDirectory("graft_gnn_csv")
+    val csv = dir.resolve("test_Baseline_TPCDS.csv")
+    Files.writeString(csv,
+      """run,val_labels,val_preds
+        |r0,"[1.5, 2.0, 0.0, 4.25]","[1.0, 2.5, 3.0, 4.0]"
+        |r1,"[9.0, 8.0]","[9.5, 7.5]"
+        |""".stripMargin)
+    val row0 = Metrics.loadValLists(spark, csv.toString).collect()
+    assert(row0.map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSeq ===
+      Seq((0, 1.5, 1.0), (1, 2.0, 2.5), (2, 0.0, 3.0), (3, 4.25, 4.0)))
+    val row1 = Metrics.loadValLists(spark, csv.toString, rowIdx = 1).collect()
+    assert(row1.map(r => (r.getDouble(1), r.getDouble(2))).toSeq ===
+      Seq((9.0, 9.5), (8.0, 7.5)))
+  }
+
+  test("metric_gnn_lists round-trips lists and agrees with the direct metric math") {
+    val direct = Metrics.queries("metric_qerror")(spark, sfSmoke).collect()(0)
+    val viaLists = Metrics.queries("metric_gnn_lists")(spark, sfSmoke).collect()(0)
+    // same positive-mask population
+    assert(viaLists.getAs[Long]("n") === direct.getAs[Long]("n"))
+    // q-error percentiles agree with the non-stringified path
+    assert(math.abs(viaLists.getAs[Double]("p50_qerr") -
+      direct.getAs[Double]("p50_qerr")) < 1e-9)
+    assert(math.abs(viaLists.getAs[Double]("p99_qerr") -
+      direct.getAs[Double]("p99_qerr")) < 1e-9)
+    assert(viaLists.getAs[Double]("mae") > 0)
+  }
+}

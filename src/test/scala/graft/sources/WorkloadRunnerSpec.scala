@@ -25,11 +25,31 @@ class WorkloadRunnerSpec extends SparkSpec {
     assert(results(1).startTime === "-1")
     assert(results(2).runtimeS > 0)
 
-    // NDJSON log loads through the trace-analytics reader shape
+    // NDJSON log loads through the trace-analytics reader shape,
+    // including the reference's planning/execution split fields
     val log = spark.read.json(s"$odir/Workload_log_run_2.ndjson")
     assert(log.count() === 3)
     assert(log.columns.toSet ===
-      Set("query_id", "start_time", "end_time", "Runtime (s)"))
+      Set("query_id", "start_time", "end_time", "Runtime (s)",
+        "elapsed_s", "execution_s", "planning_s", "resource_waiting_s"))
+    val q1row = log.filter(log("query_id") === "q1").collect()(0)
+    val (el, ex, pl) = (q1row.getAs[Double]("elapsed_s"),
+      q1row.getAs[Double]("execution_s"), q1row.getAs[Double]("planning_s"))
+    assert(pl > 0 && ex > 0 && el >= pl + ex - 1e-6,
+      s"split must account elapsed: $el >= $pl + $ex")
+    // failed query carries the -1 sentinel in every numeric field
+    val q2row = log.filter(log("query_id") === "q2").collect()(0)
+    assert(q2row.getAs[Double]("execution_s") === -1.0)
+    assert(q2row.getAs[Double]("planning_s") === -1.0)
+
+    // the self-produced log round-trips through the trace-analytics
+    // loader: elapsed_minus_execution_s ≈ planning overhead
+    val loaded = graft.analytics.TraceAnalytics.loadWorkloadLogs(spark,
+      s"$odir/Workload_log_run_*.ndjson")
+    assert(loaded.columns.contains("elapsed_minus_execution_s"))
+    val over = loaded.filter(loaded("query_id") === 1).collect()(0)
+      .getAs[Double]("elapsed_minus_execution_s")
+    assert(over >= 0, s"planning overhead must be non-negative, got $over")
 
     // plan dump exists for succeeding queries and parses as JSON
     val p1 = Files.readString(new java.io.File(odir, "plans/q1.json").toPath)
