@@ -99,6 +99,48 @@ object WorkloadRunner {
     results
   }
 
+  /** `join_url` (run_workload.py:14-17): prefix + slash-trimmed parts. */
+  def joinUrl(prefix: String, parts: String*): String = {
+    val tail = parts.filter(_.nonEmpty)
+      .map(_.replaceAll("^[/\\\\]+|[/\\\\]+$", "")).mkString("/")
+    if (tail.isEmpty) prefix.replaceAll("/+$", "")
+    else s"${prefix.replaceAll("/+$", "")}/$tail"
+  }
+
+  /** Object-storage upload (run_workload.py:19-24's fsspec copy): a
+    * scheme-agnostic streamed byte copy through the Hadoop FileSystem
+    * API — `file://`, `hdfs://`, and (with the provider jars on a real
+    * cluster) `s3a://` / `abfss://` / `gs://` all resolve through the
+    * same call, exactly like fsspec's registry. */
+  def uploadFile(spark: SparkSession, localPath: String,
+      remoteUrl: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dest = new org.apache.hadoop.fs.Path(remoteUrl)
+    val fs = dest.getFileSystem(conf)
+    val in = Files.newInputStream(Paths.get(localPath))
+    try {
+      val out = fs.create(dest, true)
+      try {
+        val buf = new Array[Byte](1024 * 1024)
+        Iterator.continually(in.read(buf)).takeWhile(_ > 0)
+          .foreach(n => out.write(buf, 0, n))
+      } finally out.close()
+    } finally in.close()
+  }
+
+  /** Upload every workload-log artifact under `localDir` to
+    * `remotePrefix` (the post-run loop of run_workload.py). */
+  def uploadResults(spark: SparkSession, localDir: String,
+      remotePrefix: String): Seq[String] = {
+    val files = Paths.get(localDir).toFile.listFiles()
+      .filter(_.isFile).map(_.getName).sorted.toSeq
+    files.map { name =>
+      val url = joinUrl(remotePrefix, name)
+      uploadFile(spark, s"$localDir/$name", url)
+      url
+    }
+  }
+
   private def jsonQuote(s: String): String =
     "\"" + s.flatMap {
       case '"'  => "\\\""

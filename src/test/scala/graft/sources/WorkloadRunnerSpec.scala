@@ -58,6 +58,23 @@ class WorkloadRunnerSpec extends SparkSpec {
     assert(!new java.io.File(odir, "plans/q2.json").exists())
   }
 
+  test("uploadResults streams artifacts to a FileSystem URL (file:// scheme)") {
+    val src = Files.createTempDirectory("graft_upload_src")
+    val dst = Files.createTempDirectory("graft_upload_dst")
+    Files.writeString(src.resolve("Workload_log_run_1.ndjson"), "{\"a\":1}\n")
+    Files.writeString(src.resolve("Workload_log_run_2.ndjson"), "{\"a\":2}\n")
+    val urls = WorkloadRunner.uploadResults(spark, src.toString,
+      s"file://$dst/logs/")
+    assert(urls === Seq(s"file://$dst/logs/Workload_log_run_1.ndjson",
+      s"file://$dst/logs/Workload_log_run_2.ndjson"))
+    assert(Files.readString(dst.resolve("logs/Workload_log_run_1.ndjson"))
+      === "{\"a\":1}\n")
+    assert(Files.readString(dst.resolve("logs/Workload_log_run_2.ndjson"))
+      === "{\"a\":2}\n")
+    assert(WorkloadRunner.joinUrl("s3://bucket/", "/runs/", "x.ndjson")
+      === "s3://bucket/runs/x.ndjson")
+  }
+
   test("executeQuery timeout returns the -1 sentinel") {
     graft.Tables.registerAll(spark, sfSmoke)
     // a cartesian heavy enough to outlive 1ms
