@@ -51,6 +51,20 @@ class TpcdsLikeWorkloadSpec extends SparkSpec {
     assert(lineitemScan.isDefined)
   }
 
+  test("q8 self-join reuses one exchange for both arms at runtime (AQE)") {
+    graft.Tables.registerAll(spark, sfSmoke)
+    val df = spark.sql(Ingest.loadQueryFiles(qdir).toMap.apply("q8"))
+    df.collect()
+    // the year step is a cross-side filter and cust_region re-attaches
+    // after the self-join, so the two arms are the SAME aggregate —
+    // AQE must materialize the 9-table aggregate once
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("ReusedExchange")
+      || finalPlan.contains("ReusedQueryStage"),
+      "expected runtime exchange reuse in the self-join:\n" +
+        finalPlan.take(1500))
+  }
+
   test("q7 (q88-shape cross of counts) pushes quantity filters to the scans") {
     graft.Tables.registerAll(spark, sfSmoke)
     val plan = planOf("q7")
