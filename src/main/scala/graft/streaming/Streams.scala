@@ -110,6 +110,30 @@ object Streams {
       }
   }
 
+  /** Stream-stream inner join with an event-time interval: left events
+    * matched to right events of the same user whose time falls in
+    * [left.ts, left.ts + joinWindow] — the click→conversion attribution
+    * shape. BOTH sides carry watermarks and the join condition bounds
+    * event time in both directions, so each side's state store evicts
+    * rows once the watermark passes their join horizon (unbounded state
+    * otherwise — the thing that kills stream joins at scale). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      joinWindow: String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.select(col("user_id"), col("ts").as("l_ts"),
+        col("event_type").as("l_type"), col("value").as("l_value"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col("user_id").as("r_user_id"), col("ts").as("r_ts"),
+        col("event_type").as("r_type"), col("value").as("r_value"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+        col("user_id") === col("r_user_id") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $joinWindow"))
+      .select(col("user_id"), col("l_ts"), col("l_type"), col("l_value"),
+        col("r_ts"), col("r_type"), col("r_value"))
+  }
+
   /** Standard sink wiring: append-mode parquet with checkpointing (the
     * production shape) — callers own trigger/location. */
   def startParquetSink(df: DataFrame, path: String, checkpoint: String,

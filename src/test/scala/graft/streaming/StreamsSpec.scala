@@ -112,6 +112,36 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("intervalJoin matches right events inside the left event-time window") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val views = MemoryStream[Streams.Event]
+    val buys = MemoryStream[Streams.Event]
+    val query = Streams.intervalJoin(views.toDF(), buys.toDF(),
+        joinWindow = "5 minutes", watermark = "2 minutes")
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      views.addData(
+        Streams.Event(1, ts(0), 10, "view", 1.0),
+        Streams.Event(2, ts(0), 11, "view", 2.0))
+      buys.addData(
+        Streams.Event(3, ts(3), 10, "buy", 30.0),  // inside 5-min window
+        Streams.Event(4, ts(9), 11, "buy", 40.0))  // outside → no match
+      query.processAllAvailable()
+      // advance both watermarks so matched rows emit
+      views.addData(Streams.Event(5, ts(20), 12, "view", 0.0))
+      buys.addData(Streams.Event(6, ts(20), 12, "buy", 0.0))
+      query.processAllAvailable()
+      val rows = spark.table("ssjoin")
+        .select("user_id", "l_type", "r_type", "r_value").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3)))
+      assert(rows.contains((10L, "view", "buy", 30.0)))
+      // user 11's buy landed outside the interval → never joined
+      assert(!rows.exists(_._1 == 11L))
+    } finally query.stop()
+  }
+
   test("sessionize accumulates per-user state across batches") {
     implicit val sp = spark
     implicit val sq = spark.sqlContext
