@@ -359,6 +359,12 @@ object Dedup {
       .select(col("id").as("doc_id"), col("simhash"))
       .orderBy("doc_id")
 
+  private val dedupSimHashPairs: Q = (s, dir) =>
+    simHashNearPairs(simHash(fixtureCorpus(docsSmall(s, dir))))
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast("long").as("hamming"))
+      .orderBy("id_a", "id_b")
+
   private val dedupEmbeddingCosine: Q = (s, dir) => {
     val base = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 200)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "e")))
@@ -376,6 +382,7 @@ object Dedup {
     "dedup_ngram_jaccard"    -> dedupJaccard,
     "dedup_minhash_lsh"      -> dedupMinHashLsh,
     "dedup_simhash"          -> dedupSimHash,
+    "dedup_simhash_pairs"    -> dedupSimHashPairs,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
   )
 
@@ -486,6 +493,39 @@ object Dedup {
          |  CAST(SUM(CAST(CASE WHEN v > 0 THEN 1 ELSE 0 END AS BIGINT) << j)
          |    AS BIGINT) AS simhash
          |FROM votes GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "dedup_simhash_pairs" ->
+      s"""WITH corpus AS ($corpusSmallSql),
+         |toks AS (
+         |  SELECT doc_id AS id,
+         |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+         |      t -> len(t) > 0)) AS token
+         |  FROM corpus),
+         |votes AS (
+         |  SELECT id, j,
+         |    SUM(CASE WHEN ((CAST(('0x' || substr(md5(token), 1, 15))
+         |        AS BIGINT) >> j) & 1) = 1
+         |      THEN 1 ELSE -1 END) AS v
+         |  FROM toks CROSS JOIN (SELECT unnest(range(0, 32)) AS j)
+         |  GROUP BY id, j),
+         |hashes AS (
+         |  SELECT id,
+         |    CAST(SUM(CAST(CASE WHEN v > 0 THEN 1 ELSE 0 END AS BIGINT) << j)
+         |      AS BIGINT) AS simhash
+         |  FROM votes GROUP BY id),
+         |bands AS (
+         |  SELECT id, simhash, bi, (simhash >> (bi * 8)) & 255 AS bv
+         |  FROM hashes CROSS JOIN (SELECT unnest(range(0, 4)) AS bi)),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, a.simhash AS sh_a,
+         |                  b.id AS id_b, b.simhash AS sh_b
+         |  FROM bands a JOIN bands b
+         |    ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id)
+         |SELECT id_a, id_b,
+         |  CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(sh_a, sh_b)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_embedding_cosine" ->
       """WITH base AS (
