@@ -90,4 +90,39 @@ class ScaleAsOfSpec extends SparkSpec {
   test("join_asof fixture query returns rows on sf0.001") {
     assert(AsOf.queries("join_asof")(spark, sfSmoke).count() > 0)
   }
+
+  test("AQE splits a skewed shuffle-join partition at runtime (skew=true)") {
+    // the runtime complement to saltedJoin: one hot key dominating the
+    // left side must be detected and split by AQE's skew-join rule,
+    // without any manual salting
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val hot = spark.range(0, 200000).selectExpr("0L AS k", "id AS payload")
+      val rest = spark.range(1, 64).selectExpr("id AS k", "id AS payload")
+      val left = hot.unionAll(rest)
+      val right = spark.range(0, 64).selectExpr("id AS k", "id * 2 AS v")
+      val joined = left.join(right, "k")
+      // execute THIS plan (count() would plan a different, pruned query
+      // whose adaptive state says nothing about the join)
+      assert(joined.collect().length === 200000 + 63)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        "expected AQE skew-join split:\n" + finalPlan.take(1200))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
