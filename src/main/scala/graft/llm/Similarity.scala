@@ -206,9 +206,74 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF in exact micro-int arithmetic (the oracle-gated twin of
+    * [[ivfAssign]]/[[ivfTopK]]'s float path): centroids are the
+    * vec_id % 50 = 1 vectors; every corpus vector joins its
+    * nearest-by-cosine centroid (broadcast-size centroid set); queries
+    * (vec_id % 50 = 0) probe their nprobe=2 nearest centroid lists
+    * only; exact top-3 within the probed candidates. */
+  private val annIvf: Q = (s, dir) => {
+    val elems = microElems(s, dir)
+    val norms = elems.groupBy("id")
+      .agg(sum(col("e_micro") * col("e_micro")).as("norm2"))
+    // pairwise exact cosines between a vector set and the centroid set
+    def cosTo(ids: DataFrame, idName: String): DataFrame = {
+      val cents = elems.filter(col("id") % 50 === 1)
+        .select(col("id").as("centroid_id"), col("i"),
+          col("e_micro").as("ce"))
+      ids
+        .join(elems.select(col("id").as(idName), col("i"),
+          col("e_micro").as("ve")), idName)
+        .join(cents, Seq("i"))
+        .groupBy(idName, "centroid_id")
+        .agg(sum(col("ve") * col("ce")).as("dot"))
+        .join(norms.select(col("id").as(idName), col("norm2").as("nv")), idName)
+        .join(norms.select(col("id").as("centroid_id"),
+          col("norm2").as("nc")), "centroid_id")
+        .withColumn("csim", col("dot").cast("double") /
+          (sqrt(col("nv").cast("double")) * sqrt(col("nc").cast("double"))))
+    }
+    val allIds = elems.select("id").distinct()
+    val assigned = cosTo(allIds, "id")
+      .withColumn("arank", row_number().over(
+        Window.partitionBy("id").orderBy(col("csim").desc, col("centroid_id"))))
+      .filter(col("arank") === 1)
+      .select(col("id").as("neighbor_id"), col("centroid_id"))
+    val probes = cosTo(allIds.filter(col("id") % 50 === 0)
+        .select(col("id").as("query_id")), "query_id")
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("csim").desc, col("centroid_id"))))
+      .filter(col("crank") <= 2)
+      .select("query_id", "centroid_id")
+    val cand = probes.join(assigned, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+    val dots = cand
+      .join(elems.select(col("id").as("query_id"), col("i"),
+        col("e_micro").as("qe")), "query_id")
+      .join(elems.select(col("id").as("neighbor_id"), col("i"),
+        col("e_micro").as("ce")), Seq("neighbor_id", "i"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("qe") * col("ce")).as("dot"))
+    dots
+      .join(norms.select(col("id").as("query_id"), col("norm2").as("nq")),
+        "query_id")
+      .join(norms.select(col("id").as("neighbor_id"), col("norm2").as("nc")),
+        "neighbor_id")
+      .withColumn("cosine", col("dot").cast("double") /
+        (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= 3)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "ann_brute_force"  -> annBruteForce,
     "ann_lsh_bucketed" -> annLshBucketed,
+    "ann_ivf"          -> annIvf,
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -259,6 +324,63 @@ object Similarity {
          |  FROM buckets q JOIN buckets c
          |    ON q.bucket = c.bucket AND q.id <> c.id
          |  WHERE q.id % 50 = 0),
+         |dots AS (
+         |  SELECT cd.query_id, cd.neighbor_id,
+         |    SUM(qe.e_micro * ce.e_micro) AS dot
+         |  FROM cand cd
+         |  JOIN elems qe ON cd.query_id = qe.id
+         |  JOIN elems ce ON cd.neighbor_id = ce.id AND qe.i = ce.i
+         |  GROUP BY cd.query_id, cd.neighbor_id),
+         |scored AS (
+         |  SELECT d.query_id, d.neighbor_id,
+         |    CAST(d.dot AS DOUBLE)
+         |      / (SQRT(CAST(nq.norm2 AS DOUBLE)) * SQRT(CAST(nc.norm2 AS DOUBLE)))
+         |      AS cosine
+         |  FROM dots d
+         |  JOIN norms nq ON d.query_id = nq.id
+         |  JOIN norms nc ON d.neighbor_id = nc.id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rank, cosine FROM ranked
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_ivf" ->
+      s"""WITH elems AS ($elemsSql),
+         |norms AS (SELECT id, SUM(e_micro * e_micro) AS norm2
+         |          FROM elems GROUP BY id),
+         |cents AS (SELECT id AS centroid_id, i, e_micro AS ce
+         |          FROM elems WHERE id % 50 = 1),
+         |vc AS (
+         |  SELECT v.id, c.centroid_id, SUM(v.e_micro * c.ce) AS dot
+         |  FROM elems v JOIN cents c ON v.i = c.i
+         |  GROUP BY v.id, c.centroid_id),
+         |vcs AS (
+         |  SELECT vc.id, vc.centroid_id,
+         |    CAST(vc.dot AS DOUBLE)
+         |      / (SQRT(CAST(nv.norm2 AS DOUBLE)) * SQRT(CAST(nc.norm2 AS DOUBLE)))
+         |      AS csim
+         |  FROM vc
+         |  JOIN norms nv ON vc.id = nv.id
+         |  JOIN norms nc ON vc.centroid_id = nc.id),
+         |assigned AS (
+         |  SELECT id AS neighbor_id, centroid_id FROM (
+         |    SELECT id, centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY id
+         |        ORDER BY csim DESC, centroid_id) AS arank
+         |    FROM vcs) WHERE arank = 1),
+         |probes AS (
+         |  SELECT id AS query_id, centroid_id FROM (
+         |    SELECT id, centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY id
+         |        ORDER BY csim DESC, centroid_id) AS crank
+         |    FROM vcs WHERE id % 50 = 0) WHERE crank <= 2),
+         |cand AS (
+         |  SELECT p.query_id, a.neighbor_id
+         |  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+         |  WHERE p.query_id <> a.neighbor_id),
          |dots AS (
          |  SELECT cd.query_id, cd.neighbor_id,
          |    SUM(qe.e_micro * ce.e_micro) AS dot
