@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics.{Metrics, PlanFeaturizer, TraceAnalytics}
 import graft.operators.{Advanced, AsOf, Relational}
+import graft.plans.TopKPerKey
 import graft.scheduling.SchedulingQueries
 import graft.sources.{Ingest, TpcdsPromoted}
 import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
@@ -25,6 +26,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Advanced.queries ++ AsOf.queries ++
+      TopKPerKey.queries ++
       TraceAnalytics.queries ++
       Metrics.queries ++ PlanFeaturizer.queries ++
       SchedulingQueries.queries ++ Ingest.queries ++ TpcdsPromoted.queries ++
@@ -35,6 +37,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Advanced.oracles ++ AsOf.oracles ++
+      TopKPerKey.oracles ++
       TraceAnalytics.oracles ++
       Metrics.oracles ++ SchedulingQueries.oracles ++ Ingest.oracles ++
       TpcdsPromoted.oracles ++

@@ -1,0 +1,58 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The custom whole-operator stack: logical node → strategy → exec.
+  * Pinned against the composed window form it replaces. */
+class TopKPerKeySpec extends SparkSpec {
+
+  private def windowForm(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy("l_returnflag")
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+            col("l_linenumber"))))
+      .filter(col("__rn") <= k).drop("__rn")
+
+  test("TopKPerKey equals the window row_number form on the fixture") {
+    val li = graft.Tables.load(spark, sfSmoke, "lineitem")
+    val expect = windowForm(li, 7)
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+      .collect().map(_.toSeq).toSet
+    val got = TopKPerKey(li, Seq("l_returnflag"),
+        Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc), 7)
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+      .collect().map(_.toSeq).toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
+  test("TopKPerKeyExec plans with a clustered shuffle and no sort") {
+    val li = graft.Tables.load(spark, sfSmoke, "lineitem")
+    val df = TopKPerKey(li, Seq("l_returnflag"),
+      Seq(col("l_extendedprice").desc, col("l_orderkey"),
+        col("l_linenumber")), 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey ["), plan.take(400))
+    // the exec's ClusteredDistribution got a hash shuffle from
+    // EnsureRequirements...
+    assert(plan.contains("Exchange hashpartitioning(l_returnflag"),
+      plan.take(800))
+    // ...and, unlike the window form, NO per-group sort exists
+    assert(!plan.contains("Sort "), "bounded heaps must replace the sort")
+  }
+
+  test("groups smaller than k emit whole groups; empty keys means global top-k") {
+    import spark.implicits._
+    val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("g", "v")
+    val perKey = TopKPerKey(df, Seq("g"), Seq(col("v").desc), 5)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(perKey === Set(("a", 1), ("a", 2), ("b", 3)))
+    val global = TopKPerKey(df, Seq.empty, Seq(col("v").desc), 2)
+      .collect().map(_.getInt(1)).toSet
+    assert(global === Set(3, 2))
+  }
+}
