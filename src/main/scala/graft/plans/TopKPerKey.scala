@@ -50,11 +50,19 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numKeys" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of distinct keys"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val keyExprs = keys
     val sortOrder = order
     val limit = k
+    val outRows = longMetric("numOutputRows")
+    val keyCount = longMetric("numKeys")
     child.execute().mapPartitions { iter =>
       // generated classes are built executor-side from serializable exprs
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
@@ -71,7 +79,9 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
         }
       }
       // dequeueAll drains worst-first; reverse restores sort order
+      keyCount += heaps.size
       heaps.valuesIterator.flatMap(_.dequeueAll.reverse)
+        .map { r => outRows += 1; r }
     }
   }
 }
