@@ -47,6 +47,17 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicates(idCols :+ "ts")
 
+  /** Streaming dedup on the id ALONE with watermark-bounded state
+    * (`dropDuplicatesWithinWatermark`): unlike [[dedupStream]], a
+    * replay whose `ts` differs from the original is STILL dropped as
+    * long as it arrives inside the watermark horizon — the production
+    * shape for at-least-once sources that re-stamp on retry. */
+  def dedupStreamWithinWatermark(events: DataFrame,
+      watermark: String = "10 minutes",
+      idCols: Seq[String] = Seq("event_id")): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Per-user sessionization with an event-time inactivity gap:
     * counts and sums accumulate per user; when the watermark passes
     * last-event-time + `gapMs`, the closed session is emitted.

@@ -112,6 +112,27 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("dedupStreamWithinWatermark drops re-stamped replays of the same id") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Streams.Event]
+    val query = Streams.dedupStreamWithinWatermark(input.toDF(),
+        watermark = "5 minutes")
+      .writeStream.format("memory").queryName("dedupww")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Streams.Event(1, ts(0), 10, "view", 1.0))
+      query.processAllAvailable()
+      // same event_id replayed with a DIFFERENT timestamp → still dup
+      input.addData(Streams.Event(1, ts(1), 10, "view", 1.0))
+      input.addData(Streams.Event(2, ts(2), 11, "click", 2.0))
+      query.processAllAvailable()
+      val ids = spark.table("dedupww").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L))
+    } finally query.stop()
+  }
+
   test("intervalJoin matches right events inside the left event-time window") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
