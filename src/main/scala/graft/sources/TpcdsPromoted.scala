@@ -23,7 +23,10 @@ object TpcdsPromoted {
   private val promoted = Seq(
     "tpcds_q9_case_subqueries"  -> "q6",
     "tpcds_q64_star_selfjoin"   -> "q8",
-    "tpcds_q23_cte_having_in"   -> "q9")
+    "tpcds_q23_cte_having_in"   -> "q9",
+    "tpcds_q44_dual_ranks"      -> "q22",
+    "tpcds_q90_count_ratio"     -> "q25",
+    "tpcds_q98_revenue_share"   -> "q26")
 
   private def sqlText(file: String): String =
     Ingest.loadQueryFiles(qdir).toMap.apply(file)
