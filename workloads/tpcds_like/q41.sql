@@ -1,0 +1,15 @@
+-- TPC-DS q97 shape: channel-overlap matrix — FULL OUTER JOIN of two
+-- channel cohorts on customer, counting exclusive and shared members
+-- with conditional sums over null-ness.
+WITH f_cust AS (
+  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'),
+o_cust AS (
+  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O')
+SELECT SUM(CASE WHEN f.custkey IS NOT NULL AND o.custkey IS NULL
+                THEN 1 ELSE 0 END) AS f_only,
+       SUM(CASE WHEN f.custkey IS NULL AND o.custkey IS NOT NULL
+                THEN 1 ELSE 0 END) AS o_only,
+       SUM(CASE WHEN f.custkey IS NOT NULL AND o.custkey IS NOT NULL
+                THEN 1 ELSE 0 END) AS both_channels
+FROM f_cust f
+FULL OUTER JOIN o_cust o ON f.custkey = o.custkey
