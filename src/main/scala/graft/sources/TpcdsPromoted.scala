@@ -26,7 +26,10 @@ object TpcdsPromoted {
     "tpcds_q23_cte_having_in"   -> "q9",
     "tpcds_q44_dual_ranks"      -> "q22",
     "tpcds_q90_count_ratio"     -> "q25",
-    "tpcds_q98_revenue_share"   -> "q26")
+    "tpcds_q98_revenue_share"   -> "q26",
+    "tpcds_q50_shiplag_pivot"   -> "q39",
+    "tpcds_q87_except_count"    -> "q40",
+    "tpcds_q97_channel_overlap" -> "q41")
 
   private def sqlText(file: String): String =
     Ingest.loadQueryFiles(qdir).toMap.apply(file)

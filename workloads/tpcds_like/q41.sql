@@ -5,11 +5,13 @@ WITH f_cust AS (
   SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'),
 o_cust AS (
   SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O')
-SELECT SUM(CASE WHEN f.custkey IS NOT NULL AND o.custkey IS NULL
-                THEN 1 ELSE 0 END) AS f_only,
-       SUM(CASE WHEN f.custkey IS NULL AND o.custkey IS NOT NULL
-                THEN 1 ELSE 0 END) AS o_only,
-       SUM(CASE WHEN f.custkey IS NOT NULL AND o.custkey IS NOT NULL
-                THEN 1 ELSE 0 END) AS both_channels
+-- COUNT(CASE...) not SUM: DuckDB SUM(int) widens to HUGEINT (reads
+-- back as float), COUNT stays BIGINT in both engines
+SELECT COUNT(CASE WHEN f.custkey IS NOT NULL AND o.custkey IS NULL
+                  THEN 1 END) AS f_only,
+       COUNT(CASE WHEN f.custkey IS NULL AND o.custkey IS NOT NULL
+                  THEN 1 END) AS o_only,
+       COUNT(CASE WHEN f.custkey IS NOT NULL AND o.custkey IS NOT NULL
+                  THEN 1 END) AS both_channels
 FROM f_cust f
 FULL OUTER JOIN o_cust o ON f.custkey = o.custkey
