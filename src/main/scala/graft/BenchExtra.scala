@@ -25,9 +25,16 @@ object BenchExtra {
       .select(col("vec_id").as("id"), (col("pos") + 1).as("i"),
         round(col("e").cast("double") * 1e6).cast("long").as("e_micro"))
 
+  // Measured (sf0.1): persisting the shingle frame (MEMORY_AND_DISK)
+  // across the 3-4 consuming plan arms REGRESSED jaccard 43.6→80.6 s —
+  // serializing ~7M shingle rows to cache costs more than re-running
+  // the codegen'd transform+explode per arm. Recompute wins; the
+  // *FromShingles APIs still let a caller with a hot cache reuse one.
+
   val queries: Map[String, Q] = Map(
     "bench_minhash_full" -> ((s, dir) =>
-      Dedup.minHashLshPairs(Dedup.fixtureCorpus(docs(s, dir)), 0.5)),
+      Dedup.minHashLshPairsFromShingles(
+        Dedup.charShingles(Dedup.fixtureCorpus(docs(s, dir))), 0.5)),
     "bench_simhash_full" -> ((s, dir) =>
       Dedup.simHashNearPairs(Dedup.simHash(Dedup.fixtureCorpus(docs(s, dir))))),
     "bench_jaccard_full" -> ((s, dir) =>

@@ -139,8 +139,17 @@ object Dedup {
     * candidate join on (band, bucket) → exact Jaccard verify. */
   def minHashLshPairs(df: DataFrame, threshold: Double,
       numHashes: Int = 16, rowsPerBand: Int = 4, k: Int = 9,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val shingles = charShingles(df, k, idCol, textCol)
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    minHashLshPairsFromShingles(charShingles(df, k, idCol, textCol),
+      threshold, numHashes, rowsPerBand)
+
+  /** [[minHashLshPairs]] over a prebuilt shingle frame. The pipeline
+    * consumes the shingles THREE times (signatures + both verify
+    * arms); a caller that persists the frame pays the shingle explode
+    * once instead of three scans — the right pattern at 100 TB, where
+    * caching is the caller's budget decision, not the library's. */
+  def minHashLshPairsFromShingles(shingles: DataFrame, threshold: Double,
+      numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val buckets = lshBucketsWide(
       minHashSignaturesWide(shingles, numHashes), numHashes, rowsPerBand)
     val candidates = buckets.as("a").join(buckets.as("b"),
