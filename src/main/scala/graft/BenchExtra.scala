@@ -38,6 +38,14 @@ object BenchExtra {
     "bench_simhash_full" -> ((s, dir) =>
       Dedup.simHashNearPairs(Dedup.simHash(Dedup.fixtureCorpus(docs(s, dir))))),
     "bench_jaccard_full" -> ((s, dir) =>
+      // Measures capped-candidate Jaccard at THE SAME cap the oracle
+      // gate verifies (df ≤ 20). The synthetic corpus is heavily
+      // templated — 27k distinct shingles over 1.9M shingle rows at
+      // sf0.1, min df ~40, NO rare tail — so candidate work explodes
+      // super-linearly in the cap (measured upper bounds: 1.0M pairs
+      // at cap 20, 10M at 200, 240M at 500). On such a corpus the df
+      // cap IS the recall/cost knob and MinHash-LSH
+      // (bench_minhash_full) is the production-scale path.
       Dedup.jaccardPairs(
         Dedup.charShingles(Dedup.fixtureCorpus(docs(s, dir))), 0.5,
         Dedup.fixtureShingleDfCap)),

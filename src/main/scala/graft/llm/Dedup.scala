@@ -307,7 +307,16 @@ object Dedup {
     * candidates via an equi-join on (band, bucket) — the same
     * candidate-then-verify shape as [[minHashLshPairs]] — then the
     * exact integer cosine kernel verifies only those pairs. Replaces
-    * the dim-index join of [[cosinePairsMicro]] (N²/64 at scale). */
+    * the dim-index join of [[cosinePairsMicro]] (N²/64 at scale).
+    *
+    * Recall contract: candidates are probabilistic. A pair at cosine θ
+    * collides in one band with prob (1 − θ_angle/π)^bitsPerBand and is
+    * found if ANY band matches; near-identical pairs (the dedup target)
+    * are found essentially surely, while pairs marginally at the
+    * threshold can be missed — raise nBands (or fall back to
+    * [[cosinePairsMicro]]) when exact-threshold recall matters. The
+    * fixture gate pins LSH output == all-pairs output on the shipped
+    * corpus (LlmSpec + DuckDB hash gate at both SFs). */
   def cosineNearDupPairs(elems: DataFrame, threshold: Double,
       nBands: Int = 4, bitsPerBand: Int = 8): DataFrame = {
     val buckets = signBandBuckets(elems, nBands, bitsPerBand)

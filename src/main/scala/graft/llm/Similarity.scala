@@ -216,35 +216,30 @@ object Similarity {
     val elems = microElems(s, dir)
     val norms = elems.groupBy("id")
       .agg(sum(col("e_micro") * col("e_micro")).as("norm2"))
-    // pairwise exact cosines between a vector set and the centroid set
-    def cosTo(ids: DataFrame, idName: String): DataFrame = {
-      val cents = elems.filter(col("id") % 50 === 1)
-        .select(col("id").as("centroid_id"), col("i"),
-          col("e_micro").as("ce"))
-      ids
-        .join(elems.select(col("id").as(idName), col("i"),
-          col("e_micro").as("ve")), idName)
-        .join(cents, Seq("i"))
-        .groupBy(idName, "centroid_id")
-        .agg(sum(col("ve") * col("ce")).as("dot"))
-        .join(norms.select(col("id").as(idName), col("norm2").as("nv")), idName)
-        .join(norms.select(col("id").as("centroid_id"),
-          col("norm2").as("nc")), "centroid_id")
-        .withColumn("csim", col("dot").cast("double") /
-          (sqrt(col("nv").cast("double")) * sqrt(col("nc").cast("double"))))
-    }
-    val allIds = elems.select("id").distinct()
-    val assigned = cosTo(allIds, "id")
+    // exact cosine of EVERY vector to EVERY centroid — computed once;
+    // the probe frame is a pure filter of it (same shape as the
+    // oracle's single `vcs` CTE)
+    val cents = elems.filter(col("id") % 50 === 1)
+      .select(col("id").as("centroid_id"), col("i"), col("e_micro").as("ce"))
+    val vcs = elems.select(col("id"), col("i"), col("e_micro").as("ve"))
+      .join(cents, Seq("i"))
+      .groupBy("id", "centroid_id")
+      .agg(sum(col("ve") * col("ce")).as("dot"))
+      .join(norms.select(col("id"), col("norm2").as("nv")), "id")
+      .join(norms.select(col("id").as("centroid_id"),
+        col("norm2").as("nc")), "centroid_id")
+      .withColumn("csim", col("dot").cast("double") /
+        (sqrt(col("nv").cast("double")) * sqrt(col("nc").cast("double"))))
+    val assigned = vcs
       .withColumn("arank", row_number().over(
         Window.partitionBy("id").orderBy(col("csim").desc, col("centroid_id"))))
       .filter(col("arank") === 1)
       .select(col("id").as("neighbor_id"), col("centroid_id"))
-    val probes = cosTo(allIds.filter(col("id") % 50 === 0)
-        .select(col("id").as("query_id")), "query_id")
+    val probes = vcs.filter(col("id") % 50 === 0)
       .withColumn("crank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("csim").desc, col("centroid_id"))))
+        Window.partitionBy("id").orderBy(col("csim").desc, col("centroid_id"))))
       .filter(col("crank") <= 2)
-      .select("query_id", "centroid_id")
+      .select(col("id").as("query_id"), col("centroid_id"))
     val cand = probes.join(assigned, Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")

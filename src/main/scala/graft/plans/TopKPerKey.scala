@@ -71,8 +71,17 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
       val heaps = mutable.LinkedHashMap
         .empty[InternalRow, mutable.PriorityQueue[InternalRow]]
       iter.foreach { row =>
-        val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
-          mutable.PriorityQueue.empty[InternalRow](ord))
+        // probe with the reused projection output; copy the key only on
+        // first sight — per-row key copies are pure garbage in the hot
+        // loop when keys repeat (the normal case)
+        val probe = keyProj(row)
+        val heap = heaps.get(probe) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue.empty[InternalRow](ord)
+            heaps.put(probe.copy(), h)
+            h
+        }
         if (heap.size < limit) heap.enqueue(row.copy())
         else if (ord.compare(row, heap.head) < 0) {
           heap.dequeue(); heap.enqueue(row.copy())
@@ -116,7 +125,10 @@ object TopKPerKey {
             col("l_linenumber").asc), 5)
         .select("l_returnflag", "l_orderkey", "l_linenumber",
           "l_extendedprice")
-        .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+        // (l_orderkey, l_linenumber) is NOT unique in the fixtures —
+        // include the price so the output sort is total
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber",
+          "l_extendedprice")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -128,7 +140,8 @@ object TopKPerKey {
         |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
         |  FROM lineitem)
         |WHERE rn <= 5
-        |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin)
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber,
+        |  l_extendedprice""".stripMargin)
 
   /** DataFrame API: top `k` rows per `keyCols` group ordered by
     * `orderCols` (use `col(...).desc` etc. for direction). Registers

@@ -31,8 +31,13 @@ object TpcdsPromoted {
     "tpcds_q87_except_count"    -> "q40",
     "tpcds_q97_channel_overlap" -> "q41")
 
-  private def sqlText(file: String): String =
-    Ingest.loadQueryFiles(qdir).toMap.apply(file)
+  // one directory scan for all lookups — queries re-invoke sqlText per
+  // bench/verify run, and re-listing 48 files inside the timed window
+  // is pure overhead
+  private lazy val texts: Map[String, String] =
+    Ingest.loadQueryFiles(qdir).toMap
+
+  private def sqlText(file: String): String = texts(file)
 
   val queries: Map[String, Q] = promoted.map { case (name, file) =>
     name -> ((s: SparkSession, dir: String) => {

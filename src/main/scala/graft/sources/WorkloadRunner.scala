@@ -132,7 +132,10 @@ object WorkloadRunner {
     * `remotePrefix` (the post-run loop of run_workload.py). */
   def uploadResults(spark: SparkSession, localDir: String,
       remotePrefix: String): Seq[String] = {
-    val files = Paths.get(localDir).toFile.listFiles()
+    // listFiles() is null for a missing/non-directory path
+    val files = Option(Paths.get(localDir).toFile.listFiles())
+      .getOrElse(throw new IllegalArgumentException(
+        s"not a readable directory: $localDir"))
       .filter(_.isFile).map(_.getName).sorted.toSeq
     files.map { name =>
       val url = joinUrl(remotePrefix, name)
