@@ -18,7 +18,7 @@ class TpcdsLikeWorkloadSpec extends SparkSpec {
     val outDir = Files.createTempDirectory("graft_tpcds_like").toFile
     val results = WorkloadRunner.runWorkload(spark, qdir, outDir.getAbsolutePath)
     // name-sorted like the reference's run_workload loop
-    val expected = (1 to 48).map(i => s"q$i").sorted
+    val expected = (1 to 54).map(i => s"q$i").sorted
     assert(results.map(_.queryId) === expected)
     results.foreach { r =>
       assert(r.runtimeS >= 0, s"${r.queryId} failed (sentinel -1)")
