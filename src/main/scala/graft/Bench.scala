@@ -54,15 +54,23 @@ object Bench {
     results.foreach { case (k, v) =>
       Console.err.println(f"[bench] $k%-28s ${r3(v)}%8s s")
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
+    def dict(rs: Seq[(String, Double)]): String = rs
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // oracle_total = the SparkEntry.queries suite (comparable to the
     // BASELINE.md r1 anchor); extra_total = the bench_* full-corpus
     // LLM variants added in r2 (no r1 counterpart — see BASELINE.md).
     val oracleTotal = results
       .filter { case (k, v) => !k.startsWith("bench_") && v >= 0 }.map(_._2).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","oracle_total":${r3(oracleTotal)},"extra_total":${r3(total - oracleTotal)},"queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query breakdown on its own (long) line FIRST — the
+    // driver records only a ~2 KB tail of stdout, and in r2 the ~2.3 KB
+    // all-queries line was the final one, so its head (the json
+    // opening) fell outside the window and the driver parsed null. The
+    // FINAL line must stay well under the window: summary totals + the
+    // 20 slowest queries only.
+    println(s"""{"metric":"per_query_full","queries":${dict(results)},"sf":"$sfDir"}""")
+    val slowest = results.sortBy(-_._2).take(20).sortBy(_._1)
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","oracle_total":${r3(oracleTotal)},"extra_total":${r3(total - oracleTotal)},"n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"queries":${dict(slowest)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -76,9 +76,13 @@ object Dedup {
     * Scale: the frequency cap is what stops a common shingle ("the
     * nine ch") from forming a quadratic mega-group in the candidate
     * join — group cost is bounded by maxShingleDf², and the verify
-    * join is bounded by the candidate set, never all-pairs. */
+    * join is bounded by the candidate set, never all-pairs.
+    *
+    * The default (`Int.MaxValue`) is EXACT all-pairs — callers opt
+    * into the approximate cap explicitly, so a 2-arg call never
+    * silently drops qualifying pairs. */
   def jaccardPairs(shingles: DataFrame, threshold: Double,
-      maxShingleDf: Int = 1000): DataFrame = {
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
     // Heavy hitters are few by definition (Zipf), so the cap is an
     // anti-join against a small aggregated frame — a hash aggregate +
     // co-partitioned anti-join on the same key, not a sort-based

@@ -155,15 +155,26 @@ object TopKPerKey {
       k: Int): DataFrame = {
     require(orderCols.nonEmpty, "topKPerKey needs at least one sort column")
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    // check-then-append on the session's strategy list is not atomic —
+    // serialize it so concurrent first calls can't register twice
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    }
     val sortPlan = df.sort(orderCols: _*).queryExecution.analyzed
       .asInstanceOf[logical.Sort]
     val child = sortPlan.child
-    val keys = keyCols.map(n => child.output.find(_.name == n).getOrElse(
-      throw new IllegalArgumentException(
-        s"key column $n not in ${child.output.map(_.name)}")))
+    val keys = keyCols.map { n =>
+      child.output.filter(_.name == n) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"key column $n not in ${child.output.map(_.name)}")
+        case many => throw new IllegalArgumentException(
+          s"key column $n is ambiguous (${many.size} attributes match, " +
+            "e.g. after a self-join) — disambiguate with aliases first")
+      }
+    }
     PlanBridge.ofRows(spark,
       TopKPerKeyNode(keys, sortPlan.order, k, child))
   }

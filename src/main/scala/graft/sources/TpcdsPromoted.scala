@@ -15,7 +15,13 @@ object TpcdsPromoted {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val qdir = "/root/repo/workloads/tpcds_like"
+  /** Resolved like SPARK_GRAFT_SF_DIR: sysprop, then env var, then
+    * the in-repo default — so outside this container a caller can
+    * point at their checkout instead of hitting a missing-path error
+    * at first use. */
+  private val qdir = sys.props.get("graft.workload.dir")
+    .orElse(sys.env.get("SPARK_GRAFT_WORKLOAD_DIR"))
+    .getOrElse("/root/repo/workloads/tpcds_like")
 
   /** q6 = q9-shape CASE-on-scalar-subqueries; q8 = q64-shape 9-table
     * star self-joined on consecutive years; q9 = q23-shape multi-CTE

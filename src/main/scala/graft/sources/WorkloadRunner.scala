@@ -36,14 +36,22 @@ object WorkloadRunner {
     spark.sparkContext.setJobGroup(group, queryId, interruptOnCancel = true)
     val startPerf = System.nanoTime()
     val startTime = TsFmt.format(Instant.now())
+    // Survives the catch blocks: planning may complete (and be worth
+    // reporting) even when execution later times out or fails.
+    var planningS = -1.0
     try {
       val df = spark.sql(sql)
       // Planning/execution split (the reference logs analysisTime /
       // executionTime per query, make_lakehouse_workload_logs.sh:91-104):
       // forcing executedPlan runs analysis + optimization + physical
-      // planning on the driver; what remains is execution.
+      // planning on the driver; what remains is execution. Caveat:
+      // with AQE on, query stages re-optimize DURING execution, so
+      // this split under-reports planning and over-reports execution
+      // by the AQE re-plan time — same skew direction as the
+      // reference's Trino split, where only the initial analysis is
+      // "planning" and adaptive work lands in execution.
       df.queryExecution.executedPlan
-      val planningS = (System.nanoTime() - startPerf) / 1e9
+      planningS = (System.nanoTime() - startPerf) / 1e9
       val execStart = System.nanoTime()
       val work = Future {
         df.collect() // drain like the reference's cursor loop
@@ -65,9 +73,9 @@ object WorkloadRunner {
     } catch {
       case _: TimeoutException =>
         spark.sparkContext.cancelJobGroup(group)
-        QueryResult(queryId, "-1", "-1", -1.0)
+        QueryResult(queryId, "-1", "-1", -1.0, planningS)
       case _: Throwable =>
-        QueryResult(queryId, "-1", "-1", -1.0)
+        QueryResult(queryId, "-1", "-1", -1.0, planningS)
     } finally spark.sparkContext.clearJobGroup()
   }
 

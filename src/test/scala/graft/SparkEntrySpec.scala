@@ -31,14 +31,23 @@ class SparkEntrySpec extends SparkSpec {
   }
 
   test("no duplicate query keys across operator modules") {
-    // Map ++ silently keeps the last binding; counting the merged size
-    // against the sum of module sizes would need module internals, so
-    // assert the observable invariant instead: each key's query and
-    // oracle agree on column names (first line of defense against two
-    // modules claiming one key).
-    val qCols = SparkEntry.queries("agg_groupby_basic")(spark, sfSmoke).columns
-    assert(qCols.nonEmpty)
-    assert(SparkEntry.queries.size >= 79,
-      s"query count regressed: ${SparkEntry.queries.size}")
+    // Map ++ silently keeps the last binding, so a key collision only
+    // shows up as a size deficit: the merged map must be exactly as
+    // large as the sum of the (public) per-module maps. This catches
+    // any collision regardless of total count and never goes stale.
+    import graft.operators._
+    import graft.analytics._
+    import graft.scheduling.SchedulingQueries
+    import graft.sources.{Ingest, TpcdsPromoted}
+    import graft.llm._
+    import graft.plans.TopKPerKey
+    val modules = Seq(
+      Relational.queries, Advanced.queries, AsOf.queries,
+      TopKPerKey.queries, TraceAnalytics.queries, Metrics.queries,
+      PlanFeaturizer.queries, SchedulingQueries.queries, Ingest.queries,
+      TpcdsPromoted.queries, TextAnalysis.queries, Dedup.queries,
+      Similarity.queries, Multimodal.queries)
+    assert(SparkEntry.queries.size === modules.map(_.size).sum,
+      "a query key is claimed by more than one module")
   }
 }
