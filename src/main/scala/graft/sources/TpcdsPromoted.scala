@@ -35,7 +35,14 @@ object TpcdsPromoted {
     "tpcds_q98_revenue_share"   -> "q26",
     "tpcds_q50_shiplag_pivot"   -> "q39",
     "tpcds_q87_except_count"    -> "q40",
-    "tpcds_q97_channel_overlap" -> "q41")
+    "tpcds_q97_channel_overlap" -> "q41",
+    // round-3 promotions from the widened corpus (files q55-q99):
+    "tpcds_q3_star_probe"       -> "q55",
+    "tpcds_q30_return_outliers" -> "q66",
+    "tpcds_q77_channel_net"     -> "q76",
+    "sqlx_grouping_sets_mixed"  -> "q88",
+    "sqlx_last_status_cohorts"  -> "q92",
+    "sqlx_distinct_case_buyers" -> "q97")
 
   // one directory scan for all lookups — queries re-invoke sqlText per
   // bench/verify run, and re-listing 48 files inside the timed window

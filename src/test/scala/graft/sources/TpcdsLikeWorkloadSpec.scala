@@ -18,7 +18,7 @@ class TpcdsLikeWorkloadSpec extends SparkSpec {
     val outDir = Files.createTempDirectory("graft_tpcds_like").toFile
     val results = WorkloadRunner.runWorkload(spark, qdir, outDir.getAbsolutePath)
     // name-sorted like the reference's run_workload loop
-    val expected = (1 to 54).map(i => s"q$i").sorted
+    val expected = (1 to 99).map(i => s"q$i").sorted
     assert(results.map(_.queryId) === expected)
     results.foreach { r =>
       assert(r.runtimeS >= 0, s"${r.queryId} failed (sentinel -1)")
@@ -79,5 +79,41 @@ class TpcdsLikeWorkloadSpec extends SparkSpec {
     val plan = spark.sql(Ingest.loadQueryFiles(qdir).toMap.apply("q6"))
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("scalar-subquery"), plan.take(300))
+  }
+
+  test("q65 (q28-shape band probes) cross-joins one-row aggregates for free") {
+    graft.Tables.registerAll(spark, sfSmoke)
+    val plan = planOf("q65")
+    // six single-row aggregates combine via nested-loop/cartesian —
+    // no shuffle join should appear between them
+    assert(plan.contains("BroadcastNestedLoopJoin")
+      || plan.contains("CartesianProduct"), plan.take(500))
+    // each band's quantity filter reaches its scan
+    assert(plan.contains("PushedFilters: ["), "band filters must be pushed")
+  }
+
+  test("q84 (funnel interval self-join) keeps user_id as the equi key") {
+    graft.Tables.registerAll(spark, sfSmoke)
+    val plan = planOf("q84")
+    // the time-band condition must ride on an equi join keyed on
+    // user_id — NOT degrade to a nested-loop over all event pairs
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("CartesianProduct"),
+      "interval self-join degraded to all-pairs:\n" + plan.take(800))
+  }
+
+  test("q93 (NOT IN) plans as a null-aware anti join, not a cartesian") {
+    graft.Tables.registerAll(spark, sfSmoke)
+    val plan = planOf("q93")
+    assert(plan.contains("LeftAnti"), plan.take(800))
+  }
+
+  test("q99 (kitchen sink) rolls up once and broadcasts all dims") {
+    graft.Tables.registerAll(spark, sfSmoke)
+    val plan = planOf("q99")
+    assert("Expand".r.findAllIn(plan).length >= 1, "rollup must Expand once")
+    val broadcasts = "BroadcastExchange".r.findAllIn(plan).length
+    assert(broadcasts >= 3, s"expected >=3 dim broadcasts, got $broadcasts")
+    assert(plan.contains("Window"), "level-share window missing")
   }
 }

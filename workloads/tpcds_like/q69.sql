@@ -1,0 +1,17 @@
+-- TPC-DS q53/q63 shape: per-manufacturer quarterly revenue compared to
+-- its own all-quarter average (window over aggregate), emitting the
+-- quarters deviating by more than 10%.
+WITH q AS (
+  SELECT p_type, CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS yr,
+         CAST(EXTRACT(QUARTER FROM l_shipdate) AS BIGINT) AS qtr,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_type, EXTRACT(YEAR FROM l_shipdate),
+           EXTRACT(QUARTER FROM l_shipdate))
+SELECT p_type, yr, qtr, rev, avg_rev
+FROM (
+  SELECT p_type, yr, qtr, rev,
+         CAST(AVG(rev) OVER (PARTITION BY p_type) AS DOUBLE) AS avg_rev
+  FROM q)
+WHERE avg_rev > 0 AND ABS(rev - avg_rev) / avg_rev > 0.1
+ORDER BY p_type, yr, qtr
