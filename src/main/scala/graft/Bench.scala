@@ -62,6 +62,16 @@ object Bench {
     // LLM variants added in r2 (no r1 counterpart — see BASELINE.md).
     val oracleTotal = results
       .filter { case (k, v) => !k.startsWith("bench_") && v >= 0 }.map(_._2).sum
+    // Stable cross-round comparison: the oracle suite GROWS each round
+    // (79 queries in r2, 85 in r3), so oracle_total alone drifts up
+    // with coverage. core_total is the non-workload operator suite
+    // (the closest thing to the r1 anchor set); tpcds_total is the
+    // promoted workload corpus (tpcds_* + sqlx_*).
+    def isWorkload(k: String) =
+      k.startsWith("tpcds_") || k.startsWith("sqlx_")
+    val tpcdsTotal = results
+      .filter { case (k, v) => isWorkload(k) && v >= 0 }.map(_._2).sum
+    val coreTotal = oracleTotal - tpcdsTotal
     // Full per-query breakdown on its own (long) line FIRST — the
     // driver records only a ~2 KB tail of stdout, and in r2 the ~2.3 KB
     // all-queries line was the final one, so its head (the json
@@ -70,7 +80,7 @@ object Bench {
     // 20 slowest queries only.
     println(s"""{"metric":"per_query_full","queries":${dict(results)},"sf":"$sfDir"}""")
     val slowest = results.sortBy(-_._2).take(20).sortBy(_._1)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","oracle_total":${r3(oracleTotal)},"extra_total":${r3(total - oracleTotal)},"n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"queries":${dict(slowest)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","oracle_total":${r3(oracleTotal)},"core_total":${r3(coreTotal)},"tpcds_total":${r3(tpcdsTotal)},"extra_total":${r3(total - oracleTotal)},"n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"queries":${dict(slowest)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
