@@ -91,9 +91,19 @@ object TextAnalysis {
 
   /** Polynomial rolling hash of the whole document, folded per-char
     * with base 131 mod 1e9+7 — values stay < 2^37 so the fold never
-    * overflows in any engine. Pure expression (higher-order
-    * `aggregate`), no UDF. */
+    * overflows in any engine. Served by the native codegen expression
+    * [[graft.functions.RollingHash]] (one allocation-free pass over
+    * the UTF8 bytes); [[rollingHashHof]] keeps the pure-SQL
+    * higher-order form the native expression is property-tested
+    * against. */
   def rollingHash(text: Column): Column =
+    graft.functions.RollingHash.rollingHashNative(text)
+
+  /** The original higher-order-function form: split to single-char
+    * strings, ascii() each, fold. Semantically the spec for
+    * [[rollingHash]]; kept as the cross-check and the shape a
+    * SQL-only engine would run. */
+  def rollingHashHof(text: Column): Column =
     when(length(text) === 0, lit(0L)).otherwise(
       aggregate(
         transform(split(text, ""), c => ascii(c).cast("long")),

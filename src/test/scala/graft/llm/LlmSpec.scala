@@ -24,6 +24,20 @@ class LlmSpec extends SparkSpec {
     assert(got.toSeq === samples.map(direct))
   }
 
+  test("native rollingHash is bit-identical to the HOF form (incl. non-ASCII)") {
+    val samples = Seq("", "a", "hello world", "the quick brown fox",
+      "übergrößen straße", "日本語のテキスト", "mixed ascii と 漢字",
+      "éèê accents", "tab\tnew\nline", "emoji \ud83d\ude00 pair")
+    val df = textDf(samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }: _*)
+      .select(col("doc_id"),
+        TextAnalysis.rollingHash(col("text")).as("native"),
+        TextAnalysis.rollingHashHof(col("text")).as("hof"))
+    val rows = df.orderBy("doc_id").collect()
+    rows.zip(samples).foreach { case (r, s) =>
+      assert(r.getLong(1) === r.getLong(2), s"diverged on '$s'")
+    }
+  }
+
   test("langId picks the dominant stopword language") {
     val df = textDf(
       (0L, "the cat and the dog in a house"),
