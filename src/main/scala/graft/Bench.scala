@@ -29,8 +29,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val suite: Seq[(String, (SparkSession, String) => DataFrame)] =
+    // optional name filter (args) for targeted perf iteration; the
+    // driver passes no args and gets the full suite
+    val all: Seq[(String, (SparkSession, String) => DataFrame)] =
       (SparkEntry.queries ++ BenchExtra.queries).toSeq.sortBy(_._1)
+    val suite = if (args.isEmpty) all
+      else all.filter { case (k, _) => args.contains(k) }
     // Warmup pass: every query end-to-end once, so the timed pass
     // measures the plan, not first-use JVM costs.
     suite.foreach { case (name, fn) =>
