@@ -18,7 +18,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * custom Catalyst work for.
   *
   * Semantics are identical to [[graft.llm.Dedup.minHashSignaturesWide]]
-  * (min over md5(seed:shingle), hex-lexicographic); the buffer form
+  * (seed i = min over the 8-hex slice i%4 of md5((i/4):shingle),
+  * hex-lexicographic — four seeds per digest); the buffer form
   * exists for pipelines that want the signature as ONE array column
   * from one aggregate (partial/final merge = element-wise min, so the
   * shuffle carries `numHashes` strings per group per partition —
@@ -43,11 +44,20 @@ case class MinHashSigAgg(child: Expression, numHashes: Int,
     val v = child.eval(input)
     if (v != null) {
       val s = v.asInstanceOf[UTF8String].toString
-      var i = 0
-      while (i < numHashes) {
-        val h = md5hex(s"$i:$s")
-        if (buf(i) == null || h < buf(i)) buf(i) = h
-        i += 1
+      // seed i = 8-hex slice i%4 of md5((i/4):shingle) — the same
+      // sliced family as Dedup.minHashSignaturesWide (one digest
+      // serves four seeds; hex slices order like their numeric value)
+      var g = 0
+      while (g * 4 < numHashes) {
+        val h = md5hex(s"$g:$s")
+        var j = 0
+        while (j < 4 && g * 4 + j < numHashes) {
+          val i = g * 4 + j
+          val slice = h.substring(8 * j, 8 * j + 8)
+          if (buf(i) == null || slice < buf(i)) buf(i) = slice
+          j += 1
+        }
+        g += 1
       }
     }
     buf
