@@ -18,7 +18,7 @@ import graft.functions.Exact._
 object Metrics {
   type Q = (SparkSession, String) => DataFrame
 
-  private def pairs(s: SparkSession, dir: String): DataFrame = {
+  private[analytics] def pairs(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(s, dir, "orders")
     val li = Tables.load(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))

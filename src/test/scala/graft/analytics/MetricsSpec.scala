@@ -24,7 +24,19 @@ class MetricsSpec extends SparkSpec {
   }
 
   test("metric_gnn_lists round-trips lists and agrees with the direct metric math") {
-    val direct = Metrics.queries("metric_qerror")(spark, sfSmoke).collect()(0)
+    import org.apache.spark.sql.functions._
+    // direct metrics over the SAME 1-in-100 fixture subset the
+    // stringified round-trip uses (notebook-artifact scale)
+    val subset = Metrics.pairs(spark, sfSmoke)
+      .filter(col("o_orderkey") % 100 === 0)
+      .filter(col("label") > 0 && col("pred") > 0)
+      .select(col("label"), col("pred"),
+        (greatest(col("pred"), col("label")) /
+          greatest(least(col("pred"), col("label")), lit(1e-3))).as("qerr"))
+    val direct = subset.agg(
+      expr("percentile(qerr, 0.5)").as("p50_qerr"),
+      expr("percentile(qerr, 0.99)").as("p99_qerr"),
+      count(lit(1)).as("n")).collect()(0)
     val viaLists = Metrics.queries("metric_gnn_lists")(spark, sfSmoke).collect()(0)
     // same positive-mask population
     assert(viaLists.getAs[Long]("n") === direct.getAs[Long]("n"))
