@@ -42,7 +42,15 @@ object TpcdsPromoted {
     "tpcds_q77_channel_net"     -> "q76",
     "sqlx_grouping_sets_mixed"  -> "q88",
     "sqlx_last_status_cohorts"  -> "q92",
-    "sqlx_distinct_case_buyers" -> "q97")
+    "sqlx_distinct_case_buyers" -> "q97",
+    // late-r3 promotions: the plan-asserted heavy shapes
+    "tpcds_q88_band_counts"     -> "q7",  // 8-way cross of 1-row counts
+    "tpcds_q14_channel_intersect" -> "q10", // INTERSECT + threshold + ROLLUP
+    "tpcds_q8_preferred_nations"  -> "q57", // INTERSECT inside IN
+    "tpcds_q28_band_probes"     -> "q65", // 6 band probes cross-joined
+    "sqlx_funnel_interval_join" -> "q84", // event-time interval self-join
+    "sqlx_notin_null_guard"     -> "q93", // null-aware anti join
+    "sqlx_kitchen_sink_rollup"  -> "q99") // star + ROLLUP + windows + top-k
 
   // one directory scan for all lookups — queries re-invoke sqlText per
   // bench/verify run, and re-listing 48 files inside the timed window

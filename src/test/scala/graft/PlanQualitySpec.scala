@@ -20,7 +20,9 @@ class PlanQualitySpec extends SparkSpec {
     "carbon_window",         // one-row CI bounds frame attached to the grid
     "config_delta",          // two one-row config aggregates compared
     "sched_realised_carbon", // one-row schedule summary x prefix frame
-    "uncorrelated_scalar_subquery" // one-row aggregate attached to the fact
+    "uncorrelated_scalar_subquery", // one-row aggregate attached to the fact
+    "tpcds_q88_band_counts", // 8-way cross of one-row COUNT aggregates
+    "tpcds_q28_band_probes"  // 6 one-row band probes cross-joined
   )
 
   test("no oracle query plans a cartesian/nested-loop join unintentionally") {

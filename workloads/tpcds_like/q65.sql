@@ -8,21 +8,27 @@ SELECT b1.avg_price AS avg1, b1.cnt AS cnt1, b1.dst AS dst1,
        b5.avg_price AS avg5, b5.cnt AS cnt5, b5.dst AS dst5,
        b6.avg_price AS avg6, b6.cnt AS cnt6, b6.dst AS dst6
 FROM
-  (SELECT CAST(AVG(l_extendedprice) AS DOUBLE) AS avg_price,
+  (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+          / COUNT(l_extendedprice) AS avg_price,
           COUNT(*) AS cnt, COUNT(DISTINCT l_partkey) AS dst
    FROM lineitem WHERE l_quantity BETWEEN 1 AND 8) b1,
-  (SELECT CAST(AVG(l_extendedprice) AS DOUBLE) AS avg_price,
+  (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+          / COUNT(l_extendedprice) AS avg_price,
           COUNT(*) AS cnt, COUNT(DISTINCT l_partkey) AS dst
    FROM lineitem WHERE l_quantity BETWEEN 9 AND 16) b2,
-  (SELECT CAST(AVG(l_extendedprice) AS DOUBLE) AS avg_price,
+  (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+          / COUNT(l_extendedprice) AS avg_price,
           COUNT(*) AS cnt, COUNT(DISTINCT l_partkey) AS dst
    FROM lineitem WHERE l_quantity BETWEEN 17 AND 24) b3,
-  (SELECT CAST(AVG(l_extendedprice) AS DOUBLE) AS avg_price,
+  (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+          / COUNT(l_extendedprice) AS avg_price,
           COUNT(*) AS cnt, COUNT(DISTINCT l_partkey) AS dst
    FROM lineitem WHERE l_quantity BETWEEN 25 AND 32) b4,
-  (SELECT CAST(AVG(l_extendedprice) AS DOUBLE) AS avg_price,
+  (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+          / COUNT(l_extendedprice) AS avg_price,
           COUNT(*) AS cnt, COUNT(DISTINCT l_partkey) AS dst
    FROM lineitem WHERE l_quantity BETWEEN 33 AND 40) b5,
-  (SELECT CAST(AVG(l_extendedprice) AS DOUBLE) AS avg_price,
+  (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+          / COUNT(l_extendedprice) AS avg_price,
           COUNT(*) AS cnt, COUNT(DISTINCT l_partkey) AS dst
    FROM lineitem WHERE l_quantity BETWEEN 41 AND 50) b6

@@ -17,7 +17,8 @@ WITH base AS (
   GROUP BY ROLLUP (r_name, n_name, p_type)
   HAVING COUNT(*) >= 5)
 SELECT r_name, n_name, p_type, lvl, rev,
-       CAST(rev * 100 / SUM(rev) OVER (PARTITION BY lvl) AS DOUBLE)
+       CAST(rev * 100 / CAST(SUM(CAST(rev AS DECIMAL(18,6)))
+         OVER (PARTITION BY lvl) AS DOUBLE) AS DOUBLE)
          AS lvl_share,
        RANK() OVER (PARTITION BY lvl ORDER BY rev DESC) AS rnk
 FROM base
