@@ -50,7 +50,14 @@ object TpcdsPromoted {
     "tpcds_q28_band_probes"     -> "q65", // 6 band probes cross-joined
     "sqlx_funnel_interval_join" -> "q84", // event-time interval self-join
     "sqlx_notin_null_guard"     -> "q93", // null-aware anti join
-    "sqlx_kitchen_sink_rollup"  -> "q99") // star + ROLLUP + windows + top-k
+    "sqlx_kitchen_sink_rollup"  -> "q99", // star + ROLLUP + windows + top-k
+    // batch 2: the SQL families the gate didn't cover yet
+    "tpcds_q2_week_ratio"       -> "q49", // week-over-year self-join ratio
+    "tpcds_q71_hourly_channels" -> "q73", // EXTRACT(HOUR) over unioned slices
+    "tpcds_q76_null_channels"   -> "q43", // null-column channel union
+    "sqlx_sessionize_gap30"     -> "q83", // LAG-gap sessionization (batch twin)
+    "sqlx_rank_filter_topk"     -> "q85", // grouped top-k via rank filter
+    "sqlx_range_interval_frame" -> "q91") // RANGE BETWEEN INTERVAL frame
 
   // one directory scan for all lookups — queries re-invoke sqlText per
   // bench/verify run, and re-listing 48 files inside the timed window
