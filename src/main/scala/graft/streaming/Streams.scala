@@ -145,6 +145,43 @@ object Streams {
         col("r_ts"), col("r_type"), col("r_value"))
   }
 
+  /** Stream-static enrichment: every micro-batch joins against a
+    * static dimension frame (re-resolved per batch on file-backed
+    * dims, so a dim refresh is picked up without restarting the
+    * query). No state, no watermark — the inner equi-join is
+    * stateless per batch; the explicit broadcast keeps a small dim
+    * from shuffling the stream side at any scale. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key))
+
+  /** Idempotent micro-batch sink (the foreachBatch exactly-once
+    * pattern for plain parquet): each batch lands in its own
+    * `batch_id=N` directory with dynamic partition overwrite, so a
+    * replayed batch — after a crash between sink write and offset
+    * commit — overwrites its own output instead of appending
+    * duplicates. Checkpointing makes batch ids stable across
+    * restarts, which is what makes the overwrite idempotent. */
+  def startIdempotentParquetSink(df: DataFrame, path: String,
+      checkpoint: String) =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchIdempotent(batch, batchId, path)
+      }
+      .start()
+
+  /** The per-batch body of [[startIdempotentParquetSink]], exposed so
+    * replay semantics are testable without a streaming query: writing
+    * the same (batch, batchId) twice yields the rows once. */
+  def writeBatchIdempotent(batch: DataFrame, batchId: Long,
+      path: String): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(path)
+
   /** Standard sink wiring: append-mode parquet with checkpointing (the
     * production shape) — callers own trigger/location. */
   def startParquetSink(df: DataFrame, path: String, checkpoint: String,

@@ -163,6 +163,58 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("enrichWithDim joins each micro-batch against a broadcast static dim") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((10L, "gold"), (11L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[Streams.Event]
+    val query = Streams.enrichWithDim(input.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Streams.Event(1, ts(1), 10, "view", 1.0),
+        Streams.Event(2, ts(2), 11, "click", 2.0),
+        Streams.Event(3, ts(3), 99, "view", 3.0)) // no dim row → dropped
+      query.processAllAvailable()
+      val rows = spark.table("enriched").select("event_id", "tier")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows === Set((1L, "gold"), (2L, "basic")))
+    } finally query.stop()
+  }
+
+  test("idempotent parquet sink: a replayed batch lands exactly once") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_idem_sink")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_idem_ckpt")
+    val input = MemoryStream[Streams.Event]
+    val query = Streams.startIdempotentParquetSink(input.toDF(),
+      out.toString, ckpt.toString)
+    try {
+      input.addData(
+        Streams.Event(1, ts(1), 10, "view", 1.0),
+        Streams.Event(2, ts(2), 11, "click", 2.0))
+      query.processAllAvailable()
+      val afterFirst = spark.read.parquet(out.toString)
+      assert(afterFirst.count() === 2)
+      // partition-dir columns read back integer-inferred — cast up
+      val batchId = afterFirst.selectExpr("CAST(batch_id AS BIGINT)")
+        .head().getLong(0)
+      // simulate the crash-replay: the SAME batch body runs again with
+      // the SAME batch id — dynamic overwrite must not duplicate rows
+      Streams.writeBatchIdempotent(
+        Seq(Streams.Event(1, ts(1), 10, "view", 1.0),
+          Streams.Event(2, ts(2), 11, "click", 2.0)).toDF(),
+        batchId, out.toString)
+      assert(spark.read.parquet(out.toString).count() === 2)
+      // a NEW batch id appends alongside, untouched by the overwrite
+      input.addData(Streams.Event(3, ts(3), 12, "view", 3.0))
+      query.processAllAvailable()
+      assert(spark.read.parquet(out.toString).count() === 3)
+    } finally query.stop()
+  }
+
   test("sessionize accumulates per-user state across batches") {
     implicit val sp = spark
     implicit val sq = spark.sqlContext
