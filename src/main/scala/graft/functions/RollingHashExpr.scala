@@ -83,5 +83,5 @@ object RollingHash {
   /** SQL registration: `rolling_hash_native(col)`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_hash_native", exprs => RollingHash(exprs.head), "builtin")
+      "rolling_hash_native", exprs => RollingHash(exprs.head), "built-in")
 }

@@ -27,23 +27,32 @@ import graft.Tables
 object Similarity {
 
   /** Cosine similarity of two float-array columns in one row-local
-    * expression: zip_with dot product + per-side norms. */
+    * expression: native codegen dot products (bit-identical to the
+    * zip_with HOF form — see [[graft.functions.DotProduct]]) +
+    * per-side norms. */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+    val dot = graft.functions.DotProduct.dotNative _
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
+  private def dotN(a: Column, b: Column): Column =
+    graft.functions.DotProduct.dotNative(a, b)
+
   /** Brute-force cosine top-k (float path): for each query vector, the
-    * k nearest corpus vectors by cosine, ties broken by corpus id. */
+    * k nearest corpus vectors by cosine, ties broken by corpus id.
+    * Each side's norm is computed once per ROW before the join (not
+    * once per pair — at |Q|·|C| pairs the hoist removes two thirds of
+    * the kernel work); the per-pair cost is one codegen'd dot. */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"))
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
+      sqrt(dotN(col(embCol), col(embCol))).as("q_norm"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"),
+      sqrt(dotN(col(embCol), col(embCol))).as("c_norm"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("cosine",
+        dotN(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
     scored.withColumn("rank", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("cosine").desc, col("neighbor_id"))))
@@ -51,17 +60,39 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Driver-side twin of [[Dedup.md5Long]] (first 60 bits of the md5
+    * hex digest): the hyperplane weights depend only on (plane, dim),
+    * so they are computed ONCE here and shipped as literals instead of
+    * being re-derived per row (the expression form evaluated
+    * numPlanes·dims md5 calls per corpus row — a scale-killer the
+    * moment the corpus is real). */
+  private def md5Long60(s: String): Long = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = digest.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Pseudo-random hyperplane weights r_{p,i} = (md5_60(p:i) mod 2001)
+    * − 1000 for dims i = 1..dims — deterministic, no RNG state. */
+  def hyperplaneWeights(numPlanes: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(numPlanes, dims) { (p, i0) =>
+      ((md5Long60(s"$p:${i0 + 1}") % 2001) - 1000).toDouble
+    }
+
   /** Sign-LSH bucket id from md5-derived hyperplanes: bit p of the
-    * bucket is the sign of Σ_i e_i·r_{p,i} with pseudo-random weights
-    * r_{p,i} = (md5_60(p:i) mod 2001) − 1000. Row-local expression. */
-  def hyperplaneBucket(emb: Column, numPlanes: Int = 8): Column = {
+    * bucket is the sign of Σ_i e_i·r_{p,i}. The weight matrix is
+    * precomputed driver-side ([[hyperplaneWeights]]) and inlined as
+    * array literals, so the per-row work is `numPlanes` codegen'd dot
+    * products against constants — no per-row hashing. `dims` is part
+    * of the index configuration (like `numPlanes`): vectors must carry
+    * exactly that many elements, which the embedding schema fixes. */
+  def hyperplaneBucket(emb: Column, numPlanes: Int = 8,
+      dims: Int = 64): Column = {
+    val weights = hyperplaneWeights(numPlanes, dims)
     val bits = (0 until numPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(emb, sequence(lit(1), size(emb)), (e, i) =>
-          e.cast("double") *
-            ((Dedup.md5Long(concat(lit(p.toString), lit(":"),
-              i.cast("string"))) % 2001) - 1000).cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = graft.functions.DotProduct.dotNative(emb,
+        typedLit(weights(p).toSeq))
       when(proj > 0, lit(1L) * (1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -75,12 +106,15 @@ object Similarity {
       numPlanes: Int = 8, idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     val cb = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"),
-      hyperplaneBucket(col(embCol), numPlanes).as("bucket"))
+      hyperplaneBucket(col(embCol), numPlanes).as("bucket"),
+      sqrt(dotN(col(embCol), col(embCol))).as("c_norm"))
     val qb = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
-      hyperplaneBucket(col(embCol), numPlanes).as("bucket"))
+      hyperplaneBucket(col(embCol), numPlanes).as("bucket"),
+      sqrt(dotN(col(embCol), col(embCol))).as("q_norm"))
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("cosine",
+        dotN(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
     scored.withColumn("rank", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("cosine").desc, col("neighbor_id"))))
