@@ -296,15 +296,22 @@ object Dedup {
     * deterministic family as [[Similarity.hyperplaneBucket]], but
     * computed by ONE wide groupBy(id) over the exploded elements — all
     * nBands·bitsPerBand projections sum map-side in a single shuffle).
+    * The weight matrix is precomputed driver-side
+    * ([[Similarity.hyperplaneWeightsLong]], the proven md5 twin) and
+    * inlined as literal arrays: the expression form re-derived the md5
+    * per (element row × plane) — nBands·bitsPerBand·dims hashes per
+    * vector, pure waste at corpus scale. `dims` bounds the index
+    * domain of `i` (the embedding schema fixes it).
     * Output: (id, band, bucket) — near-identical vectors land in the
     * same bucket of EVERY band with high probability, so multi-band
     * candidate recall at cosine ≥ 0.9 is effectively total. */
   def signBandBuckets(elems: DataFrame, nBands: Int = 4,
-      bitsPerBand: Int = 8): DataFrame = {
+      bitsPerBand: Int = 8, dims: Int = 64): DataFrame = {
     val planes = nBands * bitsPerBand
+    val weights = Similarity.hyperplaneWeightsLong(planes, dims)
     val projs = (0 until planes).map { p =>
       sum(col("e_micro") *
-        ((md5Long(concat(lit(s"$p:"), col("i").cast("string"))) % 2001) - 1000))
+        element_at(typedLit(weights(p).toSeq), col("i").cast("int")))
         .as(s"p_$p")
     }
     val wide = elems.groupBy("id").agg(projs.head, projs.tail: _*)

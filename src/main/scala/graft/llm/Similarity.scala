@@ -74,11 +74,17 @@ object Similarity {
   }
 
   /** Pseudo-random hyperplane weights r_{p,i} = (md5_60(p:i) mod 2001)
-    * − 1000 for dims i = 1..dims — deterministic, no RNG state. */
-  def hyperplaneWeights(numPlanes: Int, dims: Int): Array[Array[Double]] =
+    * − 1000 for dims i = 1..dims — deterministic, no RNG state.
+    * Long-typed: the micro-int paths ([[Dedup.signBandBuckets]])
+    * multiply these against integer elements, so the weights must stay
+    * in exact integer arithmetic. */
+  def hyperplaneWeightsLong(numPlanes: Int, dims: Int): Array[Array[Long]] =
     Array.tabulate(numPlanes, dims) { (p, i0) =>
-      ((md5Long60(s"$p:${i0 + 1}") % 2001) - 1000).toDouble
+      (md5Long60(s"$p:${i0 + 1}") % 2001) - 1000
     }
+
+  def hyperplaneWeights(numPlanes: Int, dims: Int): Array[Array[Double]] =
+    hyperplaneWeightsLong(numPlanes, dims).map(_.map(_.toDouble))
 
   /** Sign-LSH bucket id from md5-derived hyperplanes: bit p of the
     * bucket is the sign of Σ_i e_i·r_{p,i}. The weight matrix is
@@ -129,9 +135,13 @@ object Similarity {
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val c = centroids.select(col(idCol).as("centroid_id"),
-      col(embCol).as("cent_emb"))
-    corpus.crossJoin(broadcast(c))
-      .withColumn("sim", cosine(col(embCol), col("cent_emb")))
+      col(embCol).as("cent_emb"),
+      sqrt(dotN(col(embCol), col(embCol))).as("cent_norm"))
+    corpus
+      .withColumn("v_norm", sqrt(dotN(col(embCol), col(embCol))))
+      .crossJoin(broadcast(c))
+      .withColumn("sim", dotN(col(embCol), col("cent_emb")) /
+        (col("v_norm") * col("cent_norm")))
       .withColumn("rank", row_number().over(
         Window.partitionBy(idCol).orderBy(col("sim").desc, col("centroid_id"))))
       .filter(col("rank") === 1)
@@ -144,17 +154,23 @@ object Similarity {
       k: Int, nprobe: Int = 2, idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     val c = centroids.select(col(idCol).as("centroid_id"),
-      col(embCol).as("cent_emb"))
-    val probes = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+      col(embCol).as("cent_emb"),
+      sqrt(dotN(col(embCol), col(embCol))).as("cent_norm"))
+    val probes = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
+        sqrt(dotN(col(embCol), col(embCol))).as("q_norm"))
       .crossJoin(broadcast(c))
       .withColumn("crank", row_number().over(
         Window.partitionBy("query_id")
-          .orderBy(cosine(col("q_emb"), col("cent_emb")).desc, col("centroid_id"))))
+          .orderBy((dotN(col("q_emb"), col("cent_emb")) /
+            (col("q_norm") * col("cent_norm"))).desc, col("centroid_id"))))
       .filter(col("crank") <= nprobe)
-      .select("query_id", "q_emb", "centroid_id")
-    val cand = assigned.join(probes, Seq("centroid_id"))
+      .select("query_id", "q_emb", "q_norm", "centroid_id")
+    val cand = assigned
+      .withColumn("n_norm", sqrt(dotN(col(embCol), col(embCol))))
+      .join(probes, Seq("centroid_id"))
       .filter(col("query_id") =!= col(idCol))
-      .withColumn("cosine", cosine(col("q_emb"), col(embCol)))
+      .withColumn("cosine", dotN(col("q_emb"), col(embCol)) /
+        (col("q_norm") * col("n_norm")))
     cand.withColumn("rank", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("cosine").desc, col(idCol))))
