@@ -67,13 +67,47 @@ object TpcdsPromoted {
 
   private def sqlText(file: String): String = texts(file)
 
-  val queries: Map[String, Q] = promoted.map { case (name, file) =>
-    name -> ((s: SparkSession, dir: String) => {
-      Tables.registerAll(s, dir)
-      s.sql(sqlText(file))
-    }): (String, Q)
-  }.toMap
+  /** Dialect-split promotions: the Spark text uses surface DuckDB
+    * lacks (RLIKE, LATERAL VIEW posexplode), so the oracle is a
+    * hand-written DuckDB twin instead of the same text — the bridge a
+    * real cross-engine checker needs for non-portable SQL. Both sides
+    * keep exact arithmetic (integer sums, micro-int squares) so the
+    * hash gate stays bit-stable. */
+  private val dialectPromoted: Seq[(String, String, String)] = Seq(
+    ("sqlx_regex_doc_tally", "q94",
+      """SELECT lang, COUNT(*) AS matching,
+        |  CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_chars
+        |FROM documents
+        |WHERE regexp_matches(text, 'spark')
+        |  AND regexp_matches(text, 'stream|vector')
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin),
+    ("sqlx_embed_centroid_norm", "q95",
+      """SELECT label,
+        |  CAST(SQRT(CAST(SUM(CAST(m_num AS DECIMAL(19,0))
+        |                     * CAST(m_num AS DECIMAL(19,0))) AS DOUBLE))
+        |       / (n * 1e6) AS DOUBLE) AS centroid_norm
+        |FROM (
+        |  SELECT label, i AS pos,
+        |    SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT))
+        |      AS m_num,
+        |    COUNT(*) AS n
+        |  FROM embeddings, generate_series(1, 64) t(i)
+        |  GROUP BY label, i)
+        |GROUP BY label, n
+        |ORDER BY label""".stripMargin))
+
+  val queries: Map[String, Q] =
+    (promoted.map { case (name, file) => name -> file } ++
+      dialectPromoted.map { case (name, file, _) => name -> file })
+      .map { case (name, file) =>
+        name -> ((s: SparkSession, dir: String) => {
+          Tables.registerAll(s, dir)
+          s.sql(sqlText(file))
+        }): (String, Q)
+      }.toMap
 
   val oracles: Map[String, String] =
-    promoted.map { case (name, file) => name -> sqlText(file) }.toMap
+    promoted.map { case (name, file) => name -> sqlText(file) }.toMap ++
+      dialectPromoted.map { case (name, _, oracle) => name -> oracle }.toMap
 }
