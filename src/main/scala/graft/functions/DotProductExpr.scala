@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native Catalyst expression for the vector dot product — the hot
   * kernel of every cosine/ANN scoring path (graft.llm.Similarity).
@@ -27,7 +27,8 @@ case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   private def elemOk(t: DataType): Boolean = t match {
-    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) |
+         ArrayType(IntegerType, _) | ArrayType(LongType, _) => true
     case _                                                  => false
   }
 
@@ -35,33 +36,40 @@ case class DotProduct(left: Expression, right: Expression)
     if (elemOk(left.dataType) && elemOk(right.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      "dot_native requires two array<float|double> arguments, got " +
-        s"${left.dataType} and ${right.dataType}")
+      "dot_native requires two array<float|double|int|bigint> arguments, " +
+        s"got ${left.dataType} and ${right.dataType}")
 
   override def dataType: DataType = DoubleType
   // NULL on length mismatch / null element, even for non-null inputs
   override def nullable: Boolean = true
   override def prettyName: String = "dot_native"
 
-  private def isFloat(e: Expression): Boolean =
-    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  /** Element-type code for the primitive accessor dispatch:
+    * 0=float, 1=double, 2=int, 3=long. */
+  private def elemCode(e: Expression): Int =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType   => 0
+      case DoubleType  => 1
+      case IntegerType => 2
+      case _           => 3
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     if (DotProduct.invalid(x, y)) null
-    else DotProduct.compute(x, y, isFloat(left), isFloat(right))
+    else DotProduct.compute(x, y, elemCode(left), elemCode(right))
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val lF = isFloat(left)
-      val rF = isFloat(right)
+      val lT = elemCode(left)
+      val rT = elemCode(right)
       s"""
          |if (graft.functions.DotProduct.invalid($a, $b)) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = graft.functions.DotProduct.compute($a, $b, $lF, $rF);
+         |  ${ev.value} = graft.functions.DotProduct.compute($a, $b, $lT, $rT);
          |}
        """.stripMargin
     })
@@ -86,19 +94,26 @@ object DotProduct {
   }
 
   /** Σ a_i·b_i with per-element double casts, accumulated in index
-    * order from 0.0 — the exact float semantics of the HOF form. */
-  def compute(a: ArrayData, b: ArrayData,
-      aFloat: Boolean, bFloat: Boolean): Double = {
+    * order from 0.0 — the exact float semantics of the HOF form.
+    * Type codes: 0=float, 1=double, 2=int, 3=long. */
+  def compute(a: ArrayData, b: ArrayData, aType: Int, bType: Int): Double = {
     val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val x = get(a, i, aType)
+      val y = get(b, i, bType)
       acc += x * y
       i += 1
     }
     acc
+  }
+
+  private def get(a: ArrayData, i: Int, t: Int): Double = t match {
+    case 0 => a.getFloat(i).toDouble
+    case 1 => a.getDouble(i)
+    case 2 => a.getInt(i).toDouble
+    case _ => a.getLong(i).toDouble
   }
 
   /** Column-API entry point. */

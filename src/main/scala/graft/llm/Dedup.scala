@@ -301,7 +301,10 @@ object Dedup {
     * inlined as literal arrays: the expression form re-derived the md5
     * per (element row × plane) — nBands·bitsPerBand·dims hashes per
     * vector, pure waste at corpus scale. `dims` bounds the index
-    * domain of `i` (the embedding schema fixes it).
+    * domain of `i` (the embedding schema fixes it); an element row
+    * with i outside 1..dims fails LOUDLY (raise_error via coalesce)
+    * instead of being silently skipped by sum()'s null handling,
+    * which would quietly shrink candidate recall on wider vectors.
     * Output: (id, band, bucket) — near-identical vectors land in the
     * same bucket of EVERY band with high probability, so multi-band
     * candidate recall at cosine ≥ 0.9 is effectively total. */
@@ -311,7 +314,9 @@ object Dedup {
     val weights = Similarity.hyperplaneWeightsLong(planes, dims)
     val projs = (0 until planes).map { p =>
       sum(col("e_micro") *
-        element_at(typedLit(weights(p).toSeq), col("i").cast("int")))
+        coalesce(element_at(typedLit(weights(p).toSeq), col("i").cast("int")),
+          raise_error(concat(lit(s"signBandBuckets: dim index outside 1..$dims: "),
+            col("i").cast("string"))).cast("long")))
         .as(s"p_$p")
     }
     val wide = elems.groupBy("id").agg(projs.head, projs.tail: _*)
@@ -364,8 +369,8 @@ object Dedup {
     * fixture gate pins LSH output == all-pairs output on the shipped
     * corpus (LlmSpec + DuckDB hash gate at both SFs). */
   def cosineNearDupPairs(elems: DataFrame, threshold: Double,
-      nBands: Int = 4, bitsPerBand: Int = 8): DataFrame = {
-    val buckets = signBandBuckets(elems, nBands, bitsPerBand)
+      nBands: Int = 4, bitsPerBand: Int = 8, dims: Int = 64): DataFrame = {
+    val buckets = signBandBuckets(elems, nBands, bitsPerBand, dims)
     val candidates = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))

@@ -26,17 +26,15 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns in one row-local
+  private def dotN(a: Column, b: Column): Column =
+    graft.functions.DotProduct.dotNative(a, b)
+
+  /** Cosine similarity of two numeric-array columns in one row-local
     * expression: native codegen dot products (bit-identical to the
     * zip_with HOF form — see [[graft.functions.DotProduct]]) +
     * per-side norms. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = graft.functions.DotProduct.dotNative _
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
-
-  private def dotN(a: Column, b: Column): Column =
-    graft.functions.DotProduct.dotNative(a, b)
+  def cosine(a: Column, b: Column): Column =
+    dotN(a, b) / (sqrt(dotN(a, a)) * sqrt(dotN(b, b)))
 
   /** Brute-force cosine top-k (float path): for each query vector, the
     * k nearest corpus vectors by cosine, ties broken by corpus id.
@@ -91,17 +89,20 @@ object Similarity {
     * precomputed driver-side ([[hyperplaneWeights]]) and inlined as
     * array literals, so the per-row work is `numPlanes` codegen'd dot
     * products against constants — no per-row hashing. `dims` is part
-    * of the index configuration (like `numPlanes`): vectors must carry
-    * exactly that many elements, which the embedding schema fixes. */
+    * of the index configuration (like `numPlanes`): a vector of any
+    * other width fails LOUDLY (raise_error) instead of silently
+    * landing every row in bucket 0 via the dot's length-mismatch
+    * NULL. */
   def hyperplaneBucket(emb: Column, numPlanes: Int = 8,
       dims: Int = 64): Column = {
     val weights = hyperplaneWeights(numPlanes, dims)
     val bits = (0 until numPlanes).map { p =>
-      val proj = graft.functions.DotProduct.dotNative(emb,
-        typedLit(weights(p).toSeq))
+      val proj = dotN(emb, typedLit(weights(p).toSeq))
       when(proj > 0, lit(1L) * (1L << p)).otherwise(lit(0L))
     }
-    bits.reduce(_ + _)
+    when(size(emb) === dims, bits.reduce(_ + _)).otherwise(raise_error(
+      concat(lit(s"hyperplaneBucket: expected $dims-dim embedding, got "),
+        size(emb).cast("string"))))
   }
 
   /** LSH-bucketed ANN (float path): corpus and queries bucketed by
@@ -110,12 +111,12 @@ object Similarity {
     * groups or probe multiple buckets for more. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       numPlanes: Int = 8, idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding", dims: Int = 64): DataFrame = {
     val cb = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"),
-      hyperplaneBucket(col(embCol), numPlanes).as("bucket"),
+      hyperplaneBucket(col(embCol), numPlanes, dims).as("bucket"),
       sqrt(dotN(col(embCol), col(embCol))).as("c_norm"))
     val qb = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
-      hyperplaneBucket(col(embCol), numPlanes).as("bucket"),
+      hyperplaneBucket(col(embCol), numPlanes, dims).as("bucket"),
       sqrt(dotN(col(embCol), col(embCol))).as("q_norm"))
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -76,7 +76,8 @@ object TpcdsPromoted {
   private val dialectPromoted: Seq[(String, String, String)] = Seq(
     ("sqlx_regex_doc_tally", "q94",
       """SELECT lang, COUNT(*) AS matching,
-        |  CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_chars
+        |  CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE) / COUNT(n_chars)
+        |    AS avg_chars
         |FROM documents
         |WHERE regexp_matches(text, 'spark')
         |  AND regexp_matches(text, 'stream|vector')

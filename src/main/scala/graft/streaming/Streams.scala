@@ -146,11 +146,14 @@ object Streams {
   }
 
   /** Stream-static enrichment: every micro-batch joins against a
-    * static dimension frame (re-resolved per batch on file-backed
-    * dims, so a dim refresh is picked up without restarting the
-    * query). No state, no watermark — the inner equi-join is
-    * stateless per batch; the explicit broadcast keeps a small dim
-    * from shuffling the stream side at any scale. */
+    * static dimension frame. No state, no watermark — the inner
+    * equi-join is stateless per batch; the explicit broadcast keeps a
+    * small dim from shuffling the stream side at any scale. NOTE:
+    * a plain file-source dim snapshots its file listing when the
+    * DataFrame is created — per-batch re-resolution of NEW dim files
+    * needs a source that re-lists (a catalog table view, or
+    * re-reading inside foreachBatch); don't expect a parquet-path dim
+    * to refresh mid-query. */
   def enrichWithDim(stream: DataFrame, dim: DataFrame,
       key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key))

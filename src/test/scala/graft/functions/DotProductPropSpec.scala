@@ -56,12 +56,39 @@ class DotProductPropSpec extends SparkSpec {
     assert(withNull.collect()(0).isNullAt(2))
   }
 
-  test("SQL registration and double arrays work") {
+  test("SQL registration, double/int/bigint arrays, null elements") {
     DotProduct.register(spark)
     import spark.implicits._
     val r = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)))
       .toDF("a", "b").selectExpr("dot_native(a, b) AS d").head()
     assert(r.getDouble(0) === 32.0)
+    // integer element types (the old zip_with form accepted them too)
+    val ints = spark.sql(
+      "SELECT dot_native(array(1, 2), array(3L, 4L)) AS d").head()
+    assert(ints.getDouble(0) === 11.0)
+    // a NULL ELEMENT inside the array nulls the product — same as the
+    // HOF form, whose null product nulls the whole fold
+    val withNullElem = spark.sql(
+      """SELECT dot_native(array(1.0D, CAST(NULL AS DOUBLE)),
+        |                  array(2.0D, 3.0D)) AS nat,
+        |       aggregate(zip_with(array(1.0D, CAST(NULL AS DOUBLE)),
+        |                          array(2.0D, 3.0D),
+        |                          (p, q) -> p * q),
+        |                 0.0D, (acc, v) -> acc + v) AS hof
+        |""".stripMargin).head()
+    assert(withNullElem.isNullAt(0) && withNullElem.isNullAt(1))
+  }
+
+  test("hyperplaneBucket fails loudly on a width-mismatched vector") {
+    import graft.llm.Similarity
+    import spark.implicits._
+    val bad = Seq((1L, Array.fill(32)(0.5f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      bad.select(Similarity.hyperplaneBucket(col("embedding"), 8, 64))
+        .collect()
+    }
+    assert(ex.getMessage.contains("expected 64-dim") ||
+      ex.getCause != null, ex.getMessage)
   }
 
   test("precomputed hyperplane weights equal the per-row md5 expression") {

@@ -4,7 +4,7 @@
 -- the DuckDB oracle twin uses regexp_matches — see
 -- graft.sources.TpcdsPromoted's dialect-split section).
 SELECT lang, COUNT(*) AS matching,
-       CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_chars
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE) / COUNT(n_chars) AS avg_chars
 FROM documents
 WHERE text RLIKE 'spark' AND text RLIKE 'stream|vector'
 GROUP BY lang
