@@ -35,6 +35,13 @@ object BenchExtra {
     "bench_minhash_full" -> ((s, dir) =>
       Dedup.minHashLshPairsFromShingles(
         Dedup.charShingles(Dedup.fixtureCorpus(docs(s, dir))), 0.5)),
+    "bench_minhash_xx_full" -> ((s, dir) =>
+      // the production hash family (xxhash64 seeds, no md5 in the
+      // per-shingle loop) — same banding + exact verify; the delta vs
+      // bench_minhash_full is the md5 portability cost the oracle
+      // -verified twin pays
+      Dedup.minHashLshPairsXxFromShingles(
+        Dedup.charShingles(Dedup.fixtureCorpus(docs(s, dir))), 0.5)),
     "bench_simhash_full" -> ((s, dir) =>
       Dedup.simHashNearPairs(Dedup.simHash(Dedup.fixtureCorpus(docs(s, dir))))),
     "bench_jaccard_full" -> ((s, dir) =>

@@ -141,6 +141,39 @@ object Dedup {
     hashed.groupBy("id").agg(sig(0), (1 until numHashes).map(sig): _*)
   }
 
+  /** Production-path MinHash signatures: seed i is the minimum
+    * xxhash64(i, shingle) over the document's shingle set — one
+    * codegen'd 64-bit hash per (seed, shingle) instead of a slice of
+    * an md5 hex digest. Same single wide map-side-combining groupBy
+    * shape as [[minHashSignaturesWide]]; that md5 form stays the
+    * DuckDB-oracle-verified twin (DuckDB has md5 but no xxhash64 —
+    * the same fixture-vs-production split as the micro-int vs float
+    * ANN paths). Signature VALUES differ from the md5 form, but the
+    * collision behavior (min over a uniform permutation) is the same
+    * family, so candidate recall is equivalent — pinned by the
+    * fixture-corpus equality test in LlmSpec. */
+  def minHashSignaturesWideXx(shingles: DataFrame,
+      numHashes: Int = 16): DataFrame = {
+    def sig(i: Int) =
+      min(xxhash64(lit(i), col("shingle"))).as(s"sig_$i")
+    shingles.groupBy("id").agg(sig(0), (1 until numHashes).map(sig): _*)
+  }
+
+  /** [[minHashLshPairsFromShingles]] on the xxhash64 signature family —
+    * the path a 100 TB corpus runs (no md5 in the per-shingle hot
+    * loop); verify is the same exact-Jaccard kernel, so output pairs
+    * match the md5 form whenever both bandings recall the candidate. */
+  def minHashLshPairsXxFromShingles(shingles: DataFrame, threshold: Double,
+      numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val buckets = lshBucketsWide(
+      minHashSignaturesWideXx(shingles, numHashes), numHashes, rowsPerBand)
+    val candidates = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    verifyJaccard(candidates, hashShingles(shingles), threshold)
+  }
+
   /** Long-form (id, seed, sig) view of the wide signatures, for
     * consumers that want one row per hash. */
   def minHashSignatures(shingles: DataFrame, numHashes: Int = 16): DataFrame = {

@@ -93,6 +93,20 @@ class LlmSpec extends SparkSpec {
     assert(all.nonEmpty)
   }
 
+  test("xxhash64 MinHash family finds the same pairs as the md5 oracle twin") {
+    val corpus = Dedup.fixtureCorpus(
+      graft.Tables.load(spark, sfSmoke, "documents").filter(col("doc_id") < 60))
+    val shingles = Dedup.charShingles(corpus)
+    val md5Pairs = Dedup.minHashLshPairsFromShingles(shingles, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val xxPairs = Dedup.minHashLshPairsXxFromShingles(shingles, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // signature VALUES differ; verified pairs must not (same exact
+    // verify kernel, equivalent banding recall on this corpus)
+    assert(xxPairs === md5Pairs)
+    assert(xxPairs.nonEmpty)
+  }
+
   test("capped jaccardPairs equals the uncapped all-pairs answer") {
     val corpus = Dedup.fixtureCorpus(
       graft.Tables.load(spark, sfSmoke, "documents").filter(col("doc_id") < 60))
