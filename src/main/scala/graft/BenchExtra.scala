@@ -44,6 +44,15 @@ object BenchExtra {
         Dedup.charShingles(Dedup.fixtureCorpus(docs(s, dir))), 0.5)),
     "bench_simhash_full" -> ((s, dir) =>
       Dedup.simHashNearPairs(Dedup.simHash(Dedup.fixtureCorpus(docs(s, dir))))),
+    "bench_simhash_xx_full" -> ((s, dir) =>
+      Dedup.simHashNearPairs(Dedup.simHashXx(Dedup.fixtureCorpus(docs(s, dir))))),
+    "bench_fingerprint_xx_full" -> ((s, dir) =>
+      // production twin of the core-suite doc_fingerprint (md5 min-
+      // shingle + md5Long token hashing stay the oracle-gated forms)
+      Dedup.fixtureCorpus(docs(s, dir)).select(col("doc_id"),
+        graft.llm.TextAnalysis.rollingHash(col("text")).as("rolling_hash"),
+        graft.llm.TextAnalysis.minShingleFingerprintXx(col("text"))
+          .as("min_shingle_xx"))),
     "bench_jaccard_full" -> ((s, dir) =>
       // Measures capped-candidate Jaccard at THE SAME cap the oracle
       // gate verifies (df ≤ 20). The synthetic corpus is heavily

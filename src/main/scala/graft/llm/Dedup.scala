@@ -265,7 +265,19 @@ object Dedup {
     * shuffle carries one 32-int row per doc per partition, not
     * 32·|tokens| rows. */
   def simHash(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    simHashWith(df, idCol, textCol, md5Long)
+
+  /** Production twin of [[simHash]] on the xxhash64 token-hash family
+    * (a different but equally valid 32-bit SimHash instantiation —
+    * DuckDB has no xxhash64, so the md5 form stays the oracle-gated
+    * twin). Same single wide bit-vote aggregation. */
+  def simHashXx(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    simHashWith(df, idCol, textCol, xxhash64(_))
+
+  private def simHashWith(df: DataFrame, idCol: String, textCol: String,
+      tokenHash: Column => Column): DataFrame = {
     val votes = (0 until 32).map(j =>
       sum(when(expr(s"(shiftright(h60, $j) & 1)") === 1, lit(1))
         .otherwise(lit(-1))).as(s"v_$j"))
@@ -273,7 +285,7 @@ object Dedup {
       when(col(s"v_$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
     df.select(col(idCol).as("id"),
         explode(TextAnalysis.tokensWs(lower(col(textCol)))).as("token"))
-      .withColumn("h60", md5Long(col("token")))
+      .withColumn("h60", tokenHash(col("token")))
       .groupBy("id")
       .agg(votes.head, votes.tail: _*)
       .select(col("id"), assemble.as("simhash"))

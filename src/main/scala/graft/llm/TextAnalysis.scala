@@ -119,6 +119,18 @@ object TextAnalysis {
         sequence(lit(1), length(text) - (k - 1)),
         i => md5(substring(text, i, lit(k))))))
 
+  /** Production twin of [[minShingleFingerprint]] on the xxhash64
+    * family: one codegen'd 64-bit hash per shingle instead of an md5
+    * hex string — the value differs (it's a different fingerprint
+    * function, same min-over-uniform-hash family), DuckDB can't
+    * replicate it (no xxhash64), so the md5 form stays the
+    * oracle-gated twin. Same row-local no-explode shape. */
+  def minShingleFingerprintXx(text: Column, k: Int = 9): Column =
+    when(length(text) < k, xxhash64(text)).otherwise(
+      array_min(transform(
+        sequence(lit(1), length(text) - (k - 1)),
+        i => xxhash64(substring(text, i, lit(k))))))
+
   // --------------------------------------------------- fixture queries
 
   type Q = (SparkSession, String) => DataFrame

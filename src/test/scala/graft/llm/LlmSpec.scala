@@ -107,6 +107,37 @@ class LlmSpec extends SparkSpec {
     assert(xxPairs.nonEmpty)
   }
 
+  test("xxhash64 SimHash family: copies collide, near-dups stay close") {
+    val corpus = Dedup.fixtureCorpus(
+      graft.Tables.load(spark, sfSmoke, "documents").filter(col("doc_id") < 60))
+    val hashes = Dedup.simHashXx(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // exact copies (id+20000) share the base doc's simhash exactly
+    hashes.keys.filter(id => id < 10000 && id % 7 == 0).foreach { id =>
+      assert(hashes(id + 20000) === hashes(id), s"copy of $id diverged")
+    }
+    // near-dup variants (id+10000, small tail appended) stay far below
+    // the ~16 bits unrelated docs differ by; the exact bound is
+    // hash-family-dependent (the md5 family keeps the fixture at ≤3,
+    // this xx instantiation puts one pair at 4)
+    hashes.keys.filter(id => id < 10000 && id % 5 == 0).foreach { id =>
+      val d = java.lang.Long.bitCount(hashes(id) ^ hashes(id + 10000))
+      assert(d <= 8, s"near-dup of $id at hamming $d")
+    }
+  }
+
+  test("xxhash64 min-shingle fingerprint: deterministic, short-text fallback") {
+    import spark.implicits._
+    val df = Seq((1L, "tiny"), (2L, "a longer text with many shingles here"),
+      (3L, "a longer text with many shingles here")).toDF("doc_id", "text")
+    val rows = df.select(col("doc_id"),
+      TextAnalysis.minShingleFingerprintXx(col("text")).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows(2) === rows(3)) // identical text → identical fingerprint
+    // short text hits the whole-text fallback (still a long)
+    assert(rows.contains(1L))
+  }
+
   test("capped jaccardPairs equals the uncapped all-pairs answer") {
     val corpus = Dedup.fixtureCorpus(
       graft.Tables.load(spark, sfSmoke, "documents").filter(col("doc_id") < 60))
