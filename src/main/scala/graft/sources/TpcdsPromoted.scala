@@ -57,7 +57,14 @@ object TpcdsPromoted {
     "tpcds_q76_null_channels"   -> "q43", // null-column channel union
     "sqlx_sessionize_gap30"     -> "q83", // LAG-gap sessionization (batch twin)
     "sqlx_rank_filter_topk"     -> "q85", // grouped top-k via rank filter
-    "sqlx_range_interval_frame" -> "q91") // RANGE BETWEEN INTERVAL frame
+    "sqlx_range_interval_frame" -> "q91", // RANGE BETWEEN INTERVAL frame
+    // batch 3: the canon's remaining headline shapes
+    "tpcds_q1_ctr_threshold"    -> "q1",  // CTE + correlated avg threshold
+    "tpcds_q16_exists_anti"     -> "q4",  // EXISTS + NOT EXISTS + interval
+    "tpcds_q67_rollup_rank"     -> "q12", // rollup hierarchy + rank-in-level
+    "tpcds_q95_multi_supplier"  -> "q13", // twin-lineitem EXISTS correlation
+    "tpcds_q55_brand_probe"     -> "q54", // minimal dim-agg probe
+    "sqlx_named_window_nth"     -> "q96") // named WINDOW first/nth_value
 
   // one directory scan for all lookups — queries re-invoke sqlText per
   // bench/verify run, and re-listing 48 files inside the timed window

@@ -1,7 +1,8 @@
 -- TPC-DS q16/q94 shape: EXISTS (semi) + NOT EXISTS (anti) + date
 -- interval range + multi-distinct aggregate.
 SELECT COUNT(DISTINCT o1.o_orderkey) AS order_count,
-       SUM(o1.o_totalprice) AS total_price
+       CAST(SUM(CAST(o1.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+         AS total_price
 FROM orders o1
 JOIN customer ON o1.o_custkey = c_custkey
 WHERE o1.o_orderdate BETWEEN CAST('1995-01-01' AS DATE)
