@@ -64,7 +64,53 @@ object TpcdsPromoted {
     "tpcds_q67_rollup_rank"     -> "q12", // rollup hierarchy + rank-in-level
     "tpcds_q95_multi_supplier"  -> "q13", // twin-lineitem EXISTS correlation
     "tpcds_q55_brand_probe"     -> "q54", // minimal dim-agg probe
-    "sqlx_named_window_nth"     -> "q96") // named WINDOW first/nth_value
+    "sqlx_named_window_nth"     -> "q96", // named WINDOW first/nth_value
+    // round-3 continuation: the full-canon sweep. These files were
+    // already written decimal-exact with deterministic output
+    // (rows are hash-compared after a column sort, so ORDER BY
+    // totality only matters under LIMIT) — promoted verbatim.
+    "tpcds_q17_cheap_quantity"    -> "q11", // correlated per-part avg threshold
+    "tpcds_q78_return_ratio"      -> "q14", // fact-fact LEFT JOIN null retention
+    "tpcds_q5_channel_rollup"     -> "q16", // channel UNION + ROLLUP
+    "tpcds_q31_quarter_growth"    -> "q17", // 4-arm consecutive-quarter self-join
+    "tpcds_q49_worst_returns"     -> "q19", // dual dense ranks + UNION distinct
+    "tpcds_q85_band_refunds"      -> "q20", // disjunctive bands + CASE refund
+    "tpcds_q58_equal_share"       -> "q24", // three-way equal-share screen
+    "tpcds_q35_cond_stats"        -> "q27", // multi-conditional group stats
+    "tpcds_q29_sale_return_cycle" -> "q28", // three-arm fact self-join
+    "tpcds_q11_growth_segments"   -> "q31", // two-channel two-year growth
+    "tpcds_q33_channel_brands"    -> "q32", // UNION of channel aggs re-agg
+    "tpcds_q41_attr_bands"        -> "q33", // EXISTS over OR-band attributes
+    "tpcds_q34_order_size_band"   -> "q34", // frequency-band cohort
+    "tpcds_q6_above_category_avg" -> "q35", // correlated category-avg screen
+    "tpcds_q54_cohort_follow"     -> "q36", // cohort + following-window spend
+    "tpcds_q93_net_spend"         -> "q37", // return-adjusted spend (twin join)
+    "tpcds_q15_geo_or_value"      -> "q38", // geography OR high-value filter
+    "tpcds_q32_excess_discount"   -> "q42", // correlated excess-discount sum
+    "tpcds_q65_min_avg_screen"    -> "q45", // agg-of-agg min-average screen
+    "tpcds_q46_location_mismatch" -> "q46", // customer/supplier nation mismatch
+    "tpcds_q80_netted_rollup"     -> "q47", // netted channel ROLLUP
+    "tpcds_q96_pinpoint_count"    -> "q48", // selective-scan pinpoint count
+    "tpcds_q22_hierarchy_avg"     -> "q50", // product-hierarchy ROLLUP avg
+    "tpcds_q27_grouping_sets"     -> "q51", // explicit GROUPING SETS levels
+    "tpcds_q37_screened_parts"    -> "q52", // price band + IN-window screen
+    "tpcds_q45_geo_membership"    -> "q53", // geo OR part-set membership
+    "tpcds_q10_exists_cohort"     -> "q58", // EXISTS over UNION ALL channels
+    "tpcds_q19_brand_mismatch_rev" -> "q61", // buyer/supplier nation mismatch
+    "tpcds_q40_netted_split"      -> "q67", // before/after netted CASE sums
+    "tpcds_q61_promo_ratio"       -> "q71", // one-row cross-join ratio
+    "tpcds_q69_exists_gates"      -> "q72", // EXISTS + two NOT EXISTS gates
+    "tpcds_q72_demand_jump"       -> "q74", // LAG week supply vs demand
+    "tpcds_q74_growth_ratio"      -> "q75", // 4-way per-customer growth join
+    "tpcds_q79_max_order_pick"    -> "q77", // ROW_NUMBER per-group max pick
+    "tpcds_q83_return_share"      -> "q79", // date-IN-subquery two-arm share
+    "tpcds_q84_lookup"            -> "q80", // pure lookup projection + top-k
+    "tpcds_q86_rollup_rank"       -> "q81", // ROLLUP + rank-within-level
+    "tpcds_q91_loss_bands"        -> "q82", // demographic loss bands
+    "sqlx_exact_median"           -> "q86", // dual ROW_NUMBER exact median
+    "sqlx_doc_profile"            -> "q87", // documents metadata QA scan
+    "sqlx_anti_return_parts"      -> "q89", // NOT EXISTS anti-join screen
+    "sqlx_nation_supplier_anti"   -> "q98") // correlated anti join w/ join inside
 
   // one directory scan for all lookups — queries re-invoke sqlText per
   // bench/verify run, and re-listing 48 files inside the timed window

@@ -2,12 +2,12 @@
 -- window maxima over the coalesced keys.
 WITH store_v AS (
   SELECT o_custkey AS custkey, DATE_TRUNC('month', o_orderdate) AS mon,
-         SUM(o_totalprice) AS sales
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sales
   FROM orders WHERE o_orderstatus = 'F'
   GROUP BY o_custkey, DATE_TRUNC('month', o_orderdate)),
 web_v AS (
   SELECT o_custkey AS custkey, DATE_TRUNC('month', o_orderdate) AS mon,
-         SUM(o_totalprice) AS sales
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sales
   FROM orders WHERE o_orderstatus = 'O'
   GROUP BY o_custkey, DATE_TRUNC('month', o_orderdate))
 SELECT custkey, mon, store_sales, web_sales,

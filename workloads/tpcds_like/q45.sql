@@ -17,5 +17,5 @@ JOIN avg_part ap ON sp.l_partkey = ap.l_partkey
 JOIN supplier ON sp.l_suppkey = s_suppkey
 JOIN part ON sp.l_partkey = p_partkey
 WHERE sp.rev <= 0.5 * ap.avg_rev
-ORDER BY s_name, p_name
+ORDER BY s_name, p_name, sp.l_suppkey, sp.l_partkey
 LIMIT 100

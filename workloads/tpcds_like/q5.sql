@@ -4,8 +4,12 @@ WITH both_status AS (
   SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
   INTERSECT
   SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
-avg_price AS (SELECT AVG(o_totalprice) AS ap FROM orders)
-SELECT channel, COUNT(*) AS n, SUM(price) AS total
+avg_price AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+         / COUNT(*) AS ap
+  FROM orders)
+SELECT channel, COUNT(*) AS n,
+       CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total
 FROM (
   SELECT 'full' AS channel, o_totalprice AS price
   FROM orders JOIN both_status ON orders.o_custkey = both_status.o_custkey
