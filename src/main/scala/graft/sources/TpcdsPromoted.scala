@@ -110,7 +110,31 @@ object TpcdsPromoted {
     "sqlx_exact_median"           -> "q86", // dual ROW_NUMBER exact median
     "sqlx_doc_profile"            -> "q87", // documents metadata QA scan
     "sqlx_anti_return_parts"      -> "q89", // NOT EXISTS anti-join screen
-    "sqlx_nation_supplier_anti"   -> "q98") // correlated anti join w/ join inside
+    "sqlx_nation_supplier_anti"   -> "q98", // correlated anti join w/ join inside
+    // batch 4: the final sweep — every remaining canon file. The
+    // FP-risky ones (raw double sums/AVGs, window share over doubles)
+    // were first rewritten decimal-exact in the files themselves;
+    // q44/q68 carry engine-divergent weekday numbering and are gated
+    // via dialect twins below instead.
+    "tpcds_q36_hier_rank"         -> "q2",  // ROLLUP + rank within subtotal level
+    "tpcds_q51_fullouter_cummax"  -> "q3",  // FULL OUTER aggs + cumulative max
+    "tpcds_q38_intersect_union"   -> "q5",  // INTERSECT + threshold + UNION rollup
+    "tpcds_q47_monthly_deviation" -> "q15", // month vs year-avg window + lag/lead
+    "tpcds_q39_cv_flicker"        -> "q18", // integer-exact CV screen, month pairs
+    "tpcds_q21_pivot_ratio"       -> "q21", // before/after pivot-date ratio band
+    "tpcds_q66_month_pivot"       -> "q23", // 12-column CASE month pivot
+    "tpcds_q75_yoy_decline"       -> "q29", // channel union, consecutive-year drop
+    "tpcds_q48_band_sum"          -> "q30", // flat disjunctive band aggregate
+    "tpcds_q7_demo_averages"      -> "q56", // per-part averages under demo filters
+    "tpcds_q13_disjunct_bands"    -> "q59", // one agg under OR-ed band predicates
+    "tpcds_q18_geo_rollup_avg"    -> "q60", // averages at every ROLLUP level
+    "tpcds_q20_class_share"       -> "q62", // class revenue share via window
+    "tpcds_q24_selfref_threshold" -> "q63", // multi-ref CTE avg threshold
+    "tpcds_q26_brand_averages"    -> "q64", // catalog twin of the q7 probe
+    "tpcds_q53_quarter_deviation" -> "q69", // quarter vs all-quarter window avg
+    "tpcds_q57_brand_deviation"   -> "q70", // monthly lag/lead + year-avg screen
+    "tpcds_q81_region_returns"    -> "q78", // returns above 1.01x region average
+    "sqlx_chained_cte_ma3"        -> "q90") // 3 chained CTEs, moving average
 
   // one directory scan for all lookups — queries re-invoke sqlText per
   // bench/verify run, and re-listing 48 files inside the timed window
@@ -120,13 +144,27 @@ object TpcdsPromoted {
 
   private def sqlText(file: String): String = texts(file)
 
+  /** Spark's DAYOFWEEK / EXTRACT(DOW) number Sunday=1..7 while DuckDB
+    * numbers Sunday=0..6, so the DuckDB twin of a weekday-pivot file is
+    * the SAME text with every weekday constant shifted down by one —
+    * derived mechanically so the twin can never drift from the file. */
+  private def dowShifted(file: String): String = {
+    val spark = sqlText(file)
+    val pat = """(DAYOFWEEK\(o_orderdate\)|EXTRACT\(DOW FROM o_orderdate\)) = (\d)""".r
+    pat.replaceAllIn(spark, m =>
+      s"dayofweek(o_orderdate) = ${m.group(2).toInt - 1}")
+  }
+
   /** Dialect-split promotions: the Spark text uses surface DuckDB
-    * lacks (RLIKE, LATERAL VIEW posexplode), so the oracle is a
-    * hand-written DuckDB twin instead of the same text — the bridge a
-    * real cross-engine checker needs for non-portable SQL. Both sides
-    * keep exact arithmetic (integer sums, micro-int squares) so the
-    * hash gate stays bit-stable. */
-  private val dialectPromoted: Seq[(String, String, String)] = Seq(
+    * lacks (RLIKE, LATERAL VIEW posexplode) or numbers differently
+    * (weekdays), so the oracle is a DuckDB twin instead of the same
+    * text — the bridge a real cross-engine checker needs for
+    * non-portable SQL. Both sides keep exact arithmetic (integer sums,
+    * micro-int squares, decimal money sums) so the hash gate stays
+    * bit-stable. */
+  private lazy val dialectPromoted: Seq[(String, String, String)] = Seq(
+    ("tpcds_q59_wow_ratio", "q44", dowShifted("q44")),
+    ("tpcds_q43_dow_pivot", "q68", dowShifted("q68")),
     ("sqlx_regex_doc_tally", "q94",
       """SELECT lang, COUNT(*) AS matching,
         |  CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE) / COUNT(n_chars)

@@ -5,7 +5,7 @@
 SELECT * FROM (
   SELECT n_name, r_name,
          CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal,
-         GROUPING(r_name) + GROUPING(n_name) AS lochierarchy,
+         CAST(GROUPING(r_name) + GROUPING(n_name) AS BIGINT) AS lochierarchy,
          RANK() OVER (
            PARTITION BY GROUPING(r_name) + GROUPING(n_name),
                         CASE WHEN GROUPING(n_name) = 0 THEN r_name END

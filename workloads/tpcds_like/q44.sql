@@ -1,13 +1,16 @@
 -- TPC-DS q59 shape: week-over-week comparison — per (nation, weekday)
 -- revenue in 1996 vs 1997 as a wide pivot joined on itself, emitting
--- the ratio per weekday column.
+-- the ratio per weekday column. Weekday sums are DECIMAL-exact and
+-- cast to DOUBLE at the CTE edge so the ratios divide doubles.
+-- NOTE dialect: Spark DAYOFWEEK is Sunday=1; the DuckDB oracle twin
+-- (TpcdsPromoted.dialectPromoted) shifts the constants to Sunday=0.
 WITH wk AS (
   SELECT n_name,
          CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
-         SUM(CASE WHEN DAYOFWEEK(o_orderdate) = 1 THEN o_totalprice ELSE 0 END) AS sun_sales,
-         SUM(CASE WHEN DAYOFWEEK(o_orderdate) = 2 THEN o_totalprice ELSE 0 END) AS mon_sales,
-         SUM(CASE WHEN DAYOFWEEK(o_orderdate) = 3 THEN o_totalprice ELSE 0 END) AS tue_sales,
-         SUM(CASE WHEN DAYOFWEEK(o_orderdate) = 4 THEN o_totalprice ELSE 0 END) AS wed_sales
+         CAST(SUM(CASE WHEN DAYOFWEEK(o_orderdate) = 1 THEN CAST(o_totalprice AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS sun_sales,
+         CAST(SUM(CASE WHEN DAYOFWEEK(o_orderdate) = 2 THEN CAST(o_totalprice AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS mon_sales,
+         CAST(SUM(CASE WHEN DAYOFWEEK(o_orderdate) = 3 THEN CAST(o_totalprice AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS tue_sales,
+         CAST(SUM(CASE WHEN DAYOFWEEK(o_orderdate) = 4 THEN CAST(o_totalprice AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS wed_sales
   FROM orders
   JOIN customer ON o_custkey = c_custkey
   JOIN nation ON c_nationkey = n_nationkey

@@ -2,9 +2,9 @@
 -- filters — avg quantity / price / discount per part name for
 -- BUILDING-segment customers on non-urgent orders.
 SELECT p_name,
-       CAST(AVG(l_quantity) AS DOUBLE) AS avg_qty,
-       CAST(AVG(l_extendedprice) AS DOUBLE) AS avg_price,
-       CAST(AVG(l_discount) AS DOUBLE) AS avg_disc
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey

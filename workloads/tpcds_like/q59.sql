@@ -1,8 +1,8 @@
 -- TPC-DS q13 shape: one aggregate under wide disjunctive band
 -- predicates tying fact and dims — three (segment x balance x
 -- quantity) bands OR-ed together, the planner's CNF-conversion probe.
-SELECT CAST(AVG(l_quantity) AS DOUBLE) AS avg_qty,
-       CAST(AVG(o_totalprice) AS DOUBLE) AS avg_total,
+SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(o_totalprice) AS avg_total,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey

@@ -3,7 +3,7 @@
 SELECT r_name, n_name, c_mktsegment,
        CAST(GROUPING(r_name) + GROUPING(n_name) + GROUPING(c_mktsegment)
          AS BIGINT) AS lvl,
-       CAST(AVG(o_totalprice) AS DOUBLE) AS avg_total,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(o_totalprice) AS avg_total,
        COUNT(*) AS cnt
 FROM orders
 JOIN customer ON o_custkey = c_custkey
