@@ -36,8 +36,13 @@ object Bench {
     val suite = if (args.isEmpty) all
       else all.filter { case (k, _) => args.contains(k) }
     // Warmup pass: every query end-to-end once, so the timed pass
-    // measures the plan, not first-use JVM costs.
-    suite.foreach { case (name, fn) =>
+    // measures the plan, not first-use JVM costs. Run it in REVERSE
+    // suite order: with ~10 min between a query's warmup and its
+    // timing slot, the alphabetically-first timed query was otherwise
+    // the one warmed LONGEST ago (cooled codegen/scan caches inflated
+    // it 3.7 s vs 0.5 s for its siblings); reversed, the last-warmed
+    // query is the first-timed one.
+    suite.reverseIterator.foreach { case (name, fn) =>
       try run(fn, spark, sfDir)
       catch { case e: Throwable =>
         Console.err.println(s"[bench] warmup $name failed: ${e.getMessage}")

@@ -108,6 +108,41 @@ class TpcdsLikeWorkloadSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), plan.take(800))
   }
 
+  test("q2 (rollup + rank-in-level) expands once and broadcasts the geo dims") {
+    graft.Tables.registerAll(spark, sfSmoke)
+    val plan = planOf("q2")
+    // ROLLUP is ONE Expand over the supplier scan, not a union of
+    // re-aggregations; nation/region ride in as broadcasts
+    assert("Expand".r.findAllIn(plan).length === 1, plan.take(600))
+    val broadcasts = "BroadcastExchange".r.findAllIn(plan).length
+    assert(broadcasts >= 2, s"expected >=2 dim broadcasts, got $broadcasts")
+    assert(plan.contains("Window"), "rank-within-parent window missing")
+  }
+
+  test("q5 (INTERSECT + threshold) plans the avg threshold as a scalar subquery") {
+    graft.Tables.registerAll(spark, sfSmoke)
+    val plan = spark.sql(Ingest.loadQueryFiles(qdir).toMap.apply("q5"))
+      .queryExecution.optimizedPlan.toString
+    // the uncorrelated avg-price gate must be a one-row scalar
+    // subquery reused by the channel arms, not a per-row join
+    assert(plan.contains("scalar-subquery"), plan.take(500))
+    // INTERSECT decays to a distinct-preserving semi join, never a
+    // cartesian pairing of the two status slices
+    val phys = planOf("q5")
+    assert(!phys.contains("CartesianProduct"), phys.take(500))
+  }
+
+  test("q44 (week-over-week ratio) joins the two tiny year arms by broadcast") {
+    graft.Tables.registerAll(spark, sfSmoke)
+    val plan = planOf("q44")
+    // each arm is a ~nations-sized aggregate; their self-join must be
+    // a broadcast hash join on n_name, not a shuffle of the facts
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    // the weekday pivot itself is decimal-exact partial aggregation —
+    // map-side combine must survive (HashAggregate below the exchange)
+    assert(plan.contains("HashAggregate"), "pivot must hash-aggregate")
+  }
+
   test("q99 (kitchen sink) rolls up once and broadcasts all dims") {
     graft.Tables.registerAll(spark, sfSmoke)
     val plan = planOf("q99")
