@@ -67,6 +67,16 @@ object BenchExtra {
         Dedup.fixtureShingleDfCap)),
     "bench_cosine_full" -> ((s, dir) =>
       Dedup.cosineNearDupPairs(microElems(s, dir), 0.9)),
+    "bench_minhash_rowlocal_full" -> ((s, dir) =>
+      // zero-shuffle signature path, md5 family — delta vs
+      // bench_minhash_full is the cost of the two full-corpus
+      // shuffles (signature agg + verify-set rebuild) the row-local
+      // plan removes
+      Dedup.minHashLshPairsRowLocal(
+        Dedup.fixtureCorpus(docs(s, dir)), 0.5)),
+    "bench_minhash_rowlocal_xx_full" -> ((s, dir) =>
+      Dedup.minHashLshPairsRowLocal(
+        Dedup.fixtureCorpus(docs(s, dir)), 0.5, xx = true)),
     "bench_ann_lsh_full" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") % 50 === 0), 5)

@@ -93,6 +93,27 @@ class LlmSpec extends SparkSpec {
     assert(all.nonEmpty)
   }
 
+  test("row-local MinHash signatures are bit-identical to the grouped forms") {
+    val corpus = Dedup.fixtureCorpus(
+      graft.Tables.load(spark, sfSmoke, "documents").filter(col("doc_id") < 60))
+    val sets = Dedup.shingleSets(corpus)
+    val shingles = Dedup.charShingles(corpus)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().map(_.toSeq).toSeq
+    // same hash, same set, same min — the PLAN is the only difference
+    assert(rows(Dedup.minHashSignaturesRowLocal(sets)) ===
+      rows(Dedup.minHashSignaturesWide(shingles)))
+    assert(rows(Dedup.minHashSignaturesRowLocalXx(sets)) ===
+      rows(Dedup.minHashSignaturesWideXx(shingles)))
+    // and the end-to-end pipeline's first exchange is the candidate
+    // join: no aggregate below it on the signature side
+    val plan = Dedup.minHashLshPairsRowLocal(corpus, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"),
+      "row-local verify must not rebuild sets with collect_list:\n" +
+        plan.take(800))
+  }
+
   test("xxhash64 MinHash family finds the same pairs as the md5 oracle twin") {
     val corpus = Dedup.fixtureCorpus(
       graft.Tables.load(spark, sfSmoke, "documents").filter(col("doc_id") < 60))
