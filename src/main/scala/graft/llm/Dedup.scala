@@ -71,14 +71,37 @@ object Dedup {
     * the set to leave the row, and the exploded frame only exists to
     * serve aggregation-based consumers. */
   def shingleSets(df: DataFrame, k: Int = 9, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val text = col(textCol)
-    val set = when(length(text) < k, array(text)).otherwise(
+      textCol: String = "text"): DataFrame =
+    df.select(col(idCol).as("id"), shingleSetCol(col(textCol), k).as("shingles"))
+
+  /** The distinct k-gram set as a COLUMN — the single definition both
+    * batch frames ([[shingleSets]], [[charShingles]] explodes the same
+    * expression) and the streaming per-row path build on. */
+  def shingleSetCol(text: Column, k: Int = 9): Column =
+    when(length(text) < k, array(text)).otherwise(
       array_distinct(transform(
         sequence(lit(1), length(text) - (k - 1)),
         i => substring(text, i, lit(k)))))
-    df.select(col(idCol).as("id"), set.as("shingles"))
-  }
+
+  /** xx-family fold-min signature COLUMNS over a shingle-set column
+    * (aliased sig_0..sig_{n-1}) — shared by
+    * [[minHashSignaturesRowLocalXx]] and the streaming signer. */
+  def minHashSigColsXx(shingles: Column, numHashes: Int = 16): Seq[Column] =
+    (0 until numHashes).map(i =>
+      aggregate(shingles, lit(Long.MaxValue),
+        (acc, s) => least(acc, xxhash64(lit(i), s))).as(s"sig_$i"))
+
+  /** LSH band/bucket pairs as an array-of-struct COLUMN over sig_*
+    * columns — the same md5(concat_ws) bucket derivation as
+    * [[lshBucketsWide]], for consumers that explode on the row
+    * (streaming) instead of stacking a frame. */
+  def lshBandStructs(numHashes: Int = 16, rowsPerBand: Int = 4): Column =
+    array((0 until numHashes / rowsPerBand).map { b =>
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"sig_$i").cast("string"))
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", slice: _*)).as("bucket"))
+    }: _*)
 
   /** Row-local 64-bit identities + set size of a shingle-set frame —
     * the map-only twin of `hashShingles(...).groupBy(id).collect_list`
@@ -229,11 +252,9 @@ object Dedup {
     * family, no md5 in the per-shingle loop; pure folds, no
     * intermediate arrays at all). */
   def minHashSignaturesRowLocalXx(sets: DataFrame,
-      numHashes: Int = 16): DataFrame = {
-    def sig(i: Int) = aggregate(col("shingles"), lit(Long.MaxValue),
-      (acc, s) => least(acc, xxhash64(lit(i), s))).as(s"sig_$i")
-    sets.select(col("id") +: (0 until numHashes).map(sig): _*)
-  }
+      numHashes: Int = 16): DataFrame =
+    sets.select(col("id") +:
+      minHashSigColsXx(col("shingles"), numHashes): _*)
 
   /** MinHash-LSH near-dup pairs on the row-local signature path:
     * map-only shingle sets → row-local signatures → row-local banding

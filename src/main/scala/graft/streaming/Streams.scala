@@ -121,6 +121,75 @@ object Streams {
       }
   }
 
+  case class DocEvent(doc_id: Long, ts: Timestamp, text: String)
+  case class BandedDoc(doc_id: Long, ts: Timestamp, band: Int, bucket: String)
+  case class BucketState(ids: Seq[Long], maxTs: Long)
+  case class NearDupCandidate(id_a: Long, id_b: Long, band: Int)
+
+  /** Streaming near-duplicate candidate detection — the streaming home
+    * of the row-local MinHash path: each arriving document is signed
+    * and banded ON ITS ROW ([[graft.llm.Dedup.minHashSigColsXx]] — a
+    * per-row fold needs no aggregation state, which is exactly why the
+    * row-local family exists), then keyed by (band, bucket). Per-bucket
+    * state remembers the ids seen inside the TTL horizon; each
+    * newcomer emits one candidate pair per stored id. The candidate
+    * criterion (bucket equality in ≥1 band) is the SAME as the batch
+    * `minHashLshPairs*` family — exact-verify/act is the caller's next
+    * stage, as in batch.
+    *
+    * State is bounded two ways: per-bucket ids cap at
+    * `maxIdsPerBucket` (a hot boilerplate bucket degrades gracefully,
+    * pairing newcomers only against the first exemplars instead of
+    * growing O(stream) state), and event-time timeout evicts a bucket
+    * once the watermark passes last-seen + `stateTtlMs`. A doc
+    * colliding in several bands emits one candidate per band — dedupe
+    * downstream with `dropDuplicatesWithinWatermark(id_a, id_b)` when
+    * exactly-once pairs matter. */
+  def nearDupCandidatesStream(docs: DataFrame,
+      watermark: String = "10 minutes", stateTtlMs: Long = 600000L,
+      numHashes: Int = 16, rowsPerBand: Int = 4, k: Int = 9,
+      maxIdsPerBucket: Int = 32)
+      (implicit spark: SparkSession): Dataset[NearDupCandidate] = {
+    import spark.implicits._
+    import graft.llm.Dedup
+    val signed = docs.withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        Dedup.shingleSetCol(col("text"), k).as("shingles"))
+      .select(col("doc_id") +: col("ts") +:
+        Dedup.minHashSigColsXx(col("shingles"), numHashes): _*)
+    val banded = signed
+      .select(col("doc_id"), col("ts"),
+        explode(Dedup.lshBandStructs(numHashes, rowsPerBand)).as("bb"))
+      .select(col("doc_id"), col("ts"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .as[BandedDoc]
+    banded.groupByKey(d => (d.band, d.bucket))
+      .flatMapGroupsWithState[BucketState, NearDupCandidate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        case ((band, _), rows, state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var ids = state.getOption.map(_.ids.toVector).getOrElse(Vector.empty)
+            var maxTs = state.getOption.map(_.maxTs).getOrElse(0L)
+            val out = Vector.newBuilder[NearDupCandidate]
+            // doc_id order makes same-batch pairing deterministic
+            rows.toVector.sortBy(_.doc_id).foreach { d =>
+              if (!ids.contains(d.doc_id)) {
+                ids.foreach { prev =>
+                  out += NearDupCandidate(
+                    math.min(prev, d.doc_id), math.max(prev, d.doc_id), band)
+                }
+                if (ids.size < maxIdsPerBucket) ids :+= d.doc_id
+              }
+              maxTs = math.max(maxTs, d.ts.getTime)
+            }
+            state.update(BucketState(ids, maxTs))
+            state.setTimeoutTimestamp(maxTs + stateTtlMs)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Stream-stream inner join with an event-time interval: left events
     * matched to right events of the same user whose time falls in
     * [left.ts, left.ts + joinWindow] — the click→conversion attribution

@@ -246,4 +246,52 @@ class StreamsSpec extends SparkSpec {
       assert(byUser.contains((11L, 1L, 5.0, true)))
     } finally query.stop()
   }
+
+  test("nearDupCandidatesStream finds the batch LSH candidate pairs incrementally") {
+    implicit val sq = spark.sqlContext
+    implicit val sp = spark
+    import spark.implicits._
+    import graft.llm.Dedup
+    import org.apache.spark.sql.functions.col
+    // the batch fixture corpus (originals + near-dup tails + copies)
+    val corpus = Dedup.fixtureCorpus(
+      graft.Tables.load(spark, sfSmoke, "documents").filter(col("doc_id") < 40))
+    // batch candidate criterion: bucket equality in >= 1 band on the
+    // SAME xx signature family
+    val buckets = Dedup.lshBucketsWide(
+      Dedup.minHashSignaturesWideXx(Dedup.charShingles(corpus)))
+    val batchPairs = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchPairs.nonEmpty, "fixture must contain near-dups")
+
+    // stream the same docs in two micro-batches (split across batches
+    // so cross-batch state is exercised), all inside the TTL horizon
+    val docs = corpus.collect().map(r =>
+      Streams.DocEvent(r.getLong(0), ts(1), r.getString(1))).sortBy(_.doc_id)
+    val (first, second) = docs.splitAt(docs.length / 2)
+    val input = MemoryStream[Streams.DocEvent]
+    val query = Streams.nearDupCandidatesStream(input.toDF())
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(first.toSeq); query.processAllAvailable()
+      input.addData(second.toSeq); query.processAllAvailable()
+      val streamed = spark.table("neardup")
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // same criterion, same signatures -> same (unordered) pair set;
+      // per-band duplicates collapse in the set
+      assert(streamed === batchPairs,
+        s"missed ${batchPairs -- streamed}, invented ${streamed -- batchPairs}")
+      // replaying batch one adds nothing (ids already in bucket state)
+      input.addData(first.toSeq); query.processAllAvailable()
+      val after = spark.table("neardup")
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after === batchPairs, "replay must not re-emit pairs")
+    } finally query.stop()
+  }
 }
