@@ -1,0 +1,71 @@
+package graft
+
+import graft.analytics.TraceAnalytics
+import graft.ml.RuntimePrediction
+import graft.sources.{Ingest, WorkloadRunner}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The reference's studies replicated end-to-end on SELF-PRODUCED
+  * data: run the full 99-query corpus twice through WorkloadRunner
+  * (the reference's run_workload loop), then drive study 1 (runtime
+  * variance: per-run means, across-run summary, per-query CV —
+  * table_1/table_2 analytics) and study 3 (RF runtime prediction from
+  * SQL-text embeddings — models/RF) from the logs this library itself
+  * wrote. The unit suites pin each stage on fixtures; this pins the
+  * HANDOFFS — log field names, query-id joins, label columns — the
+  * way a real user of the reference chains them. */
+class StudyReplicationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val qdir = "/root/repo/workloads/tpcds_like"
+
+  test("variance analytics + RF prediction run on self-produced workload logs") {
+    graft.Tables.registerAll(spark, sfSmoke)
+    val outDir = Files.createTempDirectory("graft_study").toString
+
+    // -- the reference's execution loop, twice (study 1 needs >=2 runs)
+    val r1 = WorkloadRunner.runWorkload(spark, qdir, outDir, attempt = 1)
+    val r2 = WorkloadRunner.runWorkload(spark, qdir, outDir, attempt = 2)
+    assert(r1.size === 99 && r2.size === 99)
+    assert((r1 ++ r2).forall(_.runtimeS >= 0), "no query may fail")
+
+    // -- study 1: variance analytics over the run logs
+    val logs = TraceAnalytics.withRunId(
+      spark.read.json(s"$outDir/Workload_log_run_*.ndjson"))
+    val runMeans = TraceAnalytics.perRunMean(logs, "run", "Runtime (s)")
+    assert(runMeans.count() === 2)
+    val summary = TraceAnalytics.summarize(runMeans).head()
+    assert(summary.getDouble(0) > 0, "avg runtime must be positive")
+    assert(!summary.getDouble(1).isNaN, "std over 2 runs must exist")
+    val cv = TraceAnalytics.perQueryCv(logs, "query_id", "Runtime (s)", 2)
+    assert(cv.count() === 99, "every query needs exactly 2 samples")
+    assert(cv.filter(col("cv_pct") < 0).isEmpty)
+
+    // -- study 3: RF runtime prediction from (SQL text, measured runtime)
+    val texts = Ingest.loadQueryFiles(qdir).toSeq.toDF("query_id", "SQL")
+    val data = logs.filter(col("run") === 1).join(texts, "query_id")
+      .select(col("query_id"), col("SQL"),
+        col("Runtime (s)").as("runtime_s"))
+    assert(data.count() === 99, "every log row must find its SQL text")
+
+    val dim = 16
+    val emb = RuntimePrediction.flattenEmbedding(
+      RuntimePrediction.meanPoolEmbedding(data, "SQL", dim), dim)
+    val feats = RuntimePrediction.buildFeatures(emb, dim).fit(emb)
+      .transform(emb)
+    val model = RuntimePrediction.trainRf(feats, numFolds = 3,
+      trees = Seq(20), depths = Seq(5)).fit(feats)
+    val scored = model.transform(feats)
+
+    val maeRow = RuntimePrediction.mae(scored, "prediction", "runtime_s")
+      .head()
+    assert(maeRow.getDouble(0) >= 0 && !maeRow.getDouble(0).isNaN)
+    val qe = RuntimePrediction.qerror(scored, "prediction", "runtime_s")
+      .head()
+    // q-error is >= 1 by construction; in-sample on 99 rows it should
+    // be modest — a blown-up P50 means the text/label handoff broke
+    assert(qe.getDouble(0) >= 1.0 && qe.getDouble(0) < 10.0,
+      s"P50 q-error ${qe.getDouble(0)} out of range")
+  }
+}
