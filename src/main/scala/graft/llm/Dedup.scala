@@ -391,6 +391,70 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 
+  // ------------------------------------------------------- clustering
+
+  /** Connected components over a near-dup pair graph — the step a
+    * dedup pipeline needs AFTER pairs: transitively-linked documents
+    * (A~B, B~C but never A~C) must land in ONE cluster so exactly one
+    * survives. Hash-min label propagation: every vertex starts
+    * labelled with its own id and repeatedly takes the min of its
+    * neighbours' labels until fixpoint — O(component diameter)
+    * rounds, each one equi-join + one groupBy, all distributed; the
+    * driver only steers the loop and checks convergence (a 1-row
+    * count), never holds vertices. Near-dup components are shallow
+    * (stars around an original), so rounds stay in single digits even
+    * at corpus scale; `maxIter` guards pathological chains and
+    * non-convergence throws rather than returning a wrong labelling.
+    *
+    * Lineage is cut with an EAGER localCheckpoint each round —
+    * iterative self-referencing plans otherwise grow the optimizer's
+    * work exponentially with the round count.
+    *
+    * Output: (id, cluster_id = min id of the component), one row per
+    * vertex that appears in `pairs`; unpaired documents are trivially
+    * their own cluster and never enter the graph. */
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("label").as("nlabel"))
+      val updated = labels.as("l")
+        .join(neighborMin.as("n"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("l.label"), coalesce(col("n.nlabel"), col("l.label")))
+            .as("label"))
+        .localCheckpoint(true)
+      converged = updated.as("u")
+        .join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("u.label") =!= col("old"))
+        .isEmpty
+      labels = updated
+      i += 1
+    }
+    require(converged,
+      s"nearDupClusters did not converge in $maxIter rounds — raise maxIter")
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Keep exactly one document per near-dup cluster (the minimum id,
+    * i.e. the cluster label): drops every vertex whose id differs from
+    * its cluster_id; documents outside the pair graph pass through. */
+  def keepOnePerCluster(docs: DataFrame, clusters: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    docs.join(
+      clusters.filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   // --------------------------------------------------------- SimHash
 
   /** 32-bit SimHash over lowercase whitespace tokens (frequency-
@@ -612,6 +676,14 @@ object Dedup {
     minHashLshPairsRowLocal(fixtureCorpus(docsSmall(s, dir)), 0.5)
       .orderBy("id_a", "id_b")
 
+  /** Clusters over the oracle-verified MinHash pair graph; the DuckDB
+    * twin computes the same components with a recursive CTE, so the
+    * distributed label-propagation loop is hash-compared against a
+    * declarative fixpoint. */
+  private val dedupClusters: Q = (s, dir) =>
+    nearDupClusters(minHashLshPairs(fixtureCorpus(docsSmall(s, dir)), 0.5))
+      .orderBy("id")
+
   private val dedupSimHash: Q = (s, dir) =>
     simHash(fixtureCorpus(docsSmall(s, dir)))
       .select(col("id").as("doc_id"), col("simhash"))
@@ -640,6 +712,7 @@ object Dedup {
     "dedup_ngram_jaccard"    -> dedupJaccard,
     "dedup_minhash_lsh"      -> dedupMinHashLsh,
     "dedup_minhash_rowlocal" -> dedupMinHashRowLocal,
+    "dedup_clusters"         -> dedupClusters,
     "dedup_simhash"          -> dedupSimHash,
     "dedup_simhash_pairs"    -> dedupSimHashPairs,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
@@ -728,6 +801,33 @@ object Dedup {
          |  / (sa.set_size + sb.set_size - i.n_common) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin
 
+  /** Recursive-CTE connected components over the MinHash pair graph:
+    * reach(id, label) closes over the (undirected) edge list and the
+    * min reachable id is the cluster label. The pair derivation is
+    * [[minHashOracleSql]]'s text verbatim, refolded into a `pairs`
+    * CTE, so the cluster oracle can never drift from the pair
+    * oracle. */
+  private val clustersOracleSql: String = {
+    val noOrder = minHashOracleSql.stripSuffix("\nORDER BY id_a, id_b")
+    val idx = noOrder.lastIndexOf("SELECT i.id_a")
+    require(idx > 0, "minHashOracleSql shape changed")
+    val (ctes, finalSel) = noOrder.splitAt(idx)
+    s"""${ctes.trim.stripSuffix(",").replaceFirst("^WITH ", "WITH RECURSIVE ")},
+       |pairs AS (
+       |${finalSel.trim}),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM pairs),
+       |verts AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, label) AS (
+       |  SELECT id, id FROM verts
+       |  UNION
+       |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
+       |SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id
+       |ORDER BY id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       s"""WITH corpus AS ($corpusSql)
@@ -743,6 +843,8 @@ object Dedup {
     "dedup_minhash_lsh" -> minHashOracleSql,
 
     "dedup_minhash_rowlocal" -> minHashOracleSql,
+
+    "dedup_clusters" -> clustersOracleSql,
 
     "dedup_simhash" ->
       s"""WITH corpus AS ($corpusSmallSql),

@@ -289,4 +289,49 @@ class LlmSpec extends SparkSpec {
       assert(df.count() > 0, s"query $name returned no rows")
     }
   }
+
+  test("nearDupClusters equals a union-find over the same pairs; keepOne filters") {
+    import spark.implicits._
+    val corpus = Dedup.fixtureCorpus(
+      graft.Tables.load(spark, sfSmoke, "documents").filter(col("doc_id") < 60))
+    val pairs = Dedup.minHashLshPairs(corpus, 0.5)
+    val edges = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+
+    // brute-force union-find on the driver as the independent answer
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(v => v -> find(v)).toMap
+
+    val got = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+
+    // transitivity materialized: a base doc, its near-dup tail and its
+    // exact copy connect through the base even without a direct pair —
+    // every doc divisible by 35 has both companions in the fixture
+    val tripleBases = got.keys.filter(id => id < 10000 && id % 35 == 0)
+    tripleBases.foreach { d =>
+      assert(got.get(d + 10000).contains(got(d)), s"near-dup of $d")
+      assert(got.get(d + 20000).contains(got(d)), s"copy of $d")
+    }
+
+    // keepOnePerCluster: exactly one survivor per cluster, pass-through
+    // for unpaired docs
+    val kept = Dedup.keepOnePerCluster(corpus, Dedup.nearDupClusters(pairs))
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val clustered = got.keys.toSet
+    assert(keptIds.intersect(clustered) === got.values.toSet,
+      "survivors inside the graph must be exactly the cluster labels")
+    val all = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((all -- clustered).subsetOf(keptIds), "unpaired docs pass through")
+  }
 }
