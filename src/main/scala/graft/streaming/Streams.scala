@@ -190,6 +190,42 @@ object Streams {
       }
   }
 
+  case class RankedEvent(event_type: String, event_id: Long, value: Double,
+      rank: Int)
+
+  /** Streaming twin of the custom batch operator
+    * [[graft.plans.TopKPerKey]]: a bounded per-key top-k maintained
+    * incrementally. State per key is ONLY the current k best
+    * (value desc, event_id asc ties) — the same bounded-heap
+    * guarantee as the batch exec, so a hot key holds k rows of state
+    * no matter how many events it receives. Emits the key's full
+    * refreshed top-k whenever a batch changes it (update-mode
+    * semantics: downstream overwrites per (event_type, rank)). */
+  def topKPerKeyStream(events: Dataset[Event], k: Int = 5,
+      watermark: String = "10 minutes")
+      (implicit spark: SparkSession): Dataset[RankedEvent] = {
+    import spark.implicits._
+    val ord = Ordering.by[(Double, Long), (Double, Long)] {
+      case (v, id) => (-v, id)
+    }
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[Seq[(Double, Long)], RankedEvent](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[Seq[(Double, Long)]]) =>
+          val current = state.getOption.getOrElse(Seq.empty)
+          val merged = (current ++ rows.map(e => (e.value, e.event_id)))
+            .distinct.sorted(ord).take(k)
+          if (merged == current) Iterator.empty
+          else {
+            state.update(merged)
+            merged.iterator.zipWithIndex.map { case ((v, id), i) =>
+              RankedEvent(key, id, v, i + 1)
+            }
+          }
+      }
+  }
+
   /** Stream-stream inner join with an event-time interval: left events
     * matched to right events of the same user whose time falls in
     * [left.ts, left.ts + joinWindow] — the click→conversion attribution

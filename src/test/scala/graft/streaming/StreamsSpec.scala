@@ -294,4 +294,47 @@ class StreamsSpec extends SparkSpec {
       assert(after === batchPairs, "replay must not re-emit pairs")
     } finally query.stop()
   }
+
+  test("topKPerKeyStream maintains the batch top-k incrementally with bounded state") {
+    implicit val sq = spark.sqlContext
+    implicit val sp = spark
+    import spark.implicits._
+    val input = MemoryStream[Streams.Event]
+    val query = Streams.topKPerKeyStream(input.toDS(), k = 3)
+      .writeStream.format("memory").queryName("topkst")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        Streams.Event(1, ts(1), 10, "view", 5.0),
+        Streams.Event(2, ts(1), 10, "view", 9.0),
+        Streams.Event(3, ts(1), 10, "click", 7.0))
+      query.processAllAvailable()
+      // a new high arrives later; a low one that cannot enter top-3 too
+      input.addData(
+        Streams.Event(4, ts(2), 11, "view", 8.0),
+        Streams.Event(5, ts(2), 11, "view", 1.0),
+        Streams.Event(6, ts(2), 11, "view", 6.0))
+      query.processAllAvailable()
+      // the value at a given (key, rank) only improves as events
+      // arrive, so the final top-k is the per-rank maximum across all
+      // update emissions (max_by is order-independent, unlike last())
+      val fin = spark.sql(
+        """SELECT event_type, rank,
+          |  max_by(event_id, struct(value, -event_id)) AS event_id,
+          |  max(value) AS value
+          |FROM topkst GROUP BY event_type, rank""".stripMargin)
+      val view = fin.filter($"event_type" === "view")
+        .orderBy("rank").collect().map(r => (r.getLong(2), r.getDouble(3)))
+      assert(view.toSeq === Seq((2L, 9.0), (4L, 8.0), (6L, 6.0)),
+        s"got ${view.toSeq}")
+      val click = fin.filter($"event_type" === "click").collect()
+      assert(click.length === 1 && click.head.getLong(2) === 3L)
+      // an event below the current top-3 changes nothing -> no emission
+      val before = spark.table("topkst").count()
+      input.addData(Streams.Event(7, ts(3), 12, "view", 0.5))
+      query.processAllAvailable()
+      assert(spark.table("topkst").count() === before,
+        "sub-top event must not re-emit the key")
+    } finally query.stop()
+  }
 }
