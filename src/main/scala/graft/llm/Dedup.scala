@@ -108,7 +108,7 @@ object Dedup {
     * (what [[verifyJaccard]] otherwise rebuilds with a shuffle). */
   def hashedShingleSets(sets: DataFrame): DataFrame =
     sets.select(col("id"),
-      transform(col("shingles"), s => xxhash64(s)).as("sh"),
+      array_sort(transform(col("shingles"), s => xxhash64(s))).as("sh"),
       size(col("shingles")).cast("long").as("set_size"))
 
   /** Pairwise Jaccard via candidate-then-verify: candidates come from a
@@ -368,14 +368,21 @@ object Dedup {
     // column itself, so the set frame carries scan-sized rows, never
     // pair-sized blowup.
     val sets = shingles.groupBy("id")
-      .agg(collect_list("shingle").as("sh"), count(lit(1)).as("set_size"))
+      .agg(array_sort(collect_list("shingle")).as("sh"),
+        count(lit(1)).as("set_size"))
     verifyJaccardSets(candidates, sets, threshold)
   }
 
   /** The set-join verify kernel over prebuilt per-doc arrays
-    * `(id, sh, set_size)` — consumed directly by the zero-shuffle path
+    * `(id, sh, set_size)` — consumed directly by the row-local path
     * ([[hashedShingleSets]] builds the frame map-only) and by
-    * [[verifyJaccard]] after its aggregation. */
+    * [[verifyJaccard]] after its aggregation. `sh` arrays must be
+    * SORTED (both builders array_sort once per document): the
+    * intersection is then a codegen'd two-cursor merge walk
+    * ([[graft.functions.SortedIntersectSize]]) instead of
+    * array_intersect's per-pair hash-set build — the per-pair cost
+    * drops to zero allocation, and candidates touch each doc's array
+    * many times so the one-time sort amortizes. */
   def verifyJaccardSets(candidates: DataFrame, sets: DataFrame,
       threshold: Double): DataFrame =
     candidates
@@ -384,7 +391,8 @@ object Dedup {
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"),
         col("set_size").as("size_b")), "id_b")
       .withColumn("n_common",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        graft.functions.SortedIntersectSize.sortedIntersectSize(
+          col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("size_a") + col("size_b") - col("n_common")))
