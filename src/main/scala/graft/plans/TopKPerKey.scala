@@ -104,10 +104,35 @@ object TopKPerKeyStrategy extends SparkStrategy {
 }
 
 /** Production registration: `--conf spark.sql.extensions=
-  * graft.plans.GraftExtensions` plants the strategy in every session. */
+  * graft.plans.GraftExtensions` plants the WHOLE native tier in every
+  * session — the TopKPerKey planner strategy plus the four codegen
+  * expressions (parse_duration_native, rolling_hash_native, dot_native,
+  * sorted_intersect_size), so SQL users get them without any driver
+  * code. The per-session `register(spark)` helpers on each function
+  * object remain for notebook use. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  import graft.functions.{DotProduct, ParseDuration, RollingHash,
+    SortedIntersectSize}
+
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    ext.injectFunction((FunctionIdentifier("parse_duration_native"),
+      new ExpressionInfo(classOf[ParseDuration].getName,
+        "parse_duration_native"),
+      exprs => ParseDuration(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("rolling_hash_native"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash_native"),
+      exprs => RollingHash(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("dot_native"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_native"),
+      exprs => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName,
+        "sorted_intersect_size"),
+      exprs => SortedIntersectSize(exprs(0), exprs(1))))
+  }
 }
 
 object TopKPerKey {

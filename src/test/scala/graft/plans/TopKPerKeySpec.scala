@@ -55,4 +55,36 @@ class TopKPerKeySpec extends SparkSpec {
       .collect().map(_.getInt(1)).toSet
     assert(global === Set(3, 2))
   }
+
+  test("GraftExtensions plants the strategy and the full native function tier") {
+    import org.apache.spark.sql.SparkSession
+    // a FRESH session built with the extensions (shares the context);
+    // getOrCreate would return the spec session, so clear first
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder().master(spark.sparkContext.master)
+      .config("spark.sql.shuffle.partitions", "2")
+      .withExtensions(new GraftExtensions())
+      .getOrCreate()
+    try {
+      assert(ext ne spark, "must be a fresh session")
+      // all four codegen expressions resolve as SQL functions
+      assert(ext.sql("SELECT parse_duration_native('2m')").head.getDouble(0)
+        === 120.0)
+      // ((0*131+97)*131+98)*131+99 mod 1e9+7
+      assert(ext.sql("SELECT rolling_hash_native('abc')").head.getLong(0)
+        === 1677554L)
+      assert(ext.sql(
+        "SELECT dot_native(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+        .head.getDouble(0) === 11.0)
+      assert(ext.sql(
+        "SELECT sorted_intersect_size(array(1L, 3L, 5L), array(3L, 5L, 7L))")
+        .head.getLong(0) === 2L)
+      // the planner strategy rides in without any driver-side call
+      assert(ext.sessionState.planner.strategies.contains(TopKPerKeyStrategy),
+        "TopKPerKeyStrategy must be injected")
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
 }
