@@ -703,7 +703,7 @@ object Dedup {
         col("hamming").cast("long").as("hamming"))
       .orderBy("id_a", "id_b")
 
-  private val dedupEmbeddingCosine: Q = (s, dir) => {
+  private def cosineFixturePairs(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 200)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "e")))
       .select(col("vec_id").as("id"), (col("pos") + 1).as("i"),
@@ -712,8 +712,16 @@ object Dedup {
       .select((col("id") + 10000).as("id"), col("i"),
         (col("e_micro") + lit(10000) * ((col("i") % 3) - 1)).as("e_micro"))
     cosineNearDupPairs(base.unionByName(variants), 0.9)
-      .orderBy("id_a", "id_b")
   }
+
+  private val dedupEmbeddingCosine: Q = (s, dir) =>
+    cosineFixturePairs(s, dir).orderBy("id_a", "id_b")
+
+  /** Clustering composes across similarity families: the SAME
+    * label-propagation loop over the cosine pair graph, gated by the
+    * recursive-CTE refold of the cosine pair oracle. */
+  private val dedupCosineClusters: Q = (s, dir) =>
+    nearDupClusters(cosineFixturePairs(s, dir)).orderBy("id")
 
   val queries: Map[String, Q] = Map(
     "dedup_exact"            -> dedupExact,
@@ -724,6 +732,7 @@ object Dedup {
     "dedup_simhash"          -> dedupSimHash,
     "dedup_simhash_pairs"    -> dedupSimHashPairs,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
+    "dedup_cosine_clusters"  -> dedupCosineClusters,
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -815,10 +824,18 @@ object Dedup {
     * [[minHashOracleSql]]'s text verbatim, refolded into a `pairs`
     * CTE, so the cluster oracle can never drift from the pair
     * oracle. */
-  private val clustersOracleSql: String = {
-    val noOrder = minHashOracleSql.stripSuffix("\nORDER BY id_a, id_b")
-    val idx = noOrder.lastIndexOf("SELECT i.id_a")
-    require(idx > 0, "minHashOracleSql shape changed")
+  private val clustersOracleSql: String =
+    clustersOverPairOracle(minHashOracleSql, "SELECT i.id_a")
+
+  /** Refold ANY pair oracle of the shape `WITH <ctes> SELECT <pairs>
+    * ORDER BY id_a, id_b` into the recursive-components query — the
+    * single definition behind every `dedup_*_clusters` oracle, so a
+    * cluster oracle can never drift from its pair oracle. */
+  private def clustersOverPairOracle(pairOracle: String,
+      finalSelMarker: String): String = {
+    val noOrder = pairOracle.stripSuffix("\nORDER BY id_a, id_b")
+    val idx = noOrder.lastIndexOf(finalSelMarker)
+    require(idx > 0, "pair oracle shape changed")
     val (ctes, finalSel) = noOrder.splitAt(idx)
     s"""${ctes.trim.stripSuffix(",").replaceFirst("^WITH ", "WITH RECURSIVE ")},
        |pairs AS (
@@ -835,6 +852,35 @@ object Dedup {
        |SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id
        |ORDER BY id""".stripMargin
   }
+
+  private val cosineOracleSql: String =
+    """WITH base AS (
+        |  SELECT vec_id AS id, i,
+        |    CAST(ROUND(embedding[i] * 1e6) AS BIGINT) AS e_micro
+        |  FROM embeddings e, generate_series(1, 64) t(i)
+        |  WHERE vec_id < 200),
+        |elems AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT id + 10000, i, e_micro + 10000 * ((i % 3) - 1)
+        |  FROM base WHERE id % 5 = 0),
+        |norms AS (
+        |  SELECT id, SUM(e_micro * e_micro) AS norm2 FROM elems GROUP BY id),
+        |dots AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, SUM(a.e_micro * b.e_micro) AS dot
+        |  FROM elems a JOIN elems b ON a.i = b.i AND a.id < b.id
+        |  GROUP BY a.id, b.id)
+        |SELECT d.id_a, d.id_b,
+        |  CAST(d.dot AS DOUBLE)
+        |    / (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE)))
+        |    AS cosine
+        |FROM dots d
+        |JOIN norms na ON d.id_a = na.id
+        |JOIN norms nb ON d.id_b = nb.id
+        |WHERE CAST(d.dot AS DOUBLE)
+        |  / (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE)))
+        |  >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -906,33 +952,9 @@ object Dedup {
          |WHERE bit_count(xor(sh_a, sh_b)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
 
-    "dedup_embedding_cosine" ->
-      """WITH base AS (
-        |  SELECT vec_id AS id, i,
-        |    CAST(ROUND(embedding[i] * 1e6) AS BIGINT) AS e_micro
-        |  FROM embeddings e, generate_series(1, 64) t(i)
-        |  WHERE vec_id < 200),
-        |elems AS (
-        |  SELECT * FROM base
-        |  UNION ALL
-        |  SELECT id + 10000, i, e_micro + 10000 * ((i % 3) - 1)
-        |  FROM base WHERE id % 5 = 0),
-        |norms AS (
-        |  SELECT id, SUM(e_micro * e_micro) AS norm2 FROM elems GROUP BY id),
-        |dots AS (
-        |  SELECT a.id AS id_a, b.id AS id_b, SUM(a.e_micro * b.e_micro) AS dot
-        |  FROM elems a JOIN elems b ON a.i = b.i AND a.id < b.id
-        |  GROUP BY a.id, b.id)
-        |SELECT d.id_a, d.id_b,
-        |  CAST(d.dot AS DOUBLE)
-        |    / (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE)))
-        |    AS cosine
-        |FROM dots d
-        |JOIN norms na ON d.id_a = na.id
-        |JOIN norms nb ON d.id_b = nb.id
-        |WHERE CAST(d.dot AS DOUBLE)
-        |  / (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE)))
-        |  >= 0.9
-        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_embedding_cosine" -> cosineOracleSql,
+
+    "dedup_cosine_clusters" ->
+      clustersOverPairOracle(cosineOracleSql, "SELECT d.id_a"),
   )
 }
