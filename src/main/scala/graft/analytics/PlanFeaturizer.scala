@@ -73,6 +73,15 @@ object PlanFeaturizer {
     case _: SortExec               => "PartialSort"
     case _: TakeOrderedAndProjectExec => "Output"
     case _: LocalTableScanExec     => "Values"
+    // r3: the workload-corpus sweep (StudyReplicationSpec) surfaced
+    // these as "Unknown" — all have direct Trino-vocab analogs
+    case _: org.apache.spark.sql.execution.window.WindowExec => "Window"
+    case _: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+      "TopNRanking"
+    case _: ExpandExec             => "GroupId"
+    case _: GenerateExec           => "Unnest"
+    case _: UnionExec              => "Union"
+    case _: GlobalLimitExec | _: LocalLimitExec => "Limit"
     case _                         => "Unknown"
   }
 

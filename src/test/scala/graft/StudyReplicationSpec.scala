@@ -67,5 +67,31 @@ class StudyReplicationSpec extends SparkSpec {
     // be modest — a blown-up P50 means the text/label handoff broke
     assert(qe.getDouble(0) >= 1.0 && qe.getDouble(0) < 10.0,
       s"P50 q-error ${qe.getDouble(0)} out of range")
+
+    // -- the GNN-analog handoff: featurize every workload query's
+    // executed plan (the reference scrapes these from Trino's UI; we
+    // walk queryExecution directly) and check the node vocabulary
+    // stays inside the §2.B opname set across the WHOLE corpus
+    import graft.analytics.PlanFeaturizer
+    val vocab = scala.collection.mutable.Map[String, Long]()
+    var nodeTotal = 0L
+    for ((_, sql) <- Ingest.loadQueryFiles(qdir)) {
+      val (nodes, edgesDf) = PlanFeaturizer.featurize(spark, spark.sql(sql))
+      val ops = nodes.select("opname").collect().map(_.getString(0))
+      ops.foreach(o => vocab(o) = vocab.getOrElse(o, 0L) + 1)
+      nodeTotal += ops.length
+      assert(edgesDf.count() >= ops.length - 1, "plan must be connected")
+    }
+    assert(nodeTotal > 500, s"corpus-wide node count $nodeTotal too small")
+    // the heavy relational shapes must all appear somewhere in 99 plans
+    // (Trino-vocab names, PlanFeaturizer.opname)
+    Seq("ScanFilterProject", "Aggregate_PARTIAL", "Aggregate_FINAL",
+      "InnerJoin_REPLICATED", "Window", "GroupId", "Output")
+      .foreach(op => assert(vocab.contains(op), s"missing opname $op"))
+    // and the vocabulary actually covers the corpus: un-mapped nodes
+    // stay a sliver, not a bucket the GNN analog would starve on
+    val unknown = vocab.getOrElse("Unknown", 0L)
+    assert(unknown.toDouble / nodeTotal < 0.05,
+      s"$unknown of $nodeTotal nodes un-mapped")
   }
 }
