@@ -77,6 +77,12 @@ object BenchExtra {
     "bench_minhash_rowlocal_xx_full" -> ((s, dir) =>
       Dedup.minHashLshPairsRowLocal(
         Dedup.fixtureCorpus(docs(s, dir)), 0.5, xx = true)),
+    "bench_clusters_full" -> ((s, dir) =>
+      // connected components over the FULL-corpus xx pair graph — the
+      // iterative label-propagation loop measured at bench volume
+      // (the oracle key runs it on the clamped fixture only)
+      Dedup.nearDupClusters(Dedup.minHashLshPairsXxFromShingles(
+        Dedup.charShingles(Dedup.fixtureCorpus(docs(s, dir))), 0.5))),
     "bench_ann_lsh_full" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") % 50 === 0), 5)
