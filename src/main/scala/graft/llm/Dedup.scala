@@ -723,8 +723,18 @@ object Dedup {
   private val dedupCosineClusters: Q = (s, dir) =>
     nearDupClusters(cosineFixturePairs(s, dir)).orderBy("id")
 
+  /** End-to-end survivor semantics — the user-facing dedup outcome:
+    * pairs → components → exactly one (minimum-id) doc per cluster,
+    * unpaired docs passing through. */
+  private val dedupKeepOne: Q = (s, dir) => {
+    val corpus = fixtureCorpus(docsSmall(s, dir))
+    keepOnePerCluster(corpus, nearDupClusters(minHashLshPairs(corpus, 0.5)))
+      .select("doc_id").orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact"            -> dedupExact,
+    "dedup_keep_one"         -> dedupKeepOne,
     "dedup_ngram_jaccard"    -> dedupJaccard,
     "dedup_minhash_lsh"      -> dedupMinHashLsh,
     "dedup_minhash_rowlocal" -> dedupMinHashRowLocal,
@@ -899,6 +909,22 @@ object Dedup {
     "dedup_minhash_rowlocal" -> minHashOracleSql,
 
     "dedup_clusters" -> clustersOracleSql,
+
+    "dedup_keep_one" -> {
+      // refold the components query one level further: its final
+      // SELECT becomes a `comp` CTE, survivors anti-select against it
+      val noOrder = clustersOracleSql.stripSuffix("\nORDER BY id")
+      val idx = noOrder.lastIndexOf("SELECT id, MIN(label)")
+      require(idx > 0, "clusters oracle shape changed")
+      val (ctes, finalSel) = noOrder.splitAt(idx)
+      s"""${ctes.trim.stripSuffix(",")},
+         |comp AS (
+         |${finalSel.trim})
+         |SELECT doc_id FROM corpus
+         |WHERE doc_id NOT IN (
+         |  SELECT id FROM comp WHERE id <> cluster_id)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "dedup_simhash" ->
       s"""WITH corpus AS ($corpusSmallSql),
