@@ -53,22 +53,33 @@ object Scale {
   /** Distributed exclusive prefix sums — the 100 TB path for
     * [[graft.scheduling.Carbon.prefixSums]]'s single-partition global
     * window: (1) bucket the axis by range, (2) per-bucket partial sums
-    * (parallel), (3) cumulate the |buckets|-row offsets frame (tiny,
-    * single partition is correct there), (4) broadcast offsets back and
-    * window only WITHIN each bucket (parallel). Decimal-exact, so the
-    * result is bit-identical to the single-window form. */
+    * (parallel), (3) fold the ≤`numBuckets` partials into exclusive
+    * offsets on the driver (constant-size, so no global WindowExec
+    * anywhere in the plan), (4) broadcast offsets back and window only
+    * WITHIN each bucket (parallel). Decimal-exact, so the result is
+    * bit-identical to the single-window form. */
   def prefixSumsDistributed(slots: DataFrame, slotCol: String = "slot",
       ciCol: String = "ci", numBuckets: Int = 32): DataFrame = {
+    val spark = slots.sparkSession
     val maxSlot = slots.agg(max(col(slotCol))).head().getLong(0)
     val width = math.max(1L, maxSlot / numBuckets + 1)
     val bucketed = slots.withColumn("__bucket", (col(slotCol) / width).cast("long"))
     val partials = bucketed.groupBy("__bucket")
       .agg(sum(col(ciCol).cast(D)).as("__bucket_sum"))
-    val offsets = partials.withColumn("__offset",
-      coalesce(sum(col("__bucket_sum")).over(
-        Window.orderBy("__bucket")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0).cast(D)))
-      .select("__bucket", "__offset")
+      .orderBy("__bucket").collect()
+    var running = java.math.BigDecimal.ZERO
+    val offsetRows = partials.map { r =>
+      val off = running
+      val s = r.getDecimal(1)
+      if (s != null) running = running.add(s)
+      org.apache.spark.sql.Row(r.getLong(0), off)
+    }
+    val offsets = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsetRows.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__bucket",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__offset", D, nullable = false))))
     val withinW = Window.partitionBy("__bucket").orderBy(col(slotCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     bucketed
@@ -77,6 +88,51 @@ object Scale {
         (col("__offset") +
           coalesce(sum(col(ciCol).cast(D)).over(withinW), lit(0).cast(D)))
           .cast("double"))
+      .drop("__bucket", "__offset")
+  }
+
+  /** Distributed global row_number: the 100 TB path for
+    * `row_number().over(Window.orderBy(...))`. `bucketKey` must be a
+    * non-null numeric (or castable-to-double) column monotone in the
+    * ordering — usually the leading order key. Rows are range-bucketed
+    * on it, per-bucket counts fold into exclusive offsets on the driver
+    * (≤`numBuckets` rows), and ranks are assigned only WITHIN each
+    * bucket, so no single task ever sorts the whole frame. Equal bucket
+    * keys always land in the same bucket, so the result matches the
+    * global form wherever the full ordering is unique. */
+  def rowNumberDistributed(df: DataFrame, bucketKey: Column,
+      orderCols: Seq[Column], outCol: String, numBuckets: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val bounds = df.agg(min(bucketKey).cast("double"),
+      max(bucketKey).cast("double")).head()
+    if (bounds.isNullAt(0))  // empty input: any rank column is vacuous
+      return df.withColumn(outCol, lit(0L))
+    val lo = bounds.getDouble(0)
+    val hi = bounds.getDouble(1)
+    val width = if (hi > lo) (hi - lo) / numBuckets else 1.0
+    def bucketOf(c: Column): Column =
+      least(floor((c.cast("double") - lit(lo)) / lit(width)).cast("int"),
+        lit(numBuckets - 1))
+    val bucketed = df.withColumn("__bucket", bucketOf(bucketKey))
+    val counts = bucketed.groupBy("__bucket").agg(count(lit(1)).as("__cnt"))
+      .orderBy("__bucket").collect()
+    var running = 0L
+    val offsetRows = counts.map { r =>
+      val off = running
+      running += r.getLong(1)
+      org.apache.spark.sql.Row(r.getInt(0), off)
+    }
+    val offsets = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsetRows.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__bucket",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__offset",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val withinW = Window.partitionBy("__bucket").orderBy(orderCols: _*)
+    bucketed
+      .join(broadcast(offsets), Seq("__bucket"))
+      .withColumn(outCol, col("__offset") + row_number().over(withinW))
       .drop("__bucket", "__offset")
   }
 }

@@ -1,9 +1,7 @@
 package graft.scheduling
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Carbon-intensity time-series math (SURVEY.md §2.D group 4,
   * behavior of `low-carbon-scheduling/src/carbon.py`):
@@ -11,10 +9,11 @@ import org.apache.spark.sql.types.DecimalType
   * upsample-by-repetition, prefix sums, and O(1) window-carbon
   * evaluation on top of the prefix sums.
   *
-  * Scale note: prefix sums use a single ordered window over the slot
-  * axis — at planetary CI-series sizes this would be range-partitioned
-  * per zone and day with per-partition offsets; here one time series is
-  * at most a few hundred thousand 1-second slots.
+  * Scale note: every operation on the slot axis runs through the
+  * range-bucketed distributed forms in [[graft.operators.Scale]]
+  * (per-bucket work in parallel, constant-size offset folds on the
+  * driver) — no single task ever sorts or sums the whole series, and
+  * no plan contains an unpartitioned WindowExec.
   */
 object Carbon {
 
@@ -39,37 +38,39 @@ object Carbon {
       .filter(col("ts") >= to_timestamp(lit(start)) &&
         col("ts") < to_timestamp(lit(end)))
       .select("ts", "ci")
-    val w = Window.orderBy("ts")
-    raw.withColumn("slot_len_s",
-        (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w))))
-      .withColumn("slot_len_s",
-        first(col("slot_len_s"), ignoreNulls = true)
-          .over(w.rowsBetween(Window.unboundedPreceding,
-            Window.unboundedFollowing)))
+    // slot length = gap between the two earliest timestamps; a
+    // TakeOrdered(2) + one-row aggregate, so no global lag window.
+    val slotLen = raw.orderBy("ts").limit(2)
+      .agg((max(unix_timestamp(col("ts"))) - min(unix_timestamp(col("ts"))))
+        .as("slot_len_s"))
+    raw.crossJoin(broadcast(slotLen))
   }
 
   /** Repeat each source slot `factor` times to reach the target slot
     * resolution (carbon.py:49-68; integer ratio enforced there, here by
-    * construction). explode(sequence(...)) is a narrow op — no shuffle. */
+    * construction). explode(sequence(...)) is a narrow op — no shuffle;
+    * the slot ids come from the range-bucketed distributed rank, so no
+    * single task numbers the whole upsampled series. The leading order
+    * column must be numeric or a timestamp (it range-buckets the axis). */
   def upsample(ci: DataFrame, factor: Int,
-      orderCols: Seq[String] = Seq("ts")): DataFrame =
-    ci.withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
-      .withColumn("slot",
-        row_number().over(
-          Window.orderBy((orderCols :+ "rep").map(col): _*)) - 1)
+      orderCols: Seq[String] = Seq("ts")): DataFrame = {
+    val exploded =
+      ci.withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+    graft.operators.Scale.rowNumberDistributed(exploded,
+        bucketKey = col(orderCols.head).cast("double"),
+        orderCols = (orderCols :+ "rep").map(col),
+        outCol = "slot")
+      .withColumn("slot", col("slot") - 1)
       .drop("rep")
+  }
 
   /** Exclusive prefix sums over the slot axis (carbon.py:70-75):
-    * prefix(i) = Σ ci[0..i). Decimal-exact so window evaluation
-    * order cannot perturb results. */
+    * prefix(i) = Σ ci[0..i). Runs through the range-bucketed
+    * distributed form — decimal-exact, so bit-identical to a global
+    * ordered window, but parallel over buckets. */
   def prefixSums(slots: DataFrame, slotCol: String = "slot",
-      ciCol: String = "ci"): DataFrame = {
-    val w = Window.orderBy(col(slotCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    slots.withColumn("prefix",
-      coalesce(sum(col(ciCol).cast(DecimalType(18, 6))).over(w),
-        lit(0).cast(DecimalType(18, 6))).cast("double"))
-  }
+      ciCol: String = "ci"): DataFrame =
+    graft.operators.Scale.prefixSumsDistributed(slots, slotCol, ciCol)
 
   /** Carbon of running at `powerKw` over slot window [s, e) given the
     * prefix-sum table (carbon.py:78-99): (prefix[e]−prefix[s]) ·

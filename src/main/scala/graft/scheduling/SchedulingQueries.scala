@@ -1,7 +1,6 @@
 package graft.scheduling
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
@@ -26,11 +25,16 @@ object SchedulingQueries {
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
 
-  /** CI series: one slot per event, exact decimal intensity. */
+  /** CI series: one slot per event, exact decimal intensity. Slot ids
+    * come from the range-bucketed distributed rank
+    * ([[graft.operators.Scale.rowNumberDistributed]]) — no global
+    * single-partition window anywhere on the slot axis. */
   private def ciSlots(s: SparkSession, dir: String): DataFrame =
-    ev(s, dir).select(
-      (row_number().over(Window.orderBy("event_id")) - 1).cast("long").as("slot"),
-      col("value").cast(D).as("ci"))
+    graft.operators.Scale.rowNumberDistributed(ev(s, dir),
+        bucketKey = col("event_id"), orderCols = Seq(col("event_id")),
+        outCol = "slot")
+      .select((col("slot") - 1).cast("long").as("slot"),
+        col("value").cast(D).as("ci"))
 
   /** Exclusive prefix sums with a sentinel row at slot = numSlots, so
     * prefix lookups for horizon-clipped ends resolve by equi-join.
@@ -91,23 +95,30 @@ object SchedulingQueries {
   }
 
   /** workload.py `ordered_queries`, pred_longest_first with stable
-    * arrival tie-break, as a rank over the fixture workload. */
+    * arrival tie-break, as a rank over the fixture workload. The rank
+    * runs distributed, bucketed on the (negated, so descending-monotone)
+    * prediction — one bucket per prediction band, ties broken within. */
   private val schedOrderPolicies: Q = (s, dir) =>
-    Workload.fixtureWorkload(s, dir)
+    graft.operators.Scale.rowNumberDistributed(
+        Workload.fixtureWorkload(s, dir),
+        bucketKey = -col("pred_slots"),
+        orderCols = Seq(col("pred_slots").desc, col("query_id")),
+        outCol = "position", numBuckets = 8)
       .select(col("query_id"), col("pred_slots"), col("actual_slots"),
-        row_number().over(
-          Window.orderBy(col("pred_slots").desc, col("query_id"))).as("position"))
+        col("position").cast("int").as("position"))
       .orderBy("position")
 
   /** scheduler.py `FIFOScheduler` — back-to-back starts as an exclusive
-    * running total of actual_slots in arrival order. */
-  private val schedFifo: Q = (s, dir) => {
-    val w = Window.orderBy("query_id").rowsBetween(Window.unboundedPreceding, -1)
-    Workload.fixtureWorkload(s, dir)
+    * running total of actual_slots in arrival order, computed through
+    * the range-bucketed distributed prefix sums (values are integral, so
+    * the decimal path is exact and the long cast loses nothing). */
+  private val schedFifo: Q = (s, dir) =>
+    graft.operators.Scale.prefixSumsDistributed(
+        Workload.fixtureWorkload(s, dir),
+        slotCol = "query_id", ciCol = "actual_slots", numBuckets = 8)
       .select(col("query_id"), col("actual_slots"),
-        coalesce(sum("actual_slots").over(w), lit(0)).cast("long").as("start_slot"))
+        col("prefix").cast("long").as("start_slot"))
       .orderBy("query_id")
-  }
 
   /** scheduler.py `realised_carbon_sequential` on the FIFO schedule:
     * the driver-side integer replay fold produces placements, then the

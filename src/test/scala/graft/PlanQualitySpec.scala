@@ -50,6 +50,34 @@ class PlanQualitySpec extends SparkSpec {
     assert(stale.isEmpty, s"allowlist entries no longer unkeyed: $stale")
   }
 
+  /** Queries where a single-partition (unpartitioned) window IS the
+    * intended plan; every entry must run the global window over an
+    * already-aggregated frame bounded by group cardinality, not by raw
+    * input rows. */
+  private val intendedGlobalWindow: Set[String] = Set(
+    "tpcds_q44_dual_ranks",  // dual global ranks over the per-supplier aggregate
+    "sqlx_chained_cte_ma3"   // 3-month moving average over the monthly frame
+  )
+
+  test("no oracle query plans an unpartitioned WindowExec unintentionally") {
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    def globalWindows(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, sfSmoke)
+        .queryExecution.sparkPlan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
+          case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w.nodeName
+        }
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(intendedGlobalWindow.contains)
+      .filter(globalWindows(_).nonEmpty)
+    assert(offenders.isEmpty,
+      s"unpartitioned global windows (single-task sort at scale) in: $offenders")
+    // keep the allowlist honest too
+    val stale = intendedGlobalWindow.toSeq.sorted
+      .filter(globalWindows(_).isEmpty)
+    assert(stale.isEmpty, s"global-window allowlist entries now clean: $stale")
+  }
+
   test("no oracle query caches a stray InMemoryTableScan") {
     val cached = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>

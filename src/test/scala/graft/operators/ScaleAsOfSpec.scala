@@ -72,18 +72,51 @@ class ScaleAsOfSpec extends SparkSpec {
 
   test("prefixSumsDistributed is bit-identical to the single-window form") {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
     val e = graft.Tables.load(spark, sfSmoke, "events")
       .select((row_number().over(Window.orderBy("event_id")) - 1)
         .cast("long").as("slot"), col("value").as("ci"))
-    val single = graft.scheduling.Carbon.prefixSums(e)
+    // reference semantics: ONE global ordered window (the form the
+    // production path deliberately avoids) — spelled out inline so the
+    // distributed implementation is checked against first principles,
+    // not against itself
+    val single = e.withColumn("prefix",
+        coalesce(sum(col("ci").cast(DecimalType(18, 6))).over(
+          Window.orderBy("slot")
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0).cast(DecimalType(18, 6))).cast("double"))
       .select("slot", "prefix").collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val dist = Scale.prefixSumsDistributed(e, numBuckets = 7)
-      .select("slot", "prefix").collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(dist.size === single.size)
-    dist.foreach { case (slot, p) =>
-      assert(p === single(slot), s"slot $slot")
+    for (buckets <- Seq(1, 7)) {
+      val dist = Scale.prefixSumsDistributed(e, numBuckets = buckets)
+        .select("slot", "prefix").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(dist.size === single.size)
+      dist.foreach { case (slot, p) =>
+        assert(p === single(slot), s"slot $slot (buckets=$buckets)")
+      }
+    }
+  }
+
+  test("rowNumberDistributed matches the global row_number") {
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.Tables.load(spark, sfSmoke, "events")
+      .select(col("event_id"), col("value"))
+    val global = e.withColumn("rn",
+        row_number().over(Window.orderBy(col("value").desc, col("event_id"))))
+      .select("event_id", "rn").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for (buckets <- Seq(1, 5, 32)) {
+      val dist = Scale.rowNumberDistributed(e,
+          bucketKey = -col("value"),
+          orderCols = Seq(col("value").desc, col("event_id")),
+          outCol = "rn", numBuckets = buckets)
+        .select("event_id", "rn").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist.size === global.size)
+      dist.foreach { case (id, rn) =>
+        assert(rn === global(id).toLong, s"event $id (buckets=$buckets)")
+      }
     }
   }
 
