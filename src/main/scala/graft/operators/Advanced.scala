@@ -68,17 +68,27 @@ object Advanced {
   /** HLL++ sketch distinct counts — the scale path where §2.A row 16's
     * exact multi-distinct (Expand ×N shuffle) is too hot: one pass, no
     * Expand, mergeable partials. Not in the reference corpus (SURVEY
-    * §2.A notes approx/HLL functions absent) and engine-specific by
-    * nature → rows-only driver check; AdvancedSpec bounds the error
-    * vs exact. */
+    * §2.A notes approx/HLL functions absent), and the sketch value
+    * itself is engine-specific — so the DRIVER-GATED columns are the
+    * exact counts plus `*_within_tol` booleans asserting the sketch
+    * lands within 10% relative error of exact; the DuckDB oracle
+    * computes the exact side and expects TRUE. AdvancedSpec bounds the
+    * raw sketch error too. */
   private val aggApproxDistinct: Q = (s, dir) => {
     val li = t(s, dir)("lineitem")
+    def withinTol(approx: org.apache.spark.sql.Column,
+        exact: org.apache.spark.sql.Column) =
+      abs(approx.cast("double") - exact.cast("double")) /
+        exact.cast("double") < 0.1
     li.groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         approx_count_distinct(col("l_suppkey")).as("approx_supps"),
         countDistinct(col("l_partkey")).as("exact_parts"),
         countDistinct(col("l_suppkey")).as("exact_supps"))
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
+        withinTol(col("approx_parts"), col("exact_parts")).as("parts_within_tol"),
+        withinTol(col("approx_supps"), col("exact_supps")).as("supps_within_tol"))
       .orderBy("l_returnflag")
   }
 
@@ -328,6 +338,17 @@ object Advanced {
          |ORDER BY gid DESC,
          |  o_orderstatus ASC NULLS FIRST,
          |  o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    // The sketch values are engine-specific; the gate checks the exact
+    // side plus the within-10%-relative-error contract (TRUE expected).
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  COUNT(DISTINCT l_suppkey) AS exact_supps,
+        |  TRUE AS parts_within_tol,
+        |  TRUE AS supps_within_tol
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin,
 
     "agg_count_distinct" ->
       """SELECT l_returnflag,

@@ -153,9 +153,14 @@ object SchedulingQueries {
   }
 
   /** scheduler.py `GreedyLowCarbonDeferScheduler` — driver-side greedy
-    * fold over the exact micro-unit prefix array (not SQL-expressible:
-    * order-dependent search; rows-only check + unit tests). 12 h
-    * horizon, hourly candidate steps, 1 s slots. */
+    * fold over the exact micro-unit prefix array. 12 h horizon, hourly
+    * candidate steps, 1 s slots. Oracle-gated since r4: the
+    * order-dependent fold is re-expressed as a DuckDB recursive CTE
+    * whose LATERAL argmin replays one greedy round per recursion step
+    * (costs compare as exact micro-longs on both sides, so ordering
+    * never depends on float noise); the pred-blocking replay is the
+    * identity on greedy output because every candidate start is >= the
+    * machine cursor. */
   private val schedGreedyDefer: Q = (s, dir) => {
     import s.implicits._
     val wl = Workload.fixtureWorkload(s, dir).orderBy("query_id").collect()
@@ -299,6 +304,60 @@ object SchedulingQueries {
          |JOIN pfull ps ON LEAST(sched.start_slot, n.n) = ps.slot
          |JOIN pfull pe ON LEAST(sched.start_slot + sched.actual_slots, n.n)
          |  = pe.slot""".stripMargin,
+
+    // One greedy round per recursion step: the LATERAL picks the
+    // globally cheapest (query, candidate-start) among the not-yet-
+    // scheduled queries — min cost, then min id (string-compared like
+    // the q<i> ids), then earliest start — exactly the Scala fold's
+    // tie-break chain. Candidate costs are micro-gCO2 longs from the
+    // same DECIMAL(18,6) CI series, so comparisons are integer-exact.
+    "sched_greedy_defer" ->
+      s"""WITH RECURSIVE
+         |wq AS (
+         |  SELECT 'q' || CAST(event_id AS VARCHAR) AS id,
+         |         GREATEST(1, CAST(CEIL(value / 8) AS INT)) AS pred,
+         |         GREATEST(1, CAST(CEIL(value / 10) AS INT)) AS act
+         |  FROM events WHERE event_id < 750),
+         |ci AS ($ciSql),
+         |nn AS (SELECT COUNT(*) AS n FROM ci),
+         |pm AS (
+         |  SELECT slot,
+         |    COALESCE(SUM(CAST(ci * 1000000 AS BIGINT)) OVER (ORDER BY slot
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pmicro
+         |  FROM ci
+         |  UNION ALL
+         |  SELECT COUNT(*) AS slot,
+         |    COALESCE(SUM(CAST(ci * 1000000 AS BIGINT)), 0) AS pmicro
+         |  FROM ci),
+         |sched(round, cursor, done_ids, id, start_slot) AS (
+         |  SELECT 0, 0, CAST([] AS VARCHAR[]),
+         |         CAST(NULL AS VARCHAR), CAST(NULL AS INT)
+         |  UNION ALL
+         |  SELECT s.round + 1, best.start_slot + best.pred,
+         |         list_append(s.done_ids, best.id), best.id, best.start_slot
+         |  FROM sched s, LATERAL (
+         |    SELECT w.id, w.pred, CAST(cand.cs AS INT) AS start_slot,
+         |           CASE WHEN LEAST(cand.cs + w.pred, nn.n) <= cand.cs THEN 0
+         |                ELSE pe.pmicro - ps.pmicro END AS cost
+         |    FROM wq w
+         |    CROSS JOIN nn
+         |    CROSS JOIN LATERAL (
+         |      SELECT UNNEST(generate_series(
+         |        s.cursor,
+         |        LEAST(s.cursor + 43200,
+         |          CASE WHEN s.cursor >= nn.n THEN s.cursor
+         |               ELSE GREATEST(nn.n - w.pred, s.cursor) END),
+         |        3600)) AS cs) cand
+         |    JOIN pm ps ON ps.slot = LEAST(cand.cs, nn.n)
+         |    JOIN pm pe ON pe.slot = LEAST(cand.cs + w.pred, nn.n)
+         |    WHERE NOT list_contains(s.done_ids, w.id)
+         |    ORDER BY cost, w.id, cand.cs
+         |    LIMIT 1) best
+         |  WHERE s.round < (SELECT COUNT(*) FROM wq))
+         |SELECT s.id AS query_id, s.start_slot,
+         |       CAST(w.act AS INTEGER) AS actual_slots
+         |FROM sched s JOIN wq w ON s.id = w.id
+         |ORDER BY s.start_slot, s.id""".stripMargin,
 
     "overhead_vs_oracle" ->
       s"""WITH results AS (

@@ -10,9 +10,7 @@ class SparkEntrySpec extends SparkSpec {
   /** Operators whose results are engine-specific or order-dependent by
     * design — the ONLY queries allowed to skip the DuckDB oracle. */
   private val declaredRowsOnly = Set(
-    "plan_featurize",      // featurizes Spark plans, no SQL twin
-    "sched_greedy_defer",  // order-dependent greedy search
-    "agg_approx_distinct") // HLL sketch, engine-specific estimate
+    "plan_featurize")      // featurizes Spark plans, no SQL twin
 
   test("every oracle key has a matching query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
