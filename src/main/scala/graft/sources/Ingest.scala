@@ -63,6 +63,31 @@ object Ingest {
       StructField(sanitizeColumnName(name), parseTrinoType(tpe), nullable = true)
     })
 
+  /** Parse a multi-table Trino schema JSON — `{table: {column:
+    * trino_type}}`, the shape of the reference's benchmark schema
+    * files (`datasets/iceberg conversion/JOB_Trino_Schema.json`,
+    * `SSB_Trino_Schema.json`) — into per-table Spark schemas,
+    * preserving declared table and column order and applying the same
+    * sanitize+parse chain as single-table ingest. Jackson keeps
+    * object-field insertion order, which IS the column order contract
+    * (csv_to_iceberg.py:69-74). */
+  def parseSchemaJson(json: String): Seq[(String, StructType)] = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, StructType)]
+    val tables = root.fields()
+    while (tables.hasNext) {
+      val t = tables.next()
+      val cols = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      val fields = t.getValue.fields()
+      while (fields.hasNext) {
+        val f = fields.next()
+        cols += f.getKey -> f.getValue.asText()
+      }
+      out += t.getKey -> buildSchema(cols.toSeq)
+    }
+    out.toSeq
+  }
+
   /** Schema-explicit CSV read with the reference's conventions
     * (csv_to_iceberg.py:158-166, 207-211): pipe delimiter, quoting
     * disabled via a space quote char, backslash escape, optional

@@ -133,4 +133,90 @@ class IngestSpec extends SparkSpec {
   test("ingest_sanitize_types fixture query returns rows") {
     assert(Ingest.queries("ingest_sanitize_types")(spark, sfSmoke).count() > 0)
   }
+
+  // ------------------------------------------------- benchmark schemas
+
+  /** The two multi-table benchmark schemas the reference ships
+    * (datasets/iceberg conversion/JOB_Trino_Schema.json and
+    * SSB_Trino_Schema.json — JOB is the public IMDB join-order
+    * benchmark, SSB the public star-schema benchmark), re-expressed
+    * verbatim as fixtures: every declared column of every table must
+    * parse, read from CSV, and materialize with its declared type. */
+  private val jobSchemaJson = """{
+    |"aka_name":{"id":"INTEGER","person_id":"INTEGER","name":"VARCHAR","imdb_index":"VARCHAR","name_pcode_cf":"VARCHAR","name_pcode_nf":"VARCHAR","surname_pcode":"VARCHAR","md5sum":"VARCHAR"},
+    |"aka_title":{"id":"INTEGER","movie_id":"INTEGER","title":"VARCHAR","imdb_index":"VARCHAR","kind_id":"INTEGER","production_year":"DOUBLE","phonetic_code":"VARCHAR","episode_of_id":"DOUBLE","season_nr":"DOUBLE","episode_nr":"DOUBLE","note":"VARCHAR","md5sum":"VARCHAR"},
+    |"cast_info":{"id":"INTEGER","person_id":"INTEGER","movie_id":"INTEGER","person_role_id":"DOUBLE","note":"VARCHAR","nr_order":"DOUBLE","role_id":"INTEGER"},
+    |"char_name":{"id":"INTEGER","name":"VARCHAR","imdb_index":"VARCHAR","imdb_id":"DOUBLE","name_pcode_nf":"VARCHAR","surname_pcode":"VARCHAR","md5sum":"VARCHAR"},
+    |"comp_cast_type":{"id":"INTEGER","kind":"VARCHAR"},
+    |"company_name":{"id":"INTEGER","name":"VARCHAR","country_code":"VARCHAR","imdb_id":"DOUBLE","name_pcode_nf":"VARCHAR","name_pcode_sf":"VARCHAR","md5sum":"VARCHAR"},
+    |"company_type":{"id":"INTEGER","kind":"VARCHAR"},
+    |"complete_cast":{"id":"INTEGER","movie_id":"INTEGER","subject_id":"INTEGER","status_id":"INTEGER"},
+    |"info_type":{"id":"INTEGER","info":"VARCHAR"},
+    |"keyword":{"id":"INTEGER","keyword":"VARCHAR","phonetic_code":"VARCHAR"},
+    |"kind_type":{"id":"INTEGER","kind":"VARCHAR"},
+    |"link_type":{"id":"INTEGER","link":"VARCHAR"},
+    |"movie_companies":{"id":"INTEGER","movie_id":"INTEGER","company_id":"INTEGER","company_type_id":"INTEGER","note":"VARCHAR"},
+    |"movie_info_idx":{"id":"INTEGER","movie_id":"INTEGER","info_type_id":"INTEGER","info":"VARCHAR","note":"DOUBLE"},
+    |"movie_keyword":{"id":"INTEGER","movie_id":"INTEGER","keyword_id":"INTEGER"},
+    |"movie_link":{"id":"INTEGER","movie_id":"INTEGER","linked_movie_id":"INTEGER","link_type_id":"INTEGER"},
+    |"name":{"id":"INTEGER","name":"VARCHAR","imdb_index":"VARCHAR","imdb_id":"DOUBLE","gender":"VARCHAR","name_pcode_cf":"VARCHAR","name_pcode_nf":"VARCHAR","surname_pcode":"VARCHAR","md5sum":"VARCHAR"},
+    |"role_type":{"id":"INTEGER","role":"VARCHAR"},
+    |"title":{"id":"INTEGER","title":"VARCHAR","imdb_index":"VARCHAR","kind_id":"INTEGER","production_year":"DOUBLE","imdb_id":"VARCHAR","phonetic_code":"VARCHAR","episode_of_id":"DOUBLE","season_nr":"DOUBLE","episode_nr":"DOUBLE","series_years":"VARCHAR","md5sum":"VARCHAR"},
+    |"movie_info":{"id":"INTEGER","movie_id":"INTEGER","info_type_id":"INTEGER","info":"VARCHAR","note":"VARCHAR"},
+    |"person_info":{"id":"INTEGER","person_id":"INTEGER","info_type_id":"INTEGER","info":"VARCHAR","note":"VARCHAR"}
+    |}""".stripMargin
+
+  private val ssbSchemaJson = """{
+    |"customer":{"c_custkey":"INTEGER","c_name":"VARCHAR","c_address":"VARCHAR","c_city":"VARCHAR","c_nation":"VARCHAR","c_region":"VARCHAR","c_phone":"VARCHAR","c_mktsegment":"VARCHAR"},
+    |"part":{"p_partkey":"INTEGER","p_name":"VARCHAR","p_mfgr":"VARCHAR","p_category":"VARCHAR","p_brand1":"VARCHAR","p_color":"VARCHAR","p_type":"VARCHAR","p_size":"INTEGER","p_container":"VARCHAR"},
+    |"supplier":{"s_suppkey":"INTEGER","s_name":"VARCHAR","s_address":"VARCHAR","s_city":"VARCHAR","s_nation":"VARCHAR","s_region":"VARCHAR","s_phone":"VARCHAR"},
+    |"lineorder":{"lo_orderkey":"INTEGER","lo_linenumber":"INTEGER","lo_custkey":"INTEGER","lo_partkey":"INTEGER","lo_suppkey":"INTEGER","lo_orderdate":"INTEGER","lo_orderpriority":"VARCHAR","lo_shippriority":"INTEGER","lo_quantity":"INTEGER","lo_extendedprice":"INTEGER","lo_ordertotalprice":"INTEGER","lo_discount":"INTEGER","lo_revenue":"INTEGER","lo_supplycost":"INTEGER","lo_tax":"INTEGER","lo_commitdate":"INTEGER","lo_shipmode":"VARCHAR"},
+    |"dim_date":{"d_datekey":"VARCHAR","d_date":"VARCHAR","d_dayofweek":"VARCHAR","d_month":"VARCHAR","d_year":"VARCHAR","d_yearmonthnum":"VARCHAR","d_yearmonth":"VARCHAR","d_daynuminweek":"VARCHAR","d_daynuminmonth":"VARCHAR","d_daynuminyear":"VARCHAR","d_monthnuminyear":"VARCHAR","d_weeknuminyear":"VARCHAR","d_sellingseason":"VARCHAR","d_lastdayinweekfl":"VARCHAR","d_lastdayinmonthfl":"VARCHAR","d_holidayfl":"VARCHAR","d_weekdayfl":"VARCHAR"}
+    |}""".stripMargin
+
+  /** One deterministic CSV cell per Spark type, per column ordinal. */
+  private def cell(dt: org.apache.spark.sql.types.DataType, i: Int): String =
+    dt match {
+      case org.apache.spark.sql.types.IntegerType => (i + 1).toString
+      case org.apache.spark.sql.types.DoubleType  => s"${i + 1}.5"
+      case org.apache.spark.sql.types.StringType  => s"v$i"
+      case other => fail(s"unexpected type in benchmark schemas: $other")
+    }
+
+  for ((bench, json, nTables, nCols) <- Seq(
+      ("JOB", jobSchemaJson, 21, 108), ("SSB", ssbSchemaJson, 5, 58)))
+    test(s"$bench schema JSON round-trips: parse -> CSV read -> typed rows") {
+      val schemas = Ingest.parseSchemaJson(json)
+      assert(schemas.size === nTables)
+      assert(schemas.map(_._2.size).sum === nCols)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-${bench.toLowerCase}-").toFile
+      try schemas.foreach { case (table, schema) =>
+        // two pipe-delimited rows valued per declared type
+        val rows = (0 until 2).map { r =>
+          schema.fields.zipWithIndex
+            .map { case (f, i) => cell(f.dataType, i + r) }.mkString("|")
+        }
+        val csv = new java.io.File(dir, s"$table.csv")
+        java.nio.file.Files.write(csv.toPath,
+          rows.mkString("\n").getBytes("UTF-8"))
+        val df = Ingest.readCsv(spark, csv.getAbsolutePath, schema)
+        // every declared column materializes with its declared type
+        assert(df.schema === schema, s"$table schema drift")
+        val collected = df.collect()
+        assert(collected.length === 2, s"$table rows")
+        collected.foreach { row =>
+          schema.fields.indices.foreach { i =>
+            assert(!row.isNullAt(i),
+              s"$table.${schema.fields(i).name} failed to parse as " +
+                s"${schema.fields(i).dataType}")
+          }
+        }
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(dir)
+      }
+    }
 }
