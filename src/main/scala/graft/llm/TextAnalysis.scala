@@ -25,6 +25,40 @@ object TextAnalysis {
   def tokensWs(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
 
+  /** The pre-tokenization split rule of the tokenizer the reference
+    * ships (`models/RF/Model/tokenizer/tokenizer_config.json` declares
+    * `Qwen2Tokenizer`; this is that family's public GPT-4-style split
+    * pattern): English contractions, optional-one-prefix-char letter
+    * runs, SINGLE digits, space-prefixed punctuation runs, and
+    * whitespace handling. The BPE merge stage on top of these pieces
+    * needs the (unavailable) vocab weights and is deliberately not
+    * replicated — the pieces are what the hash-embedding stand-in
+    * consumes. */
+  val Qwen2PretokenRe: String =
+    """(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+"""
+
+  /** Same rule minus the `\s+(?!\S)` lookahead branch — RE2-compatible
+    * for the DuckDB oracle twin. After [[qwen2Pretokenize]]'s
+    * trim+filter normalization the two patterns produce identical
+    * token multisets: the lookahead branch only changes how pure-
+    * whitespace runs split, and those trim to empty either way. */
+  val Qwen2PretokenReNoLookahead: String =
+    """(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+"""
+
+  /** Pre-tokenize with the Qwen2 rules, trim each piece, drop
+    * whitespace-only pieces. Trimming reflects that the hash-embedding
+    * stand-in treats ` word` and `word` as the same token (a real BPE
+    * vocab would not, but its weights are unavailable) and is what
+    * makes the token stream engine-reproducible. Case is preserved —
+    * the reference tokenizer is case-sensitive. */
+  def qwen2Pretokenize(text: Column): Column =
+    filter(
+      transform(regexp_extract_all(text, lit(Qwen2PretokenRe), lit(0)),
+        // trim(col) strips spaces only — list the whitespace chars
+        // explicitly so newline/tab pieces normalize away too
+        t => trim(t, " \t\r\n")),
+      t => length(t) > 0)
+
   def tokenCountWs(text: Column): Column = size(tokensWs(text))
 
   /** Token count under the BPE-ish pre-tokenizer (regexp scan — no
@@ -165,13 +199,15 @@ object TextAnalysis {
 
   /** Mean-pooled pseudo-embedding (the RF pipeline's SQL-text encoder
     * shape, `models/RF/Model/sql_encoder.py:33-41`: token embeddings →
-    * mean over tokens). Token vectors are md5-derived integers in
+    * mean over tokens). Tokens come from the reference tokenizer's own
+    * pre-tokenization rules ([[qwen2Pretokenize]], case-sensitive like
+    * Qwen2Tokenizer); token vectors are md5-derived integers in
     * [-1000,1000], summed exactly per dimension, so the pooled doubles
     * hash-match the oracle; swap the hash lookup for a real embedding
     * table at production time — the pooling dataflow is identical. */
   private val textEmbedMeanpool: Q = (s, dir) => {
     val toks = docs(s, dir).select(col("doc_id"),
-      explode(tokensWs(lower(col("text")))).as("token"))
+      explode(qwen2Pretokenize(col("text"))).as("token"))
     val dims = (0 until 4).map { d =>
       sum(graft.llm.Dedup.md5Long(concat(lit(s"$d:"), col("token"))) % 2001
         - 1000).as(s"s_$d")
@@ -253,10 +289,16 @@ object TextAnalysis {
          |    AS quality_score
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // RE2 has no lookahead, so the oracle uses the no-lookahead
+    // pattern; trim+filter makes the two token multisets identical
+    // (see Qwen2PretokenReNoLookahead).
     "text_embed_meanpool" ->
       """WITH toks AS (
         |  SELECT doc_id,
-        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    unnest(list_filter(list_transform(
+        |      regexp_extract_all(text,
+        |        '(?i:''s|''t|''re|''ve|''m|''ll|''d)|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+'),
+        |      t -> trim(t, ' ' || chr(9) || chr(13) || chr(10))),
         |      t -> len(t) > 0)) AS token
         |  FROM documents),
         |agg AS (

@@ -31,13 +31,16 @@ object RuntimePrediction {
       .withColumnRenamed("Runtime (s)", "runtime_s")
       .filter(col("runtime_s").isNotNull && col("SQL").isNotNull)
 
-  /** Tokenize SQL text and mean-pool per-token hash embeddings into a
-    * `dim`-wide array column — the `sql_encoder.py` mean-pool shape,
-    * with xxhash64-seeded pseudo-embeddings instead of LLM weights.
-    * Pure column expressions (codegen'd, no UDF): at 100 TB this runs
-    * as a map-only stage. */
+  /** Tokenize SQL text with the reference tokenizer's pre-tokenization
+    * rules ([[graft.llm.TextAnalysis.qwen2Pretokenize]] — the shipped
+    * tokenizer_config.json declares Qwen2Tokenizer, case-sensitive)
+    * and mean-pool per-token hash embeddings into a `dim`-wide array
+    * column — the `sql_encoder.py` mean-pool shape, with
+    * xxhash64-seeded pseudo-embeddings instead of LLM weights. Pure
+    * column expressions (codegen'd, no UDF): at 100 TB this runs as a
+    * map-only stage. */
   def meanPoolEmbedding(df: DataFrame, textCol: String, dim: Int): DataFrame = {
-    val tokens = split(lower(col(textCol)), "\\W+")
+    val tokens = graft.llm.TextAnalysis.qwen2Pretokenize(col(textCol))
     val dims = (0 until dim).map { i =>
       // mean over tokens of a per-token deterministic value in [-1, 1]
       val tok = aggregate(

@@ -60,6 +60,27 @@ class LlmSpec extends SparkSpec {
     assert(r.getInt(1) === 9)
   }
 
+  test("qwen2Pretokenize follows the reference tokenizer's split rules") {
+    def toks(s: String): Seq[String] =
+      textDf((0L, s)).select(TextAnalysis.qwen2Pretokenize(col("text")))
+        .head().getSeq[String](0)
+    // contractions split off; digits split SINGLY; punctuation keeps
+    // its space prefix until the trim normalization strips it
+    assert(toks("it's 42 + x") === Seq("it", "'s", "4", "2", "+", "x"))
+    // case preserved (Qwen2 is case-sensitive); unicode letters are \p{L}
+    assert(toks("SELECT Café") === Seq("SELECT", "Café"))
+    // newlines and runs of spaces vanish under trim+filter; the
+    // no-lookahead RE2 twin tokenizes these identically
+    assert(toks("a\n\nb   c ") === Seq("a", "b", "c"))
+    // contraction casing: (?i:) branch matches 'S too
+    assert(toks("IT'S") === Seq("IT", "'S"))
+    // punctuation runs stay joined, digit-letter boundaries split
+    assert(toks("x>=10;") === Seq("x", ">=", "1", "0", ";"))
+    // empty and whitespace-only inputs produce no tokens
+    assert(toks("") === Seq.empty)
+    assert(toks("  \n ") === Seq.empty)
+  }
+
   test("minShingleFingerprint: short-text fallback and determinism") {
     val df = textDf((0L, "tiny"), (1L, "a longer document body"))
     val r = df.select(TextAnalysis.minShingleFingerprint(col("text")))
