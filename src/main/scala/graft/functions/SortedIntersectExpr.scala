@@ -76,6 +76,29 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 
 object SortedIntersectSize {
 
+  /** When true (-Dgraft.sorted_intersect.check=true, or set in tests),
+    * [[compute]] validates the ascending-input precondition and throws
+    * on unsorted arrays instead of returning a plausible wrong count —
+    * the failure mode a SQL user who skipped array_sort would
+    * otherwise silently hit. Off by default: the in-repo callers sort
+    * once at set-build time, and the hot verify walk stays
+    * branch-lean. */
+  @volatile var checkOrder: Boolean =
+    java.lang.Boolean.getBoolean("graft.sorted_intersect.check")
+
+  private def requireSorted(a: ArrayData, side: String): Unit = {
+    val n = a.numElements()
+    var i = 1
+    while (i < n) {
+      if (a.getLong(i - 1) > a.getLong(i))
+        throw new IllegalArgumentException(
+          s"sorted_intersect_size: $side array is not ascending at " +
+            s"index $i (${a.getLong(i - 1)} > ${a.getLong(i)}); " +
+            "array_sort the inputs at set-build time")
+      i += 1
+    }
+  }
+
   def hasNullElement(a: ArrayData): Boolean = {
     val n = a.numElements()
     var i = 0
@@ -88,6 +111,7 @@ object SortedIntersectSize {
 
   /** Two-cursor merge count over ascending-sorted long buffers. */
   def compute(a: ArrayData, b: ArrayData): Long = {
+    if (checkOrder) { requireSorted(a, "left"); requireSorted(b, "right") }
     val n = a.numElements()
     val m = b.numElements()
     var count = 0L

@@ -787,11 +787,30 @@ object Dedup {
       |  / (sa.set_size + sb.set_size - i.n_common) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Structural (ctes, finalSelect, orderBy) oracle composition: the
+    * cluster and keep-one oracles refold their pair oracle by naming
+    * its final SELECT as a CTE and appending new parts — no marker
+    * search or suffix stripping, so harmless reformatting of a pair
+    * oracle can never produce a malformed splice (r3 advice). */
+  private final case class OracleParts(ctes: String, finalSelect: String,
+      orderBy: String, recursive: Boolean = false) {
+    def sql: String =
+      s"WITH ${if (recursive) "RECURSIVE " else ""}$ctes\n$finalSelect\nORDER BY $orderBy"
+    /** Fold the current final SELECT into `cteName`, append
+      * `extraCtes` (if any), and continue with a new final SELECT. */
+    def fold(cteName: String, newFinal: String, newOrder: String,
+        extraCtes: String = "", makeRecursive: Boolean = false): OracleParts =
+      OracleParts(
+        s"$ctes,\n$cteName AS (\n$finalSelect)" +
+          (if (extraCtes.isEmpty) "" else s",\n$extraCtes"),
+        newFinal, newOrder, recursive || makeRecursive)
+  }
+
   /** The md5-family MinHash oracle — bound to BOTH `dedup_minhash_lsh`
     * (grouped signatures) and `dedup_minhash_rowlocal` (zero-shuffle
     * signatures): the two plans must hash-match the same answer. */
-  private val minHashOracleSql: String =
-    s"""WITH corpus AS ($corpusSmallSql),
+  private val minHashPairParts: OracleParts = OracleParts(
+    ctes = s"""corpus AS ($corpusSmallSql),
          |shingles AS ($shinglesSql),
          |sigs AS (
          |  SELECT id, 4 * g + j AS seed,
@@ -817,54 +836,46 @@ object Dedup {
          |sizes AS (SELECT id, COUNT(*) AS set_size FROM shingles GROUP BY id),
          |inter AS (
          |  SELECT id_a, id_b, COUNT(*) AS n_common
-         |  FROM pairshingles GROUP BY id_a, id_b)
-         |SELECT i.id_a, i.id_b,
-         |  CAST(i.n_common AS DOUBLE) / (sa.set_size + sb.set_size - i.n_common)
-         |    AS jaccard
-         |FROM inter i
-         |JOIN sizes sa ON i.id_a = sa.id
-         |JOIN sizes sb ON i.id_b = sb.id
-         |WHERE CAST(i.n_common AS DOUBLE)
-         |  / (sa.set_size + sb.set_size - i.n_common) >= 0.5
-         |ORDER BY id_a, id_b""".stripMargin
+         |  FROM pairshingles GROUP BY id_a, id_b)""".stripMargin,
+    finalSelect =
+      """SELECT i.id_a, i.id_b,
+        |  CAST(i.n_common AS DOUBLE) / (sa.set_size + sb.set_size - i.n_common)
+        |    AS jaccard
+        |FROM inter i
+        |JOIN sizes sa ON i.id_a = sa.id
+        |JOIN sizes sb ON i.id_b = sb.id
+        |WHERE CAST(i.n_common AS DOUBLE)
+        |  / (sa.set_size + sb.set_size - i.n_common) >= 0.5""".stripMargin,
+    orderBy = "id_a, id_b")
 
-  /** Recursive-CTE connected components over the MinHash pair graph:
-    * reach(id, label) closes over the (undirected) edge list and the
-    * min reachable id is the cluster label. The pair derivation is
-    * [[minHashOracleSql]]'s text verbatim, refolded into a `pairs`
-    * CTE, so the cluster oracle can never drift from the pair
-    * oracle. */
-  private val clustersOracleSql: String =
-    clustersOverPairOracle(minHashOracleSql, "SELECT i.id_a")
+  private val minHashOracleSql: String = minHashPairParts.sql
 
-  /** Refold ANY pair oracle of the shape `WITH <ctes> SELECT <pairs>
-    * ORDER BY id_a, id_b` into the recursive-components query — the
+  /** Refold ANY pair oracle into the recursive-components query — the
     * single definition behind every `dedup_*_clusters` oracle, so a
-    * cluster oracle can never drift from its pair oracle. */
-  private def clustersOverPairOracle(pairOracle: String,
-      finalSelMarker: String): String = {
-    val noOrder = pairOracle.stripSuffix("\nORDER BY id_a, id_b")
-    val idx = noOrder.lastIndexOf(finalSelMarker)
-    require(idx > 0, "pair oracle shape changed")
-    val (ctes, finalSel) = noOrder.splitAt(idx)
-    s"""${ctes.trim.stripSuffix(",").replaceFirst("^WITH ", "WITH RECURSIVE ")},
-       |pairs AS (
-       |${finalSel.trim}),
-       |edges AS (
-       |  SELECT id_a AS src, id_b AS dst FROM pairs
-       |  UNION ALL
-       |  SELECT id_b AS src, id_a AS dst FROM pairs),
-       |verts AS (SELECT DISTINCT src AS id FROM edges),
-       |reach(id, label) AS (
-       |  SELECT id, id FROM verts
-       |  UNION
-       |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
-       |SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id
-       |ORDER BY id""".stripMargin
-  }
+    * cluster oracle can never drift from its pair oracle: reach(id,
+    * label) closes over the (undirected) edge list and the min
+    * reachable id is the cluster label. */
+  private def clustersOverPairOracle(pair: OracleParts): OracleParts =
+    pair.fold("pairs",
+      extraCtes = """edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT id_b AS src, id_a AS dst FROM pairs),
+        |verts AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, label) AS (
+        |  SELECT id, id FROM verts
+        |  UNION
+        |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)""".stripMargin,
+      newFinal = "SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id",
+      newOrder = "id", makeRecursive = true)
 
-  private val cosineOracleSql: String =
-    """WITH base AS (
+  private val clustersParts: OracleParts =
+    clustersOverPairOracle(minHashPairParts)
+
+  private val clustersOracleSql: String = clustersParts.sql
+
+  private val cosinePairParts: OracleParts = OracleParts(
+    ctes = """base AS (
         |  SELECT vec_id AS id, i,
         |    CAST(ROUND(embedding[i] * 1e6) AS BIGINT) AS e_micro
         |  FROM embeddings e, generate_series(1, 64) t(i)
@@ -879,8 +890,9 @@ object Dedup {
         |dots AS (
         |  SELECT a.id AS id_a, b.id AS id_b, SUM(a.e_micro * b.e_micro) AS dot
         |  FROM elems a JOIN elems b ON a.i = b.i AND a.id < b.id
-        |  GROUP BY a.id, b.id)
-        |SELECT d.id_a, d.id_b,
+        |  GROUP BY a.id, b.id)""".stripMargin,
+    finalSelect =
+      """SELECT d.id_a, d.id_b,
         |  CAST(d.dot AS DOUBLE)
         |    / (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE)))
         |    AS cosine
@@ -889,8 +901,10 @@ object Dedup {
         |JOIN norms nb ON d.id_b = nb.id
         |WHERE CAST(d.dot AS DOUBLE)
         |  / (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE)))
-        |  >= 0.9
-        |ORDER BY id_a, id_b""".stripMargin
+        |  >= 0.9""".stripMargin,
+    orderBy = "id_a, id_b")
+
+  private val cosineOracleSql: String = cosinePairParts.sql
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -910,21 +924,14 @@ object Dedup {
 
     "dedup_clusters" -> clustersOracleSql,
 
-    "dedup_keep_one" -> {
-      // refold the components query one level further: its final
-      // SELECT becomes a `comp` CTE, survivors anti-select against it
-      val noOrder = clustersOracleSql.stripSuffix("\nORDER BY id")
-      val idx = noOrder.lastIndexOf("SELECT id, MIN(label)")
-      require(idx > 0, "clusters oracle shape changed")
-      val (ctes, finalSel) = noOrder.splitAt(idx)
-      s"""${ctes.trim.stripSuffix(",")},
-         |comp AS (
-         |${finalSel.trim})
-         |SELECT doc_id FROM corpus
-         |WHERE doc_id NOT IN (
-         |  SELECT id FROM comp WHERE id <> cluster_id)
-         |ORDER BY doc_id""".stripMargin
-    },
+    // the components query folded one level further: its final SELECT
+    // becomes a `comp` CTE, survivors anti-select against it
+    "dedup_keep_one" -> clustersParts.fold("comp",
+      newFinal =
+        """SELECT doc_id FROM corpus
+          |WHERE doc_id NOT IN (
+          |  SELECT id FROM comp WHERE id <> cluster_id)""".stripMargin,
+      newOrder = "doc_id").sql,
 
     "dedup_simhash" ->
       s"""WITH corpus AS ($corpusSmallSql),
@@ -981,6 +988,6 @@ object Dedup {
     "dedup_embedding_cosine" -> cosineOracleSql,
 
     "dedup_cosine_clusters" ->
-      clustersOverPairOracle(cosineOracleSql, "SELECT d.id_a"),
+      clustersOverPairOracle(cosinePairParts).sql,
   )
 }

@@ -184,7 +184,12 @@ object Streams {
               maxTs = math.max(maxTs, d.ts.getTime)
             }
             state.update(BucketState(ids, maxTs))
-            state.setTimeoutTimestamp(maxTs + stateTtlMs)
+            // clamp above the current watermark: with a watermark delay
+            // larger than stateTtlMs, a late event could otherwise set a
+            // timeout at/below the watermark, which Spark rejects at
+            // runtime
+            state.setTimeoutTimestamp(
+              math.max(maxTs + stateTtlMs, state.getCurrentWatermarkMs + 1))
             out.result().iterator
           }
       }
@@ -193,16 +198,23 @@ object Streams {
   case class RankedEvent(event_type: String, event_id: Long, value: Double,
       rank: Int)
 
+  case class TopKState(entries: Seq[(Double, Long)], maxTs: Long)
+
   /** Streaming twin of the custom batch operator
     * [[graft.plans.TopKPerKey]]: a bounded per-key top-k maintained
     * incrementally. State per key is ONLY the current k best
     * (value desc, event_id asc ties) — the same bounded-heap
     * guarantee as the batch exec, so a hot key holds k rows of state
-    * no matter how many events it receives. Emits the key's full
+    * no matter how many events it receives. Entries dedupe by
+    * event_id keeping the MAX value, so an id re-arriving with a new
+    * value can never occupy two ranks. Keys idle past `stateTtlMs` of
+    * event time are evicted via the watermark (EventTimeTimeout), so
+    * a retired key does not hold k rows forever. Emits the key's full
     * refreshed top-k whenever a batch changes it (update-mode
     * semantics: downstream overwrites per (event_type, rank)). */
   def topKPerKeyStream(events: Dataset[Event], k: Int = 5,
-      watermark: String = "10 minutes")
+      watermark: String = "10 minutes",
+      stateTtlMs: Long = 10L * 60 * 1000)
       (implicit spark: SparkSession): Dataset[RankedEvent] = {
     import spark.implicits._
     val ord = Ordering.by[(Double, Long), (Double, Long)] {
@@ -210,16 +222,29 @@ object Streams {
     }
     events.withWatermark("ts", watermark)
       .groupByKey(_.event_type)
-      .flatMapGroupsWithState[Seq[(Double, Long)], RankedEvent](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        case (key, rows, state: GroupState[Seq[(Double, Long)]]) =>
-          val current = state.getOption.getOrElse(Seq.empty)
-          val merged = (current ++ rows.map(e => (e.value, e.event_id)))
-            .distinct.sorted(ord).take(k)
-          if (merged == current) Iterator.empty
+      .flatMapGroupsWithState[TopKState, RankedEvent](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state: GroupState[TopKState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            state.update(merged)
-            merged.iterator.zipWithIndex.map { case ((v, id), i) =>
+            val current = state.getOption.getOrElse(TopKState(Seq.empty, 0L))
+            var maxTs = current.maxTs
+            val arrived = rows.map { e =>
+              maxTs = math.max(maxTs, e.ts.getTime)
+              (e.value, e.event_id)
+            }.toSeq
+            // per-id max first, then rank: one entry per event_id
+            val merged = (current.entries ++ arrived)
+              .groupBy(_._2).iterator
+              .map { case (id, vs) => (vs.map(_._1).max, id) }
+              .toSeq.sorted(ord).take(k)
+            // same clamp as nearDupCandidatesStream: never set a
+            // timeout at/below the current watermark
+            state.update(TopKState(merged, maxTs))
+            state.setTimeoutTimestamp(
+              math.max(maxTs + stateTtlMs, state.getCurrentWatermarkMs + 1))
+            if (merged == current.entries) Iterator.empty
+            else merged.iterator.zipWithIndex.map { case ((v, id), i) =>
               RankedEvent(key, id, v, i + 1)
             }
           }

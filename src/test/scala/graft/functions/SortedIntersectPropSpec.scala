@@ -51,4 +51,28 @@ class SortedIntersectPropSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("sorted_intersect_size") ||
       e.getMessage.contains("array<bigint>"))
   }
+
+  test("checkOrder guard makes unsorted misuse fail loudly") {
+    SortedIntersectSize.register(spark)
+    val prev = SortedIntersectSize.checkOrder
+    SortedIntersectSize.checkOrder = true
+    try {
+      // sorted inputs still compute under the guard
+      val ok = spark.sql(
+        "SELECT sorted_intersect_size(array(1L, 2L), array(2L, 3L)) AS n")
+        .head().getLong(0)
+      assert(ok === 1L)
+      // unsorted input throws instead of returning a plausible count
+      val e = intercept[Exception] {
+        spark.sql(
+          "SELECT sorted_intersect_size(array(5L, 1L), array(1L, 2L))")
+          .collect()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(_.getMessage != null) &&
+        causes(e).map(_.getMessage).filter(_ != null)
+          .exists(_.contains("not ascending")), e.toString)
+    } finally SortedIntersectSize.checkOrder = prev
+  }
 }

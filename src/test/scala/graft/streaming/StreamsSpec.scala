@@ -337,4 +337,32 @@ class StreamsSpec extends SparkSpec {
         "sub-top event must not re-emit the key")
     } finally query.stop()
   }
+
+  test("topKPerKeyStream dedupes a re-arriving event_id (keeps max value)") {
+    implicit val sq = spark.sqlContext
+    implicit val sp = spark
+    import spark.implicits._
+    val input = MemoryStream[Streams.Event]
+    val query = Streams.topKPerKeyStream(input.toDS(), k = 2)
+      .writeStream.format("memory").queryName("topkdedup")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        Streams.Event(1, ts(1), 10, "view", 5.0),
+        Streams.Event(2, ts(1), 10, "view", 4.0))
+      query.processAllAvailable()
+      // id 1 re-arrives with a higher value: it must MOVE, not occupy
+      // two ranks — rank 2 stays id 2 (the old code kept (5.0, 1) there)
+      input.addData(Streams.Event(1, ts(2), 10, "view", 9.0))
+      query.processAllAvailable()
+      val fin = spark.sql(
+        """SELECT rank,
+          |  max_by(event_id, struct(value, -event_id)) AS event_id,
+          |  max(value) AS value
+          |FROM topkdedup WHERE event_type = 'view' GROUP BY rank""".stripMargin)
+        .orderBy("rank").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      assert(fin.toSeq === Seq((1, 1L, 9.0), (2, 2L, 4.0)), s"got ${fin.toSeq}")
+    } finally query.stop()
+  }
 }
