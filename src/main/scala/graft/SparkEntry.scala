@@ -5,7 +5,7 @@ import graft.analytics.{Metrics, PlanFeaturizer, TraceAnalytics}
 import graft.operators.{Advanced, AsOf, Relational}
 import graft.plans.TopKPerKey
 import graft.scheduling.SchedulingQueries
-import graft.sources.{Ingest, TpcdsPromoted}
+import graft.sources.{Ingest, SyntheticWorkload, TpcdsPromoted}
 import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -30,6 +30,7 @@ object SparkEntry {
       TraceAnalytics.queries ++
       Metrics.queries ++ PlanFeaturizer.queries ++
       SchedulingQueries.queries ++ Ingest.queries ++ TpcdsPromoted.queries ++
+      SyntheticWorkload.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries
 
@@ -40,7 +41,7 @@ object SparkEntry {
       TopKPerKey.oracles ++
       TraceAnalytics.oracles ++
       Metrics.oracles ++ SchedulingQueries.oracles ++ Ingest.oracles ++
-      TpcdsPromoted.oracles ++
+      TpcdsPromoted.oracles ++ SyntheticWorkload.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       Multimodal.oracles
 }

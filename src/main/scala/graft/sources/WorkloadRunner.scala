@@ -22,6 +22,16 @@ object WorkloadRunner {
   case class QueryResult(queryId: String, startTime: String, endTime: String,
       runtimeS: Double, planningS: Double = -1.0, executionS: Double = -1.0)
 
+  /** How a query's result set is materialized. [[CollectDrain]]
+    * mirrors the reference's cursor drain (run_workload.py:39-40 —
+    * every row reaches the client); [[NoopDrain]] executes the full
+    * plan but discards rows executor-side through Spark's `noop`
+    * batch write, so timing a very wide result measures the engine,
+    * not driver materialization. */
+  sealed trait Drain
+  case object CollectDrain extends Drain
+  case object NoopDrain extends Drain
+
   private val TsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
     .withZone(ZoneOffset.UTC)
 
@@ -30,7 +40,8 @@ object WorkloadRunner {
     * returns the -1 sentinel (the reference's failed-query shape). */
   def executeQuery(spark: SparkSession, queryId: String, sql: String,
       timeout: Duration = Duration.Inf,
-      planDir: Option[String] = None): QueryResult = {
+      planDir: Option[String] = None,
+      drain: Drain = CollectDrain): QueryResult = {
     import scala.concurrent.ExecutionContext.Implicits.global
     val group = s"graft-workload-$queryId"
     spark.sparkContext.setJobGroup(group, queryId, interruptOnCancel = true)
@@ -54,7 +65,10 @@ object WorkloadRunner {
       planningS = (System.nanoTime() - startPerf) / 1e9
       val execStart = System.nanoTime()
       val work = Future {
-        df.collect() // drain like the reference's cursor loop
+        drain match {
+          case CollectDrain => df.collect() // the reference's cursor loop
+          case NoopDrain    => df.write.mode("overwrite").format("noop").save()
+        }
         ()
       }
       Await.result(work, timeout)
@@ -84,10 +98,11 @@ object WorkloadRunner {
     * query_id / start_time / end_time / "Runtime (s)"). */
   def runWorkload(spark: SparkSession, queryDir: String, outDir: String,
       attempt: Int = 1, timeout: Duration = Duration.Inf,
-      dumpPlans: Boolean = false): Seq[QueryResult] = {
+      dumpPlans: Boolean = false,
+      drain: Drain = CollectDrain): Seq[QueryResult] = {
     val results = Ingest.loadQueryFiles(queryDir).map { case (name, sql) =>
       executeQuery(spark, name, sql, timeout,
-        if (dumpPlans) Some(s"$outDir/plans") else None)
+        if (dumpPlans) Some(s"$outDir/plans") else None, drain)
     }
     Files.createDirectories(Paths.get(outDir))
     // Field set mirrors the reference's derived workload logs

@@ -36,14 +36,15 @@ class SparkEntrySpec extends SparkSpec {
     import graft.operators._
     import graft.analytics._
     import graft.scheduling.SchedulingQueries
-    import graft.sources.{Ingest, TpcdsPromoted}
+    import graft.sources.{Ingest, SyntheticWorkload, TpcdsPromoted}
     import graft.llm._
     import graft.plans.TopKPerKey
     val modules = Seq(
       Relational.queries, Advanced.queries, AsOf.queries,
       TopKPerKey.queries, TraceAnalytics.queries, Metrics.queries,
       PlanFeaturizer.queries, SchedulingQueries.queries, Ingest.queries,
-      TpcdsPromoted.queries, TextAnalysis.queries, Dedup.queries,
+      TpcdsPromoted.queries, SyntheticWorkload.queries,
+      TextAnalysis.queries, Dedup.queries,
       Similarity.queries, Multimodal.queries)
     assert(SparkEntry.queries.size === modules.map(_.size).sum,
       "a query key is claimed by more than one module")

@@ -75,6 +75,19 @@ class WorkloadRunnerSpec extends SparkSpec {
       === "s3://bucket/runs/x.ndjson")
   }
 
+  test("NoopDrain executes the plan without driver materialization") {
+    graft.Tables.registerAll(spark, sfSmoke)
+    // a result wide and tall enough that collect cost would be visible
+    val r = WorkloadRunner.executeQuery(spark, "qwide",
+      "SELECT l.*, o.* FROM lineitem l JOIN orders o ON l_orderkey = o_orderkey",
+      drain = WorkloadRunner.NoopDrain)
+    assert(r.runtimeS > 0 && r.executionS > 0, s"noop drain must time: $r")
+    // a broken query still gets the sentinel under the noop drain
+    val bad = WorkloadRunner.executeQuery(spark, "qbad",
+      "SELECT nope FROM lineitem", drain = WorkloadRunner.NoopDrain)
+    assert(bad.runtimeS === -1.0)
+  }
+
   test("executeQuery timeout returns the -1 sentinel") {
     graft.Tables.registerAll(spark, sfSmoke)
     // a cartesian heavy enough to outlive 1ms
