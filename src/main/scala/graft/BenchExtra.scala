@@ -87,5 +87,24 @@ object BenchExtra {
       val e = embs(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") % 50 === 0), 5)
     }),
+    "bench_synth_runner" -> ((s, dir) => {
+      // Sequential workload-runner throughput on 48 reference-shaped
+      // synthetic queries (join chains / IN-lists / CAST-LIKE) at the
+      // bench SF — the reference's run_workload loop measured as a
+      // whole, per-query NDJSON log included. NoopDrain keeps the
+      // timing on the engine, not driver materialization. The bench
+      // wall-clock / 48 is the per-query runner overhead + execution.
+      import s.implicits._
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_bench_synth").toString
+      val rs = graft.sources.SyntheticWorkload.generateAndRun(
+        s, dir, out, n = 48, seed = 42L,
+        drain = graft.sources.WorkloadRunner.NoopDrain)
+      val failed = rs.filter(_.runtimeS < 0)
+      require(failed.isEmpty,
+        s"bench_synth_runner: ${failed.size} queries failed " +
+          failed.take(3).map(_.queryId).mkString(","))
+      rs.toDF()
+    }),
   )
 }

@@ -290,12 +290,13 @@ object SyntheticWorkload {
     * [[WorkloadRunner]], NDJSON log + SQL texts land in `outDir`.
     * Returns the per-query results. */
   def generateAndRun(spark: org.apache.spark.sql.SparkSession, sfDir: String,
-      outDir: String, n: Int, seed: Long,
-      attempt: Int = 1): Seq[WorkloadRunner.QueryResult] = {
+      outDir: String, n: Int, seed: Long, attempt: Int = 1,
+      drain: WorkloadRunner.Drain = WorkloadRunner.CollectDrain)
+      : Seq[WorkloadRunner.QueryResult] = {
     graft.Tables.registerAll(spark, sfDir)
     val queries = generate(n, seed)
     val qdir = s"$outDir/queries"
     writeQueryFiles(qdir, queries)
-    WorkloadRunner.runWorkload(spark, qdir, outDir, attempt)
+    WorkloadRunner.runWorkload(spark, qdir, outDir, attempt, drain = drain)
   }
 }
