@@ -48,6 +48,31 @@ class SyntheticWorkloadSpec extends SparkSpec {
       t.takeWhile(_ != ')').count(_ == ',') >= 9)), "large IN-lists")
   }
 
+  test("featurizer vocabulary + broadcast plans across the synthetic corpus") {
+    graft.Tables.registerAll(spark, sfSmoke)
+    import graft.analytics.PlanFeaturizer
+    val vocab = scala.collection.mutable.Map[String, Long]()
+    var nodeTotal = 0L
+    for (sq <- SyntheticWorkload.generate(150, 11L)) {
+      val ops = PlanFeaturizer.featurize(spark, spark.sql(sq.sql))._1
+        .select("opname").collect().map(_.getString(0))
+      ops.foreach(o => vocab(o) = vocab.getOrElse(o, 0L) + 1)
+      nodeTotal += ops.length
+    }
+    // the §2.B vocab covers the generated-plan population like it
+    // covers the canon corpus (StudyReplicationSpec's gate)
+    assert(vocab.getOrElse("Unknown", 0L).toDouble / nodeTotal < 0.05,
+      s"${vocab.getOrElse("Unknown", 0L)} of $nodeTotal nodes un-mapped")
+    // scale audit: the fk→pk LEFT OUTER dim joins must plan as
+    // broadcasts (REPLICATED), and aggregation must be partial-final
+    // (map-side combine) — no generated query may shuffle a fact table
+    // to join a dim
+    assert(vocab.contains("LeftJoin_REPLICATED"), vocab.toString)
+    assert(vocab.getOrElse("LeftJoin_PARTITIONED", 0L) === 0L,
+      "a dim join shuffled instead of broadcasting")
+    assert(vocab.contains("Aggregate_PARTIAL") && vocab.contains("Aggregate_FINAL"))
+  }
+
   test("promoted synthetic queries: pinned shapes, cast-safe, gated") {
     val byName = SyntheticWorkload.promoted.toMap
     assert(byName.keySet === Set(
