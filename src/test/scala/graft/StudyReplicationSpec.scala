@@ -94,4 +94,59 @@ class StudyReplicationSpec extends SparkSpec {
     assert(unknown.toDouble / nodeTotal < 0.05,
       s"$unknown of $nodeTotal nodes un-mapped")
   }
+
+  test("reference repetition: 5 runs, exactly-5 CV gate, config delta") {
+    import graft.sources.SyntheticWorkload
+    graft.Tables.registerAll(spark, sfSmoke)
+    val outDir = Files.createTempDirectory("graft_study5").toString
+    val corpus = SyntheticWorkload.generate(60, seed = 5L)
+    val qd = s"$outDir/queries"
+    SyntheticWorkload.writeQueryFiles(qd, corpus)
+
+    // -- study 1 at the reference's repetition count: 5 workload runs
+    // (traces/study_1: Workload_log_BASE_{1..5}.ndjson per config)
+    val runs = (1 to 5).map(a =>
+      WorkloadRunner.runWorkload(spark, qd, outDir, attempt = a))
+    assert(runs.forall(r => r.size == 60 && r.forall(_.runtimeS >= 0)))
+    val logs = TraceAnalytics.withRunId(
+      spark.read.json(s"$outDir/Workload_log_run_*.ndjson"))
+
+    // the reference's exactly-5 repeatability gate (helpers.py:55)
+    val cv = TraceAnalytics.perQueryCv(logs, "query_id", "Runtime (s)", 5)
+    assert(cv.count() === 60, "every query has exactly 5 samples")
+    assert(cv.filter(col("cv_pct") < 0 || col("cv_pct").isNull).isEmpty)
+    // a query missing one run must DROP OUT (the heterogeneous-cluster
+    // incomplete-set behavior the traces README warns about)
+    val damaged = logs.filter(
+      !(col("query_id") === corpus.head.queryId && col("run") === 5))
+    assert(TraceAnalytics.perQueryCv(
+      damaged, "query_id", "Runtime (s)", 5).count() === 59)
+
+    // -- study 2 analog on self-produced logs: same corpus under a
+    // variant session config (shuffle=4 vs 32), baseline-vs-variant
+    // percentage deltas of the run-summary metrics
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val variantDir = Files.createTempDirectory("graft_study5v").toString
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      // two variant runs: Bessel std needs >=2 run means (ddof=1 over
+      // a single run is the reference's NaN; here ANSI division throws)
+      (1 to 2).foreach { a =>
+        val rv = WorkloadRunner.runWorkload(spark, qd, variantDir, attempt = a)
+        assert(rv.size === 60 && rv.forall(_.runtimeS >= 0))
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val vlogs = TraceAnalytics.withRunId(
+      spark.read.json(s"$variantDir/Workload_log_run_*.ndjson"))
+    val metrics = Seq("avg_runtime", "std_runtime", "p50_runtime")
+    val delta = TraceAnalytics.configDelta(
+      TraceAnalytics.summarize(
+        TraceAnalytics.perRunMean(logs, "run", "Runtime (s)")),
+      TraceAnalytics.summarize(
+        TraceAnalytics.perRunMean(vlogs, "run", "Runtime (s)")),
+      metrics).head()
+    metrics.indices.foreach { i =>
+      assert(!delta.getDouble(i).isNaN, s"delta_${metrics(i)} is NaN")
+    }
+  }
 }
