@@ -78,7 +78,14 @@ object Bench {
     val hostLoadFactor = calibrationS / CalibrationIdleS
     Console.err.println(
       f"[bench] calibration ${calibrationS}%.3f s (host_load_factor ${hostLoadFactor}%.2f)")
-    val results = suite.map { case (name, fn) =>
+    // Inline probes every 20 queries: two r4 runs showed multi-second
+    // host transients strictly BETWEEN idle-reading probes (run 1:
+    // core keys 3-16x; run 3: tpcds_q72 37.9 s vs 2.4 s clean), so
+    // bracketing alone cannot certify a run — the worst probe across
+    // the whole suite is what host_load_factor must report.
+    val inlineProbes = Vector.newBuilder[Double]
+    val results = suite.zipWithIndex.map { case ((name, fn), i) =>
+      if (i % 20 == 0 && i > 0) inlineProbes += calibrateOnce(spark, cpus.toInt)
       val t0 = System.nanoTime()
       val ok =
         try { run(fn, spark, sfDir); true }
@@ -88,15 +95,15 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    // Second probe AFTER the suite: a mid-run host transient (observed
-    // r4: non-uniform inflation concentrated mid-suite while the
-    // pre-suite probe read idle) is invisible to a single point;
-    // host_load_factor reports the WORSE of the two brackets.
+    // Second bracket AFTER the suite.
     val calibrationEndS = calibrate(spark, cpus.toInt)
-    val hostLoadFactor2 =
-      math.max(calibrationS, calibrationEndS) / CalibrationIdleS
+    val probes = calibrationS +: calibrationEndS +: inlineProbes.result()
+    val calibrationMaxS = probes.max
+    val hostLoadFactor2 = calibrationMaxS / CalibrationIdleS
     Console.err.println(
-      f"[bench] calibration end ${calibrationEndS}%.3f s (bracketed host_load_factor ${hostLoadFactor2}%.2f)")
+      f"[bench] calibration end ${calibrationEndS}%.3f s, " +
+        f"worst of ${probes.size} probes ${calibrationMaxS}%.3f s " +
+        f"(host_load_factor ${hostLoadFactor2}%.2f)")
     def r3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     results.foreach { case (k, v) =>
@@ -128,7 +135,7 @@ object Bench {
     // 20 slowest queries only.
     println(s"""{"metric":"per_query_full","queries":${dict(results)},"sf":"$sfDir"}""")
     val slowest = results.sortBy(-_._2).take(20).sortBy(_._1)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","oracle_total":${r3(oracleTotal)},"core_total":${r3(coreTotal)},"tpcds_total":${r3(tpcdsTotal)},"extra_total":${r3(total - oracleTotal)},"n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"calibration_s":${r3(calibrationS)},"calibration_end_s":${r3(calibrationEndS)},"host_load_factor":${r3(hostLoadFactor2)},"queries":${dict(slowest)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","oracle_total":${r3(oracleTotal)},"core_total":${r3(coreTotal)},"tpcds_total":${r3(tpcdsTotal)},"extra_total":${r3(total - oracleTotal)},"n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"calibration_s":${r3(calibrationS)},"calibration_end_s":${r3(calibrationEndS)},"calibration_max_s":${r3(calibrationMaxS)},"n_probes":${probes.size},"host_load_factor":${r3(hostLoadFactor2)},"queries":${dict(slowest)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
