@@ -145,7 +145,7 @@ object SyntheticWorkload {
   private def genPredicate(rng: java.util.Random,
       tables: Seq[String]): String = {
     val t = pick(rng, tables)
-    rng.nextInt(5) match {
+    rng.nextInt(6) match {
       case 0 => // integer IN-list, 5-20 values (reference: 12-17 seen)
         val pools = intInCols(t)
         if (pools.isEmpty) genPredicate(rng, tables)
@@ -174,6 +174,15 @@ object SyntheticWorkload {
         val c = pick(rng, nullCols(t))
         val not = if (rng.nextBoolean()) "NOT " else ""
         s"${q(t, c)} IS ${not}NULL"
+      case 4 => // inequality on a pooled string value (`!=` carries
+                // ~40% of the reference corpus' predicates — sampled
+                // across tpcds_Local_train.ndjson, not just its head)
+        val pools = strCols(t)
+        if (pools.isEmpty) genPredicate(rng, tables)
+        else {
+          val (c, pool) = pick(rng, pools)
+          s"${q(t, c)} != ${sqlStr(pick(rng, pool))}"
+        }
       case _ => // equality on a pooled string value
         val pools = strCols(t)
         if (pools.isEmpty) genPredicate(rng, tables)
@@ -246,6 +255,23 @@ object SyntheticWorkload {
   private def castSafe(sq: SynthQuery): Boolean =
     !engineRenderedCast.exists(c => sq.sql.contains(s"CAST($c"))
 
+  /** A promoted query must return rows at EVERY fixture SF — an empty
+    * result makes the hash gate trivially vacuous. Reject the conjunct
+    * shapes that can empty a smoke-scale table: `IS NULL` (fixtures
+    * are non-null), plain `LIKE` (arbitrarily selective pattern; the
+    * permissive `NOT LIKE` stays), and integer IN-lists over domains
+    * larger than the smallest fixture tables. The spec asserts the
+    * survivors actually produce groups. */
+  private def smokeSafe(sq: SynthQuery): Boolean = {
+    val sql = sq.sql
+    val notLikes = "NOT LIKE".r.findAllIn(sql).size
+    val likes = "LIKE".r.findAllIn(sql).size
+    !sql.contains(" IS NULL") &&
+      likes == notLikes &&
+      """(?:partkey|suppkey|custkey|user_id|p_size) IN \(""".r
+        .findFirstIn(sql).isEmpty
+  }
+
   /** Three pinned corpus members promoted into the DuckDB hash gate —
     * one per headline predicate shape. Selection is a deterministic
     * scan of generate(600, 42L), so the promoted texts are a pure
@@ -254,14 +280,20 @@ object SyntheticWorkload {
   lazy val promoted: Seq[(String, SynthQuery)] = {
     val corpus = generate(600, 42L)
     def first(label: String)(p: SynthQuery => Boolean): (String, SynthQuery) =
-      label -> corpus.find(sq => castSafe(sq) && p(sq)).getOrElse(
-        sys.error(s"no $label-shaped query in the pinned corpus"))
+      label -> corpus.find(sq => castSafe(sq) && smokeSafe(sq) && p(sq))
+        .getOrElse(sys.error(s"no $label-shaped query in the pinned corpus"))
     Seq(
       first("synth_join_chain") { sq =>
         "LEFT OUTER JOIN".r.findAllIn(sq.sql).size >= 3
       },
       first("synth_large_inlist") { sq =>
-        sq.sql.split("IN \\(").exists(_.takeWhile(_ != ')').count(_ == ',') >= 11)
+        // large IN-list restricted to the small-domain key columns
+        // (nationkey/regionkey/linenumber, <=25 values, present at
+        // every SF): a 10+-value IN over a 2000-key domain can match
+        // zero rows of a smoke-scale table, and an empty result makes
+        // the hash gate trivially vacuous
+        """(?:nationkey|regionkey|linenumber) IN \(([^)]*)\)""".r
+          .findAllMatchIn(sq.sql).exists(_.group(1).count(_ == ',') >= 9)
       },
       first("synth_cast_notlike")(_.sql.contains("NOT LIKE")))
   }

@@ -40,6 +40,7 @@ class SyntheticWorkloadSpec extends SparkSpec {
       s.sliding("LEFT OUTER JOIN".length).count(_ == "LEFT OUTER JOIN") >= 3),
       "3-join chains must occur")
     assert(n(" IN (") > 50, "IN-lists")
+    assert(n(" != ") > 30, "string inequality predicates")
     assert(n("NOT LIKE") > 20, "CAST NOT LIKE predicates")
     assert(n("AS string) ") > 40, "CAST .. to text")
     assert(n("IS NOT NULL") > 10, "IS NOT NULL")
@@ -79,8 +80,9 @@ class SyntheticWorkloadSpec extends SparkSpec {
       "synth_join_chain", "synth_large_inlist", "synth_cast_notlike"))
     assert("LEFT OUTER JOIN".r
       .findAllIn(byName("synth_join_chain").sql).size >= 3)
-    assert(byName("synth_large_inlist").sql.split("IN \\(")
-      .exists(_.takeWhile(_ != ')').count(_ == ',') >= 11))
+    assert("""(?:nationkey|regionkey|linenumber) IN \(([^)]*)\)""".r
+      .findAllMatchIn(byName("synth_large_inlist").sql)
+      .exists(_.group(1).count(_ == ',') >= 9))
     assert(byName("synth_cast_notlike").sql.contains("NOT LIKE"))
     // no engine-rendered double ever appears under CAST in a promotion
     byName.values.foreach(sq => assert(!sq.sql.contains("CAST(lineitem.l_q")
