@@ -295,7 +295,9 @@ object SyntheticWorkload {
         """(?:nationkey|regionkey|linenumber) IN \(([^)]*)\)""".r
           .findAllMatchIn(sq.sql).exists(_.group(1).count(_ == ',') >= 9)
       },
-      first("synth_cast_notlike")(_.sql.contains("NOT LIKE")))
+      first("synth_cast_notlike")(_.sql.contains("NOT LIKE")),
+      first("synth_string_neq")(_.sql.contains(" != ")),
+      first("synth_isnotnull")(_.sql.contains("IS NOT NULL")))
   }
 
   type Q = (org.apache.spark.sql.SparkSession, String) =>

@@ -77,7 +77,10 @@ class SyntheticWorkloadSpec extends SparkSpec {
   test("promoted synthetic queries: pinned shapes, cast-safe, gated") {
     val byName = SyntheticWorkload.promoted.toMap
     assert(byName.keySet === Set(
-      "synth_join_chain", "synth_large_inlist", "synth_cast_notlike"))
+      "synth_join_chain", "synth_large_inlist", "synth_cast_notlike",
+      "synth_string_neq", "synth_isnotnull"))
+    assert(byName("synth_string_neq").sql.contains(" != "))
+    assert(byName("synth_isnotnull").sql.contains("IS NOT NULL"))
     assert("LEFT OUTER JOIN".r
       .findAllIn(byName("synth_join_chain").sql).size >= 3)
     assert("""(?:nationkey|regionkey|linenumber) IN \(([^)]*)\)""".r
