@@ -114,11 +114,11 @@ object PlanFeaturizer {
   private def realChildren(p: SparkPlan): Seq[SparkPlan] =
     p.children.map(unwrap)
 
-  /** Walk the executed plan of `df` and emit (nodes, edges). Node
-    * features: opname (reference vocab), native Spark op, log1p of the
-    * estimated row count, estimated tuple width in bytes. */
-  def featurize(spark: SparkSession, df: DataFrame): (DataFrame, DataFrame) = {
-    import spark.implicits._
+  /** Driver-side walk of the executed plan — pure metadata, no Spark
+    * job. This is the loop body for corpus-scale featurization
+    * ([[graft.ml.CorpusPlanStudy]]): thousands of plans featurize
+    * without launching thousands of tiny jobs. */
+  def collectGraph(df: DataFrame): (Seq[PlanNode], Seq[PlanEdge]) = {
     val nodes = scala.collection.mutable.ArrayBuffer[PlanNode]()
     val edges = scala.collection.mutable.ArrayBuffer[PlanEdge]()
     var nextId = 0
@@ -140,7 +140,17 @@ object PlanFeaturizer {
       id
     }
     visit(df.queryExecution.executedPlan)
-    (nodes.toSeq.toDF(), edges.toSeq.toDF())
+    (nodes.toSeq, edges.toSeq)
+  }
+
+  /** Walk the executed plan of `df` and emit (nodes, edges) as
+    * DataFrames. Node features: opname (reference vocab), native Spark
+    * op, log1p of the estimated row count, estimated tuple width in
+    * bytes. */
+  def featurize(spark: SparkSession, df: DataFrame): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val (nodes, edges) = collectGraph(df)
+    (nodes.toDF(), edges.toDF())
   }
 
   private def rowWidth(p: SparkPlan): Long =

@@ -9,15 +9,20 @@ import java.nio.file.{Files, Paths}
   * shapes below are re-parameterized over this library's fixture
   * schema, not ported).
   *
-  * Reference corpus shapes reproduced (train.ndjson lines 1-4):
-  *   - `SELECT g1[, g2], COUNT(*) AS agg_0 FROM fact
-  *      [LEFT OUTER JOIN dim ON fk = pk]{0..3}`
+  * Reference corpus shapes reproduced (train.ndjson lines 1-4, plus a
+  * full-corpus profile: joins 0-5 near-uniform, 34% scalar aggregates,
+  * ~30% OR disjunctions):
+  *   - `SELECT [g1[, g2],] COUNT(*) AS agg_0 FROM fact
+  *      [LEFT OUTER JOIN dim ON fk = pk]{0..5}`
   *      — join chains walk a fixed fk→pk graph
   *   - predicates drawn from: large integer IN-lists, string IN-lists,
   *     `CAST(col AS varchar) [NOT] LIKE '%..%..%'`, `IS [NOT] NULL`,
-  *     and `col = 'literal'`
-  *   - `GROUP BY` + `ORDER BY` over the selected group columns
-  *     (total order → deterministic output for any runner).
+  *     `col = 'literal'`, `col != 'literal'`, and parenthesized
+  *     two-arm OR disjunctions of the above
+  *   - two-thirds grouped: `GROUP BY` + `ORDER BY` over the selected
+  *     group columns (total order → deterministic output for any
+  *     runner); one-third scalar: a single global COUNT(*) row, no
+  *     GROUP BY/ORDER BY — like the reference's ungrouped third.
   *
   * Generation is a pure function of (n, seed): java.util.Random's LCG
   * is pinned by its javadoc, so the same inputs yield byte-identical
@@ -143,12 +148,17 @@ object SyntheticWorkload {
   }
 
   private def genPredicate(rng: java.util.Random,
-      tables: Seq[String]): String = {
+      tables: Seq[String], allowOr: Boolean = true): String = {
     val t = pick(rng, tables)
-    rng.nextInt(6) match {
+    rng.nextInt(if (allowOr) 7 else 6) match {
+      case 6 => // parenthesized two-arm OR disjunction — carries ~30%
+                // of the reference corpus; arms are base predicates
+                // (no nesting), like "(p1 OR p2)" in train.ndjson
+        s"(${genPredicate(rng, tables, allowOr = false)} OR " +
+          s"${genPredicate(rng, tables, allowOr = false)})"
       case 0 => // integer IN-list, 5-20 values (reference: 12-17 seen)
         val pools = intInCols(t)
-        if (pools.isEmpty) genPredicate(rng, tables)
+        if (pools.isEmpty) genPredicate(rng, tables, allowOr)
         else {
           val (c, range) = pick(rng, pools)
           val k = 5 + rng.nextInt(16)
@@ -157,7 +167,7 @@ object SyntheticWorkload {
         }
       case 1 => // string IN-list
         val pools = strCols(t)
-        if (pools.isEmpty) genPredicate(rng, tables)
+        if (pools.isEmpty) genPredicate(rng, tables, allowOr)
         else {
           val (c, pool) = pick(rng, pools)
           val k = math.min(pool.size, 2 + rng.nextInt(8))
@@ -178,14 +188,14 @@ object SyntheticWorkload {
                 // ~40% of the reference corpus' predicates — sampled
                 // across tpcds_Local_train.ndjson, not just its head)
         val pools = strCols(t)
-        if (pools.isEmpty) genPredicate(rng, tables)
+        if (pools.isEmpty) genPredicate(rng, tables, allowOr)
         else {
           val (c, pool) = pick(rng, pools)
           s"${q(t, c)} != ${sqlStr(pick(rng, pool))}"
         }
       case _ => // equality on a pooled string value
         val pools = strCols(t)
-        if (pools.isEmpty) genPredicate(rng, tables)
+        if (pools.isEmpty) genPredicate(rng, tables, allowOr)
         else {
           val (c, pool) = pick(rng, pools)
           s"${q(t, c)} = ${sqlStr(pick(rng, pool))}"
@@ -196,7 +206,7 @@ object SyntheticWorkload {
   private def genQuery(rng: java.util.Random): String = {
     // 1. join chain: random walk over fk edges from a start table
     val start = pick(rng, startTables)
-    val nJoins = rng.nextInt(4) // 0-3 like the reference chains
+    val nJoins = rng.nextInt(6) // 0-5, near-uniform like the reference
     var joined = Vector(start)
     val joinClauses = Vector.newBuilder[String]
     var guard = 0
@@ -212,20 +222,30 @@ object SyntheticWorkload {
           s"${q(e.fromTable, e.fk)} = ${q(e.toTable, e.pk)}"
       }
     }
-    // 2. group columns: 1-2, drawn from any joined table
-    val groupPool = joined.flatMap(t => groupCols(t).map(c => q(t, c)))
-    val nGroup = 1 + rng.nextInt(2)
-    val gcols = Seq.fill(nGroup)(pick(rng, groupPool)).distinct
+    // 2. shape: one-third scalar (single global COUNT(*) row — the
+    //    reference corpus is 34% ungrouped), two-thirds grouped with
+    //    1-2 group columns drawn from any joined table
+    val scalar = rng.nextInt(3) == 0
+    val gcols =
+      if (scalar) Seq.empty
+      else {
+        val groupPool = joined.flatMap(t => groupCols(t).map(c => q(t, c)))
+        val nGroup = 1 + rng.nextInt(2)
+        Seq.fill(nGroup)(pick(rng, groupPool)).distinct
+      }
     // 3. predicates: 1-3, AND-joined
     val nPred = 1 + rng.nextInt(3)
     val preds = (1 to nPred).map(_ => genPredicate(rng, joined)).distinct
-    // 4. assemble (reference line shape, double-quoted identifiers)
+    // 4. assemble (reference line shape; grouped queries carry a total
+    //    ORDER BY over the group columns, scalar ones have neither —
+    //    exactly the reference's GROUP BY == ORDER BY pairing)
     val fromSql = (start +: joinClauses.result()).mkString(" ")
-    s"SELECT ${gcols.mkString(", ")}, COUNT(*) as agg_0 " +
-      s"FROM $fromSql " +
-      s"WHERE ${preds.mkString(" AND ")} " +
-      s"GROUP BY ${gcols.mkString(", ")} " +
-      s"ORDER BY ${gcols.mkString(", ")}"
+    val select = (gcols :+ "COUNT(*) as agg_0").mkString(", ")
+    val tail =
+      if (scalar) ""
+      else s" GROUP BY ${gcols.mkString(", ")}" +
+        s" ORDER BY ${gcols.mkString(", ")}"
+    s"SELECT $select FROM $fromSql WHERE ${preds.mkString(" AND ")}$tail"
   }
 
   // --------------------------------------------------------- running
@@ -272,8 +292,8 @@ object SyntheticWorkload {
         .findFirstIn(sql).isEmpty
   }
 
-  /** Three pinned corpus members promoted into the DuckDB hash gate —
-    * one per headline predicate shape. Selection is a deterministic
+  /** Pinned corpus members promoted into the DuckDB hash gate — one
+    * per headline query/predicate shape. Selection is a deterministic
     * scan of generate(600, 42L), so the promoted texts are a pure
     * function of the generator version; any generator change re-gates
     * them automatically. */
@@ -297,7 +317,9 @@ object SyntheticWorkload {
       },
       first("synth_cast_notlike")(_.sql.contains("NOT LIKE")),
       first("synth_string_neq")(_.sql.contains(" != ")),
-      first("synth_isnotnull")(_.sql.contains("IS NOT NULL")))
+      first("synth_isnotnull")(_.sql.contains("IS NOT NULL")),
+      first("synth_or_disjunction")(_.sql.contains(" OR ")),
+      first("synth_scalar_count")(!_.sql.contains("GROUP BY")))
   }
 
   type Q = (org.apache.spark.sql.SparkSession, String) =>

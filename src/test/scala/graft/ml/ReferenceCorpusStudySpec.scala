@@ -1,0 +1,200 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Runtime-prediction study replicated on the REFERENCE'S OWN shipped
+  * corpus (`models/Queries/Local_TPCDS/tpcds_Local_{train,test}.ndjson`
+  * — 3077 train / 770 test queries with measured runtimes, published
+  * as data in the reference repo). The synthetic-corpus retrain
+  * (SyntheticWorkloadSpec) proves the loop on self-produced logs; this
+  * spec proves the same pipeline ingests the reference's actual
+  * training data at its actual sample counts and learns signal from
+  * SQL text alone — the strongest dataflow-parity claim available
+  * without the reference's LLM weights (hash embeddings substitute,
+  * documented in RuntimePrediction).
+  *
+  * Scale note: every stage is a map-only column expression or a
+  * broadcast-size ML fit; nothing here shuffles more than the 3.8k-row
+  * dataset itself.
+  */
+class ReferenceCorpusStudySpec extends SparkSpec {
+
+  private val refDir = "/root/reference/models/Queries/Local_TPCDS"
+
+  test("RF trained on the reference's shipped corpus beats the mean-baseline") {
+    assume(Files.exists(Paths.get(s"$refDir/tpcds_Local_train.ndjson")),
+      "reference corpus not present")
+
+    val dim = 16
+    def prep(path: String) = RuntimePrediction.flattenEmbedding(
+      RuntimePrediction.meanPoolEmbedding(
+        RuntimePrediction.loadDataset(spark, path), "SQL", dim), dim)
+
+    val train = prep(s"$refDir/tpcds_Local_train.ndjson")
+      // the reference's log-label transform (train.ipynb): the runtime
+      // distribution spans 0.04s-296s, so fit on log1p and exp-invert
+      .withColumn("label_log", log1p(col("runtime_s"))).cache()
+    val test = prep(s"$refDir/tpcds_Local_test.ndjson").cache()
+    assert(train.count() === 3077, "shipped train corpus row count")
+    assert(test.count() === 770, "shipped test corpus row count")
+
+    val pipe = RuntimePrediction.buildFeatures(train, dim).fit(train)
+    val ftrain = pipe.transform(train).cache()
+    val ftest = pipe.transform(test).cache()
+
+    val model = RuntimePrediction.trainRf(ftrain, labelCol = "label_log",
+      numFolds = 3, trees = Seq(100), depths = Seq(5, 10)).fit(ftrain)
+    val scored = RuntimePrediction.expInvert(
+      model.transform(ftest), "prediction")
+      .withColumn("prediction", col("prediction") - 1.0) // invert log1p
+
+    val maeModel = RuntimePrediction.mae(scored, "prediction", "runtime_s")
+      .head().getDouble(0)
+    // naive baseline: predict the training-set mean runtime everywhere
+    val meanRt = train.agg(avg("runtime_s")).head().getDouble(0)
+    val maeBase = RuntimePrediction.mae(
+      scored.withColumn("base", lit(meanRt)), "base", "runtime_s")
+      .head().getDouble(0)
+    info(f"held-out MAE: model $maeModel%.3f s vs mean-baseline $maeBase%.3f s")
+    assert(!maeModel.isNaN && maeModel > 0)
+    assert(maeModel < maeBase,
+      f"text features must carry signal: model MAE $maeModel%.3f " +
+        f">= baseline $maeBase%.3f")
+
+    val qe = RuntimePrediction.qerror(scored, "prediction", "runtime_s").head()
+    val (p50, p99) = (qe.getDouble(0), qe.getDouble(1))
+    info(f"held-out q-error: P50 $p50%.2f P99 $p99%.2f over ${qe.getLong(2)} pairs")
+    assert(p50 >= 1.0 && p99 >= p50)
+    // hash embeddings are weaker than LLM embeddings, but the median
+    // prediction should still land within ~1 order of magnitude
+    assert(p50 < 10.0, f"P50 q-error $p50%.2f — text handoff broke")
+
+    Seq(train, test, ftrain, ftest).foreach(_.unpersist())
+  }
+
+  test("RF on plan features of the reference corpus (GNN-path analog)") {
+    assume(Files.exists(Paths.get(s"$refDir/tpcds_Local_train.ndjson")),
+      "reference corpus not present")
+
+    // Planning schema inferred from the corpus text itself (public
+    // TPC-DS naming conventions), then every query planned against
+    // empty tables — the reference's GNN featurizes Trino EXPLAIN
+    // output of exactly these queries.
+    val allSql =
+      RuntimePrediction.loadDataset(spark, s"$refDir/tpcds_Local_train.ndjson")
+        .select("SQL").collect().map(_.getString(0)) ++
+      RuntimePrediction.loadDataset(spark, s"$refDir/tpcds_Local_test.ndjson")
+        .select("SQL").collect().map(_.getString(0))
+    val schemas = CorpusPlanStudy.inferSchemas(allSql)
+    assert(schemas.contains("store_sales") && schemas.contains("date_dim"))
+    CorpusPlanStudy.registerEmptyTables(spark, schemas)
+
+    val train = CorpusPlanStudy
+      .featurizeCorpus(spark, s"$refDir/tpcds_Local_train.ndjson")
+      .withColumn("label_log", log1p(col("runtime_s"))).cache()
+    val test = CorpusPlanStudy
+      .featurizeCorpus(spark, s"$refDir/tpcds_Local_test.ndjson").cache()
+    val (nTrain, nTest) = (train.count(), test.count())
+    info(s"planned: $nTrain/3077 train, $nTest/770 test")
+    // planning failures are counted, not hidden — and with the
+    // corpus-learned type rules every shipped query must plan
+    assert(nTrain === 3077L, s"train coverage $nTrain/3077")
+    assert(nTest === 770L, s"test coverage $nTest/770")
+
+    val assembler = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(CorpusPlanStudy.featureNames.toArray)
+      .setOutputCol("features")
+    val ftrain = assembler.transform(train).cache()
+    val ftest = assembler.transform(test).cache()
+
+    val model = RuntimePrediction.trainRf(ftrain, labelCol = "label_log",
+      numFolds = 3, trees = Seq(100), depths = Seq(5, 10)).fit(ftrain)
+    val scored = RuntimePrediction.expInvert(
+      model.transform(ftest), "prediction")
+      .withColumn("prediction", col("prediction") - 1.0)
+
+    val maeModel = RuntimePrediction.mae(scored, "prediction", "runtime_s")
+      .head().getDouble(0)
+    val meanRt = train.agg(avg("runtime_s")).head().getDouble(0)
+    val maeBase = RuntimePrediction.mae(
+      scored.withColumn("base", lit(meanRt)), "base", "runtime_s")
+      .head().getDouble(0)
+    val qe = RuntimePrediction.qerror(scored, "prediction", "runtime_s").head()
+    info(f"plan-feature MAE: model ${maeModel}%.3f s vs baseline ${maeBase}%.3f s; " +
+      f"q-error P50 ${qe.getDouble(0)}%.2f P99 ${qe.getDouble(1)}%.2f")
+    assert(maeModel < maeBase,
+      f"plan features must carry signal: $maeModel%.3f >= $maeBase%.3f")
+    assert(qe.getDouble(0) < 10.0, "P50 q-error must stay within an order")
+
+    Seq(train, test, ftrain, ftest).foreach(_.unpersist())
+  }
+
+  test("IMDB corpus plans against the shipped JOB schema; plan-RF learns") {
+    val imdbDir = "/root/reference/models/Queries/Local_IMDB"
+    val jobSchema =
+      "/root/reference/datasets/iceberg conversion/JOB_Trino_Schema.json"
+    assume(Files.exists(Paths.get(s"$imdbDir/imdb_Local_train.ndjson")) &&
+      Files.exists(Paths.get(jobSchema)), "reference IMDB corpus not present")
+
+    // the benchmark's own declared schema, not naming-convention
+    // inference — same parseSchemaJson chain the ingest layer uses
+    CorpusPlanStudy.registerSchemaJsonTables(spark, jobSchema)
+
+    val train = CorpusPlanStudy
+      .featurizeCorpus(spark, s"$imdbDir/imdb_Local_train.ndjson")
+      .withColumn("label_log", log1p(col("runtime_s"))).cache()
+    val test = CorpusPlanStudy
+      .featurizeCorpus(spark, s"$imdbDir/imdb_Local_test.ndjson").cache()
+    val (nTrain, nTest) = (train.count(), test.count())
+    info(s"planned: $nTrain/2929 train, $nTest/733 test")
+    assert(nTrain === 2929L, s"train coverage $nTrain/2929")
+    assert(nTest === 733L, s"test coverage $nTest/733")
+
+    val assembler = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(CorpusPlanStudy.featureNames.toArray)
+      .setOutputCol("features")
+    val ftrain = assembler.transform(train).cache()
+    val ftest = assembler.transform(test).cache()
+    val model = RuntimePrediction.trainRf(ftrain, labelCol = "label_log",
+      numFolds = 3, trees = Seq(100), depths = Seq(5, 10)).fit(ftrain)
+    val scored = RuntimePrediction.expInvert(
+      model.transform(ftest), "prediction")
+      .withColumn("prediction", col("prediction") - 1.0)
+
+    val maeModel = RuntimePrediction.mae(scored, "prediction", "runtime_s")
+      .head().getDouble(0)
+    val meanRt = train.agg(avg("runtime_s")).head().getDouble(0)
+    val maeBase = RuntimePrediction.mae(
+      scored.withColumn("base", lit(meanRt)), "base", "runtime_s")
+      .head().getDouble(0)
+    val qe = RuntimePrediction.qerror(scored, "prediction", "runtime_s").head()
+    info(f"IMDB plan-feature MAE: model ${maeModel}%.3f s vs baseline " +
+      f"${maeBase}%.3f s; q-error P50 ${qe.getDouble(0)}%.2f " +
+      f"P99 ${qe.getDouble(1)}%.2f")
+    assert(maeModel < maeBase,
+      f"plan features must carry signal: $maeModel%.3f >= $maeBase%.3f")
+
+    Seq(train, test, ftrain, ftest).foreach(_.unpersist())
+  }
+
+  test("SSB test corpora plan 100% against the shipped SSB schema") {
+    val ssbSchema =
+      "/root/reference/datasets/iceberg conversion/SSB_Trino_Schema.json"
+    val corpora = Seq(
+      "/root/reference/models/Queries/Local_SSB/ssb_Local_test.ndjson" -> 173L,
+      "/root/reference/models/Queries/Baseline_SSB/ssb_Baseline_test.ndjson"
+        -> 289L)
+    assume(Files.exists(Paths.get(ssbSchema)) &&
+      corpora.forall(c => Files.exists(Paths.get(c._1))),
+      "reference SSB corpus not present")
+
+    CorpusPlanStudy.registerSchemaJsonTables(spark, ssbSchema)
+    corpora.foreach { case (path, expected) =>
+      val n = CorpusPlanStudy.featurizeCorpus(spark, path).count()
+      info(s"planned $n/$expected from ${path.split('/').last}")
+      assert(n === expected, s"SSB coverage $n/$expected for $path")
+    }
+  }
+}

@@ -28,22 +28,34 @@ class SyntheticWorkloadSpec extends SparkSpec {
 
   test("corpus covers the reference shapes") {
     val sqls = SyntheticWorkload.generate(300, 7L).map(_.sql)
-    // every query is a COUNT(*) GROUP BY ORDER BY aggregate
+    // every query is a COUNT(*) aggregate with a WHERE; grouped ones
+    // pair GROUP BY with a total ORDER BY, scalar ones have neither
     sqls.foreach { s =>
       assert(s.contains("COUNT(*) as agg_0"), s)
-      assert(s.contains("GROUP BY") && s.contains("ORDER BY"), s)
+      assert(s.contains("GROUP BY") === s.contains("ORDER BY"), s)
       assert(s.contains("WHERE"), s)
     }
+    // scalar (ungrouped) third, like the reference's 34%
+    val scalarFrac = sqls.count(!_.contains("GROUP BY")).toDouble / sqls.size
+    assert(scalarFrac > 0.2 && scalarFrac < 0.5, s"scalar frac $scalarFrac")
     def n(p: String) = sqls.count(_.contains(p))
     assert(n("LEFT OUTER JOIN") > 100, "join chains must dominate")
     assert(sqls.exists(s =>
-      s.sliding("LEFT OUTER JOIN".length).count(_ == "LEFT OUTER JOIN") >= 3),
-      "3-join chains must occur")
+      s.sliding("LEFT OUTER JOIN".length).count(_ == "LEFT OUTER JOIN") >= 5),
+      "5-join chains must occur")
     assert(n(" IN (") > 50, "IN-lists")
     assert(n(" != ") > 30, "string inequality predicates")
     assert(n("NOT LIKE") > 20, "CAST NOT LIKE predicates")
     assert(n("AS string) ") > 40, "CAST .. to text")
     assert(n("IS NOT NULL") > 10, "IS NOT NULL")
+    assert(n(" OR ") > 40, "OR disjunctions (~30% of the reference)")
+    // every OR sits inside an open paren group (never a bare top-level
+    // disjunct that would change AND precedence)
+    sqls.filter(_.contains(" OR ")).foreach { s =>
+      val i = s.indexOf(" OR ")
+      val pre = s.take(i)
+      assert(pre.count(_ == '(') > pre.count(_ == ')'), s)
+    }
     // large IN-lists actually occur (>= 10 comma-separated values)
     assert(sqls.exists(_.split("IN \\(").exists(t =>
       t.takeWhile(_ != ')').count(_ == ',') >= 9)), "large IN-lists")
@@ -78,9 +90,12 @@ class SyntheticWorkloadSpec extends SparkSpec {
     val byName = SyntheticWorkload.promoted.toMap
     assert(byName.keySet === Set(
       "synth_join_chain", "synth_large_inlist", "synth_cast_notlike",
-      "synth_string_neq", "synth_isnotnull"))
+      "synth_string_neq", "synth_isnotnull", "synth_or_disjunction",
+      "synth_scalar_count"))
     assert(byName("synth_string_neq").sql.contains(" != "))
     assert(byName("synth_isnotnull").sql.contains("IS NOT NULL"))
+    assert(byName("synth_or_disjunction").sql.contains(" OR "))
+    assert(!byName("synth_scalar_count").sql.contains("GROUP BY"))
     assert("LEFT OUTER JOIN".r
       .findAllIn(byName("synth_join_chain").sql).size >= 3)
     assert("""(?:nationkey|regionkey|linenumber) IN \(([^)]*)\)""".r
