@@ -17,12 +17,16 @@ import java.nio.file.{Files, Paths}
   *      — join chains walk a fixed fk→pk graph
   *   - predicates drawn from: large integer IN-lists, string IN-lists,
   *     `CAST(col AS varchar) [NOT] LIKE '%..%..%'`, `IS [NOT] NULL`,
-  *     `col = 'literal'`, `col != 'literal'`, and parenthesized
-  *     two-arm OR disjunctions of the above
+  *     `col = 'literal'`, `col != 'literal'`, numeric `>=`/`<=`/`!=`
+  *     comparisons, and parenthesized 2-3-arm OR disjunctions of the
+  *     above (the comparison and 3-arm-OR shapes match the reference's
+  *     IMDB corpus profile)
   *   - two-thirds grouped: `GROUP BY` + `ORDER BY` over the selected
   *     group columns (total order → deterministic output for any
   *     runner); one-third scalar: a single global COUNT(*) row, no
-  *     GROUP BY/ORDER BY — like the reference's ungrouped third.
+  *     GROUP BY/ORDER BY — like the reference's ungrouped third;
+  *     ~one-third of either carry an `avg(int)` / `avg(a + b)`
+  *     second aggregate (IMDB profile).
   *
   * Generation is a pure function of (n, seed): java.util.Random's LCG
   * is pinned by its javadoc, so the same inputs yield byte-identical
@@ -150,12 +154,19 @@ object SyntheticWorkload {
   private def genPredicate(rng: java.util.Random,
       tables: Seq[String], allowOr: Boolean = true): String = {
     val t = pick(rng, tables)
-    rng.nextInt(if (allowOr) 7 else 6) match {
-      case 6 => // parenthesized two-arm OR disjunction — carries ~30%
+    rng.nextInt(if (allowOr) 8 else 7) match {
+      case 7 => // parenthesized 2-3-arm OR disjunction — carries ~30%
                 // of the reference corpus; arms are base predicates
-                // (no nesting), like "(p1 OR p2)" in train.ndjson
-        s"(${genPredicate(rng, tables, allowOr = false)} OR " +
-          s"${genPredicate(rng, tables, allowOr = false)})"
+                // (no nesting), like "(p1 OR p2 OR p3)" in the IMDB
+                // train corpus
+        val arms = 2 + rng.nextInt(2)
+        (1 to arms).map(_ => genPredicate(rng, tables, allowOr = false))
+          .mkString("(", " OR ", ")")
+      case 6 => // numeric comparison on an integer column (the IMDB
+                // corpus profile: `"id" >= 2`, `"id" <= 5`, `"id" != 5`)
+        val (c, range) = pick(rng, intInCols(t))
+        val op = pick(rng, Seq(">=", "<=", "!="))
+        s"${q(t, c)} $op ${rng.nextInt(range)}"
       case 0 => // integer IN-list, 5-20 values (reference: 12-17 seen)
         val pools = intInCols(t)
         if (pools.isEmpty) genPredicate(rng, tables, allowOr)
@@ -233,6 +244,20 @@ object SyntheticWorkload {
         val nGroup = 1 + rng.nextInt(2)
         Seq.fill(nGroup)(pick(rng, groupPool)).distinct
       }
+    // 2b. ~one-third of queries also carry an avg over an integer
+    //     column or a two-column arithmetic sum — the reference's IMDB
+    //     corpus profile (`avg("t"."id")`, `avg("a"."x" + "b"."y")`).
+    //     Integer-only arguments keep the value deterministic across
+    //     engines: exact integral sum, one double division.
+    val intPool = joined.flatMap(t => intInCols(t).map { case (c, _) => q(t, c) })
+    val avgAgg =
+      if (rng.nextInt(3) != 0 || intPool.isEmpty) None
+      else {
+        val a = pick(rng, intPool)
+        val expr =
+          if (rng.nextBoolean()) s"$a + ${pick(rng, intPool)}" else a
+        Some(s"avg($expr) as agg_1")
+      }
     // 3. predicates: 1-3, AND-joined
     val nPred = 1 + rng.nextInt(3)
     val preds = (1 to nPred).map(_ => genPredicate(rng, joined)).distinct
@@ -240,7 +265,8 @@ object SyntheticWorkload {
     //    ORDER BY over the group columns, scalar ones have neither —
     //    exactly the reference's GROUP BY == ORDER BY pairing)
     val fromSql = (start +: joinClauses.result()).mkString(" ")
-    val select = (gcols :+ "COUNT(*) as agg_0").mkString(", ")
+    val select =
+      (gcols ++ Seq("COUNT(*) as agg_0") ++ avgAgg.toSeq).mkString(", ")
     val tail =
       if (scalar) ""
       else s" GROUP BY ${gcols.mkString(", ")}" +
@@ -289,6 +315,11 @@ object SyntheticWorkload {
     !sql.contains(" IS NULL") &&
       likes == notLikes &&
       """(?:partkey|suppkey|custkey|user_id|p_size) IN \(""".r
+        .findFirstIn(sql).isEmpty &&
+      // range scans on big-domain keys (`partkey >= 1990`) can empty a
+      // smoke-scale table the same way big-domain IN-lists can; `!=`
+      // and small-domain comparisons stay
+      """(?:partkey|suppkey|custkey|user_id|p_size) (?:>=|<=)""".r
         .findFirstIn(sql).isEmpty
   }
 
@@ -319,7 +350,13 @@ object SyntheticWorkload {
       first("synth_string_neq")(_.sql.contains(" != ")),
       first("synth_isnotnull")(_.sql.contains("IS NOT NULL")),
       first("synth_or_disjunction")(_.sql.contains(" OR ")),
-      first("synth_scalar_count")(!_.sql.contains("GROUP BY")))
+      first("synth_scalar_count")(!_.sql.contains("GROUP BY")),
+      first("synth_avg_arith") { sq =>
+        sq.sql.contains("avg(") && sq.sql.contains(" + ")
+      },
+      first("synth_numeric_cmp") { sq =>
+        """ (?:>=|<=) \d""".r.findFirstIn(sq.sql).isDefined
+      })
   }
 
   type Q = (org.apache.spark.sql.SparkSession, String) =>

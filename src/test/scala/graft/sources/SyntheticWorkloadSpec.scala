@@ -49,6 +49,11 @@ class SyntheticWorkloadSpec extends SparkSpec {
     assert(n("AS string) ") > 40, "CAST .. to text")
     assert(n("IS NOT NULL") > 10, "IS NOT NULL")
     assert(n(" OR ") > 40, "OR disjunctions (~30% of the reference)")
+    assert(n("avg(") > 50, "avg second aggregates (IMDB profile)")
+    assert(sqls.exists(s => s.contains("avg(") && s.contains(" + ")),
+      "avg over two-column arithmetic")
+    assert(sqls.count(s => s.contains(" >= ") || s.contains(" <= ")) > 20,
+      "numeric range comparisons (IMDB profile)")
     // every OR sits inside an open paren group (never a bare top-level
     // disjunct that would change AND precedence)
     sqls.filter(_.contains(" OR ")).foreach { s =>
@@ -91,11 +96,15 @@ class SyntheticWorkloadSpec extends SparkSpec {
     assert(byName.keySet === Set(
       "synth_join_chain", "synth_large_inlist", "synth_cast_notlike",
       "synth_string_neq", "synth_isnotnull", "synth_or_disjunction",
-      "synth_scalar_count"))
+      "synth_scalar_count", "synth_avg_arith", "synth_numeric_cmp"))
     assert(byName("synth_string_neq").sql.contains(" != "))
     assert(byName("synth_isnotnull").sql.contains("IS NOT NULL"))
     assert(byName("synth_or_disjunction").sql.contains(" OR "))
     assert(!byName("synth_scalar_count").sql.contains("GROUP BY"))
+    assert(byName("synth_avg_arith").sql.contains("avg(") &&
+      byName("synth_avg_arith").sql.contains(" + "))
+    assert(""" (?:>=|<=) \d""".r
+      .findFirstIn(byName("synth_numeric_cmp").sql).isDefined)
     assert("LEFT OUTER JOIN".r
       .findAllIn(byName("synth_join_chain").sql).size >= 3)
     assert("""(?:nationkey|regionkey|linenumber) IN \(([^)]*)\)""".r
@@ -108,7 +117,7 @@ class SyntheticWorkloadSpec extends SparkSpec {
     // each promotion runs and matches its own shape end-to-end
     SyntheticWorkload.queries.foreach { case (name, q) =>
       val df = q(spark, sfSmoke)
-      assert(df.columns.last === "agg_0", name)
+      assert(df.columns.contains("agg_0"), name)
       assert(df.count() > 0, s"$name returned no groups")
     }
     // the oracle twin differs only in the text-type name
