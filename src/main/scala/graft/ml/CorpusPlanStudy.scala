@@ -125,7 +125,12 @@ object CorpusPlanStudy {
     opnameVocab.map("op_" + _) ++ predVocab.map {
       case "=" => "pred_eq"; case "<>" => "pred_neq"
       case other => "pred_" + other.toLowerCase
-    } ++ Seq("n_nodes", "n_literals", "n_aggs")
+    } ++ Seq("n_nodes", "n_literals", "n_aggs",
+      // cardinality features — all-zero when planning against empty
+      // tables, real signal when the corpus tables are registered with
+      // data/statistics (the reference GNN's log1p est-rows node
+      // feature, reduced to plan-level sum and max)
+      "sum_log_rows", "max_log_rows")
 
   /** Plan one query against the registered empty tables and collapse
     * its physical plan into the fixed-width feature vector. Returns
@@ -154,16 +159,19 @@ object CorpusPlanStudy {
       val predCount = scala.collection.mutable.Map.empty[String, Int]
         .withDefaultValue(0)
       var literals = 0; var aggs = 0
+      var sumLogRows = 0.0; var maxLogRows = 0.0
       planNodes.foreach { n =>
         opCount(n.opname) += 1
         n.pred_ops.foreach { case (k, v) => predCount(k) += v }
         literals += n.literal_feature
         aggs += n.agg_fns.size
+        sumLogRows += n.log1p_est_rows
+        maxLogRows = math.max(maxLogRows, n.log1p_est_rows)
       }
       Some((opnameVocab.map(opCount(_).toDouble) ++
         predVocab.map(predCount(_).toDouble) ++
         Seq(planNodes.size.toDouble, literals.toDouble,
-          aggs.toDouble)).toArray)
+          aggs.toDouble, sumLogRows, maxLogRows)).toArray)
     } catch { case scala.util.control.NonFatal(_) => None }
     finally saved.foreach { case (k, vOpt) =>
       vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
@@ -176,9 +184,16 @@ object CorpusPlanStudy {
     * a driver/metadata operation; the corpus is thousands of rows, not
     * data-scale. Caller must register the corpus tables first
     * ([[inferSchemas]] + [[registerEmptyTables]], or real tables). */
-  def featurizeCorpus(spark: SparkSession, path: String): DataFrame = {
-    val ds = RuntimePrediction.loadDataset(spark, path)
-      .select("query_id", "SQL", "runtime_s").collect()
+  def featurizeCorpus(spark: SparkSession, path: String): DataFrame =
+    featurizeDataset(spark, RuntimePrediction.loadDataset(spark, path))
+
+  /** Same, over an already-loaded measured corpus with
+    * (query_id, SQL, runtime_s) columns — e.g. a WorkloadRunner log
+    * joined back to its query texts. With the corpus tables registered
+    * over REAL data the feature rows carry live cardinality estimates
+    * (sum/max_log_rows), which empty planning tables cannot provide. */
+  def featurizeDataset(spark: SparkSession, dataset: DataFrame): DataFrame = {
+    val ds = dataset.select("query_id", "SQL", "runtime_s").collect()
     val rows = ds.iterator.flatMap { r =>
       planFeatureVector(spark, r.getAs[String]("SQL")).map { v =>
         Row.fromSeq(r.getAs[String]("query_id") +:

@@ -178,6 +178,29 @@ class SyntheticWorkloadSpec extends SparkSpec {
     assert(qe.getDouble(0) >= 1.0 && !qe.getDouble(0).isNaN,
       s"P50 q-error ${qe.getDouble(0)}")
     assert(qe.getDouble(1) >= qe.getDouble(0), "P99 >= P50")
+
+    // -- plan-feature twin on REAL tables: unlike the empty-table
+    //    corpus study, the fixture tables are registered with data, so
+    //    live cardinality estimates flow into the feature rows — the
+    //    full est-rows analog of the reference's GNN node features
+    val planFeats = graft.ml.CorpusPlanStudy.featurizeDataset(spark, data)
+    assert(planFeats.count() === n.toLong, "every measured query must plan")
+    assert(planFeats.filter(col("sum_log_rows") > 0).count() === n.toLong,
+      "real-table cardinality estimates must be non-zero")
+    val pf = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(graft.ml.CorpusPlanStudy.featureNames.toArray)
+      .setOutputCol("features")
+      .transform(planFeats.join(data.select("query_id", "is_test"),
+        "query_id")).cache()
+    val pModel = RuntimePrediction.trainRf(pf.filter(!col("is_test")),
+      numFolds = 3, trees = Seq(20), depths = Seq(5))
+      .fit(pf.filter(!col("is_test")))
+    val pMae = RuntimePrediction.mae(
+      pModel.transform(pf.filter(col("is_test"))), "prediction", "runtime_s")
+      .head().getDouble(0)
+    assert(!pMae.isNaN && pMae >= 0 && pMae < 2.0,
+      s"plan-feature held-out MAE $pMae")
+    pf.unpersist()
     feats.unpersist()
   }
 }
