@@ -126,7 +126,11 @@ object Bench {
       k.startsWith("tpcds_") || k.startsWith("sqlx_")
     val tpcdsTotal = results
       .filter { case (k, v) => isWorkload(k) && v >= 0 }.map(_._2).sum
-    val coreTotal = oracleTotal - tpcdsTotal
+    // curate_* landed mid-r4: its own bucket so core_total stays
+    // comparable to the r1-r4 anchor runs.
+    val curateTotal = results
+      .filter { case (k, v) => k.startsWith("curate_") && v >= 0 }.map(_._2).sum
+    val coreTotal = oracleTotal - tpcdsTotal - curateTotal
     // Full per-query breakdown on its own (long) line FIRST — the
     // driver records only a ~2 KB tail of stdout, and in r2 the ~2.3 KB
     // all-queries line was the final one, so its head (the json
@@ -135,7 +139,7 @@ object Bench {
     // 20 slowest queries only.
     println(s"""{"metric":"per_query_full","queries":${dict(results)},"sf":"$sfDir"}""")
     val slowest = results.sortBy(-_._2).take(20).sortBy(_._1)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","oracle_total":${r3(oracleTotal)},"core_total":${r3(coreTotal)},"tpcds_total":${r3(tpcdsTotal)},"extra_total":${r3(total - oracleTotal)},"n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"calibration_s":${r3(calibrationS)},"calibration_end_s":${r3(calibrationEndS)},"calibration_max_s":${r3(calibrationMaxS)},"n_probes":${probes.size},"host_load_factor":${r3(hostLoadFactor2)},"queries":${dict(slowest)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","oracle_total":${r3(oracleTotal)},"core_total":${r3(coreTotal)},"tpcds_total":${r3(tpcdsTotal)},"curate_total":${r3(curateTotal)},"extra_total":${r3(total - oracleTotal)},"n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"calibration_s":${r3(calibrationS)},"calibration_end_s":${r3(calibrationEndS)},"calibration_max_s":${r3(calibrationMaxS)},"n_probes":${probes.size},"host_load_factor":${r3(hostLoadFactor2)},"queries":${dict(slowest)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated deterministic parquet fixtures
   * (see TESTDATA.md). One parquet file per table; schemas in FIXTURES.md §A.
@@ -17,14 +17,20 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as
-    // a long; normalize to a microsecond TimestampType column so every
-    // consumer (and DuckDB, which truncates ns→µs the same way) agrees.
+    // Normalize the fixture `ts` column to a session-UTC TimestampType
+    // regardless of how the generator wrote it: TIMESTAMP(NANOS) reads
+    // as a long (truncate ns→µs, as DuckDB does); plain timestamp[us]
+    // with no UTC flag reads as TIMESTAMP_NTZ in Spark 4, which
+    // watermarks and tz-aware date functions reject — reinterpret its
+    // wall-clock as UTC (the session zone), the same instant DuckDB
+    // assigns the naive value.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.foldLeft(df) { (d, f) =>
       if (f.name == "ts" && f.dataType == LongType)
         d.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      else if (f.name == "ts" && f.dataType == TimestampNTZType)
+        d.withColumn("ts", col("ts").cast(TimestampType))
       else d
     }
   }

@@ -1,0 +1,418 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-curation operators for large-scale training-data pipelines
+  * (north-star extension, BASELINE.json — no reference twin): the
+  * dataset-management layer that sits between raw documents and a
+  * training run. Deterministic hash sampling and stratified
+  * down-sampling, reproducible train/val/test splits, source-balanced
+  * corpus mixing, token-budget sequence packing, eval-set
+  * decontamination, and filter-funnel retention accounting.
+  *
+  * Every operator here is content/id-addressed (md5-derived buckets,
+  * [[Dedup.md5Long]]) rather than `rand()`-driven, so the SAME rows are
+  * selected on every engine, every run, and every cluster size — the
+  * property that makes a 100 TB curation run resumable and auditable.
+  * Scale shapes: sampling/splitting are map-only; mixing adds one tiny
+  * per-source aggregate broadcast back; packing is a per-shard window
+  * (shard = source x hash-salt, so low-cardinality sources cannot skew
+  * a partition); decontamination is one equi-join against a broadcast
+  * eval shingle set. No all-pairs work, no driver loops.
+  */
+object Curation {
+
+  /** Deterministic hash bucket in [0, mod): first 60 bits of
+    * md5(prefix || key) mod `mod`. DuckDB twin:
+    * `CAST(('0x' || substr(md5(prefix || key), 1, 15)) AS BIGINT) % mod`. */
+  def hashBucket(prefix: String, key: Column, mod: Int): Column =
+    Dedup.md5Long(concat(lit(prefix), key.cast("string"))) % mod
+
+  // ------------------------------------------------- stratified sample
+
+  /** Keep a deterministic per-stratum percentage of rows: a document
+    * survives iff its id-hash bucket (0-99) falls below its stratum's
+    * rate. Map-only — the 100 TB plan is a scan with a pushed-down
+    * filter; re-running with a higher rate yields a SUPERSET of the
+    * previous sample (bucket ordering is stable), which is what makes
+    * staged data ablations comparable. */
+  def stratifiedSample(df: DataFrame, rates: Seq[(String, Int)],
+      defaultRate: Int, stratumCol: String = "lang",
+      idCol: String = "doc_id"): DataFrame = {
+    val rate = rates.foldRight(lit(defaultRate): Column) {
+      case ((stratum, r), acc) => when(col(stratumCol) === stratum, lit(r)).otherwise(acc)
+    }
+    df.withColumn("bucket", hashBucket("samp:", col(idCol), 100))
+      .filter(col("bucket") < rate)
+  }
+
+  // ----------------------------------------------------- train split
+
+  /** Reproducible train/val/test assignment by id-hash bucket
+    * (0-999): < `trainPermille` -> train, < `trainPermille +
+    * valPermille` -> val, else test. A document's split never changes
+    * as the corpus grows — the standard leak-proof split contract. */
+  def splitAssign(df: DataFrame, trainPermille: Int = 800,
+      valPermille: Int = 100, idCol: String = "doc_id"): DataFrame =
+    df.withColumn("bucket", hashBucket("split:", col(idCol), 1000))
+      .withColumn("split",
+        when(col("bucket") < trainPermille, "train")
+          .when(col("bucket") < trainPermille + valPermille, "val")
+          .otherwise("test"))
+
+  // -------------------------------------------------- balanced mixing
+
+  /** Source-balanced corpus mix: sample each source down toward a
+    * common per-source target count, i.e. rate_s = min(1, target /
+    * |source_s|), selection again by id-hash fraction. One tiny
+    * per-source count aggregate is broadcast back onto the scan —
+    * at 100 TB the big side never shuffles. */
+  def uniformMix(df: DataFrame, targetPerSource: Double,
+      sourceCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("src_cnt"))
+    val frac = hashBucket("mix:", col(idCol), 10000) / lit(10000.0)
+    df.join(broadcast(counts), sourceCol)
+      .filter(frac < least(lit(1.0), lit(targetPerSource) / col("src_cnt")))
+  }
+
+  /** Temperature-weighted domain mixing: sample domain s at rate
+    * min(1, N * n_s^alpha / (sum_t n_t^alpha) / n_s) — alpha<1 flattens
+    * the domain distribution toward uniform (rare domains upweighted),
+    * alpha=1 keeps natural proportions; the standard multilingual /
+    * domain-mixture sampling rule. Selection is again id-hash
+    * deterministic. The rate is computed from one tiny per-domain
+    * count aggregate + a 1-row total, both broadcast back onto the
+    * scan — the 100 TB side never shuffles. The keep threshold is
+    * rounded to integer basis points on BOTH engines so a sub-ulp
+    * pow() difference between libms cannot flip a row. */
+  def temperatureMix(df: DataFrame, alpha: Double, totalTarget: Double,
+      domainCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
+    val counts = df.groupBy(domainCol).agg(count(lit(1)).as("dom_cnt"))
+    val z = counts.agg(sum(pow(col("dom_cnt"), alpha)).as("z"))
+    val rates = counts.crossJoin(broadcast(z))
+      .withColumn("keep_bp", least(lit(10000L), round(
+        lit(totalTarget) * pow(col("dom_cnt"), alpha) / col("z")
+          / col("dom_cnt") * 10000).cast("long")))
+      .select(col(domainCol), col("keep_bp"))
+    df.join(broadcast(rates), domainCol)
+      .filter(hashBucket("tmix:", col(idCol), 10000) < col("keep_bp"))
+  }
+
+  // ------------------------------------------------ epoch upsampling
+
+  /** Deterministic epoch upsampling (repetition): each source is seen
+    * `weightPermille/1000` times per corpus pass — a doc is replicated
+    * floor(w) times, plus once more iff its id-hash permille bucket
+    * falls below frac(w). Weights are INTEGER permille so the
+    * fractional-epoch selection is exact integer arithmetic on both
+    * engines. Output carries an `epoch` index (0-based) per copy; the
+    * explode is row-local (map-only at 100 TB), and re-running with a
+    * higher weight extends each doc's epoch range monotonically. */
+  def epochUpsample(df: DataFrame, weightsPermille: Seq[(String, Int)],
+      defaultPermille: Int = 1000, sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val w = weightsPermille.foldRight(lit(defaultPermille): Column) {
+      case ((src, p), acc) => when(col(sourceCol) === src, lit(p)).otherwise(acc)
+    }
+    df.withColumn("w_pm", w)
+      .withColumn("n_copies",
+        (col("w_pm") / 1000).cast("long") +
+          when(hashBucket("epoch:", col(idCol), 1000) < col("w_pm") % 1000, 1L)
+            .otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("n_copies") - 1)))
+      .drop("w_pm", "n_copies")
+  }
+
+  // ------------------------------------------------ sequence packing
+
+  /** Offset-contiguous sequence packing: within each (source, shard)
+    * stream, order documents by id, take the running size offset, and
+    * assign each document to sequence floor(start_offset / budget) —
+    * the contract a sequential context-window packer applies, computed
+    * as one partitioned window (no driver loop). `shards` salts the
+    * window partition key so a 100 TB corpus with a handful of sources
+    * still spreads across the cluster; packing order stays
+    * deterministic WITHIN a shard, which is the real-world contract
+    * (each packer worker consumes one shard's stream). */
+  def packSequences(df: DataFrame, budgetChars: Long, shards: Int = 4,
+      sourceCol: String = "source", idCol: String = "doc_id",
+      sizeCol: String = "n_chars"): DataFrame = {
+    val sharded = df.withColumn("shard", hashBucket("shard:", col(idCol), shards))
+    val w = Window.partitionBy(col(sourceCol), col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sharded
+      .withColumn("start_off", coalesce(sum(col(sizeCol)).over(w), lit(0L)))
+      .withColumn("seq_id",
+        floor(col("start_off") / lit(budgetChars.toDouble)).cast("long"))
+  }
+
+  // ------------------------------------------------- decontamination
+
+  /** Eval-set decontamination: flag training documents sharing at
+    * least `minShared` distinct char-9-gram shingles with ANY eval
+    * document. The eval side of a decontamination run is benchmark-
+    * sized (thousands of docs, not billions), so its distinct shingle
+    * set is broadcast and the big side does one map-side hash-join
+    * probe — the only scalable shape for 100 TB x eval-set checks.
+    * Returns (doc_id, n_shared, contaminated) for every training doc
+    * with at least one shared shingle. */
+  def decontaminate(train: DataFrame, evalSet: DataFrame,
+      minShared: Int = 10, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val trainSh = train.select(col(idCol),
+      explode(Dedup.shingleSetCol(col(textCol))).as("shingle"))
+    val evalSh = evalSet
+      .select(explode(Dedup.shingleSetCol(col(textCol))).as("shingle"))
+      .distinct()
+    trainSh.join(broadcast(evalSh), "shingle")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") >= minShared)
+  }
+
+  // ------------------------------------------------------ filter funnel
+
+  /** Conjunctive quality-filter funnel with per-stage retention
+    * accounting: one pass, one tiny aggregate — stage predicates are
+    * evaluated as conditional sums, then unpivoted into one row per
+    * stage (stage_idx, stage, rows_in, rows_out, retention). The
+    * audit artifact every production filtering pipeline emits. */
+  def filterFunnel(df: DataFrame): DataFrame = {
+    val text = col("text")
+    val tokens = TextAnalysis.tokenCountWs(text)
+    val punctRatio = (length(text) -
+      length(regexp_replace(text, "[\\p{P}]", ""))).cast("double") /
+      nullif(length(text), lit(0))
+    val p1 = col("n_chars") >= 100
+    val p2 = p1 && tokens.between(5, 5000)
+    val p3 = p2 && (punctRatio <= 0.10)
+    df.agg(
+      count(lit(1)).as("total"),
+      sum(when(p1, 1).otherwise(0)).as("c1"),
+      sum(when(p2, 1).otherwise(0)).as("c2"),
+      sum(when(p3, 1).otherwise(0)).as("c3"))
+      .select(expr(
+        """stack(3,
+          |  1, 'min_chars',   total, c1,
+          |  2, 'token_band',  c1,    c2,
+          |  3, 'punct_ratio', c2,    c3) AS (stage_idx, stage, rows_in, rows_out)""".stripMargin))
+      .withColumn("retention",
+        col("rows_out").cast("double") / nullif(col("rows_in"), lit(0L)))
+  }
+
+  // --------------------------------------------------- fixture queries
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Fixture stratum rates (percent kept per language). */
+  val FixtureRates: Seq[(String, Int)] =
+    Seq("en" -> 80, "de" -> 50, "fr" -> 50, "es" -> 50)
+  val FixtureRateDefault = 20
+
+  private val curateSample: Q = (s, dir) =>
+    stratifiedSample(docs(s, dir), FixtureRates, FixtureRateDefault)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy("doc_id")
+
+  private val curateSplit: Q = (s, dir) =>
+    splitAssign(docs(s, dir))
+      .select(col("doc_id"), col("bucket"), col("split"))
+      .orderBy("doc_id")
+
+  private val curateMix: Q = (s, dir) =>
+    uniformMix(docs(s, dir), targetPerSource = 5.0)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+
+  /** Fixture temperature mix: alpha=0.5 over lang, total target 250. */
+  private val curateTemp: Q = (s, dir) =>
+    temperatureMix(docs(s, dir), alpha = 0.5, totalTarget = 250.0)
+      .select(col("doc_id"), col("lang"), col("keep_bp"))
+      .orderBy("doc_id")
+
+  /** Fixture epoch weights: src0 3.5 epochs, src1 2.0, src2 0.4,
+    * everything else 1.25. */
+  val FixtureEpochWeights: Seq[(String, Int)] =
+    Seq("src0" -> 3500, "src1" -> 2000, "src2" -> 400)
+  val FixtureEpochDefault = 1250
+
+  private val curateEpochs: Q = (s, dir) =>
+    epochUpsample(docs(s, dir), FixtureEpochWeights, FixtureEpochDefault)
+      .select(col("doc_id"), col("source"), col("epoch"))
+      .orderBy("doc_id", "epoch")
+
+  private val curatePack: Q = (s, dir) =>
+    packSequences(docs(s, dir), budgetChars = 2000L)
+      .groupBy(col("source"), col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("seq_chars"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("source", "shard", "seq_id")
+
+  /** Fixture decontamination corpus: eval set = every 41st document;
+    * training corpus = the rest PLUS exact leaked copies of the eval
+    * docs under ids +30000 (the planted contamination the operator
+    * must find). */
+  private val curateDecontaminate: Q = (s, dir) => {
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    val evalSet = base.filter(col("doc_id") % 41 === 0)
+    val train = base.filter(col("doc_id") % 41 =!= 0)
+      .unionByName(evalSet.select((col("doc_id") + lit(30000L)).as("doc_id"),
+        col("text")))
+    decontaminate(train, evalSet).orderBy("doc_id")
+  }
+
+  private val curateFunnel: Q = (s, dir) =>
+    filterFunnel(docs(s, dir)).orderBy("stage_idx")
+
+  val queries: Map[String, Q] = Map(
+    "curate_sample_stratified" -> curateSample,
+    "curate_split_assign"      -> curateSplit,
+    "curate_mix_uniform"       -> curateMix,
+    "curate_mix_temperature"   -> curateTemp,
+    "curate_epoch_upsample"    -> curateEpochs,
+    "curate_pack_sequences"    -> curatePack,
+    "curate_decontaminate"     -> curateDecontaminate,
+    "curate_filter_funnel"     -> curateFunnel,
+  )
+
+  // ------------------------------------------------------- oracle SQL
+
+  /** DuckDB twin of [[hashBucket]]. */
+  private def sqlBucket(prefix: String, key: String, mod: Int): String =
+    s"CAST(('0x' || substr(md5('$prefix' || $key), 1, 15)) AS BIGINT) % $mod"
+
+  private val sqlShingles =
+    """CASE WHEN length(text) < 9 THEN [text]
+      |  ELSE list_distinct(list_transform(range(1, length(text) - 7),
+      |    i -> substr(text, CAST(i AS INT), 9))) END""".stripMargin
+
+  private val sqlTokWs =
+    "len(list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0))"
+
+  val oracles: Map[String, String] = Map(
+    "curate_sample_stratified" -> {
+      val cases = FixtureRates.map { case (l, r) => s"WHEN '$l' THEN $r" }
+        .mkString(" ")
+      s"""SELECT doc_id, lang, bucket FROM (
+         |  SELECT doc_id, lang, ${sqlBucket("samp:", "doc_id", 100)} AS bucket
+         |  FROM documents)
+         |WHERE bucket < CASE lang $cases ELSE $FixtureRateDefault END
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "curate_split_assign" ->
+      s"""SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 800 THEN 'train'
+         |       WHEN bucket < 900 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, ${sqlBucket("split:", "doc_id", 1000)} AS bucket
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "curate_mix_uniform" ->
+      s"""WITH counts AS (
+         |  SELECT source, COUNT(*) AS src_cnt FROM documents GROUP BY source)
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN counts c ON d.source = c.source
+         |WHERE (${sqlBucket("mix:", "d.doc_id", 10000)}) / 10000.0
+         |      < LEAST(1.0, 5.0 / c.src_cnt)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "curate_mix_temperature" ->
+      s"""WITH counts AS (
+         |  SELECT lang, COUNT(*) AS dom_cnt FROM documents GROUP BY lang),
+         |z AS (SELECT SUM(POWER(dom_cnt, 0.5)) AS z FROM counts),
+         |rates AS (
+         |  SELECT lang, LEAST(10000, CAST(round(
+         |    250.0 * POWER(dom_cnt, 0.5) / z.z / dom_cnt * 10000) AS BIGINT))
+         |    AS keep_bp
+         |  FROM counts, z)
+         |SELECT d.doc_id, d.lang, r.keep_bp
+         |FROM documents d JOIN rates r ON d.lang = r.lang
+         |WHERE (${sqlBucket("tmix:", "d.doc_id", 10000)}) < r.keep_bp
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "curate_epoch_upsample" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, source,
+         |    CASE source WHEN 'src0' THEN 3500 WHEN 'src1' THEN 2000
+         |         WHEN 'src2' THEN 400 ELSE 1250 END AS w_pm,
+         |    ${sqlBucket("epoch:", "doc_id", 1000)} AS b
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source,
+         |    CAST(w_pm // 1000 AS BIGINT)
+         |      + CASE WHEN b < w_pm % 1000 THEN 1 ELSE 0 END AS n_copies
+         |  FROM w)
+         |SELECT doc_id, source, CAST(unnest(range(n_copies)) AS BIGINT) AS epoch
+         |FROM c WHERE n_copies > 0
+         |ORDER BY doc_id, epoch""".stripMargin,
+
+    "curate_pack_sequences" ->
+      s"""WITH offs AS (
+         |  SELECT doc_id, source, n_chars,
+         |    ${sqlBucket("shard:", "doc_id", 4)} AS shard,
+         |    COALESCE(SUM(n_chars) OVER (
+         |      PARTITION BY source, ${sqlBucket("shard:", "doc_id", 4)}
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+         |  FROM documents)
+         |SELECT source, shard,
+         |  CAST(floor(start_off / 2000.0) AS BIGINT) AS seq_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS seq_chars,
+         |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+         |FROM offs
+         |GROUP BY source, shard, CAST(floor(start_off / 2000.0) AS BIGINT)
+         |ORDER BY source, shard, seq_id""".stripMargin,
+
+    "curate_decontaminate" ->
+      s"""WITH eval_docs AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 41 = 0),
+         |train AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 41 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 30000, text FROM eval_docs),
+         |train_sh AS (
+         |  SELECT doc_id, unnest($sqlShingles) AS shingle FROM train),
+         |eval_sh AS (
+         |  SELECT DISTINCT shingle FROM (
+         |    SELECT unnest($sqlShingles) AS shingle FROM eval_docs))
+         |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared,
+         |  COUNT(*) >= 10 AS contaminated
+         |FROM train_sh t JOIN eval_sh e ON t.shingle = e.shingle
+         |GROUP BY t.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
+
+    "curate_filter_funnel" ->
+      s"""WITH agg AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+         |    CAST(SUM(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |    CAST(SUM(CASE WHEN n_chars >= 100
+         |      AND $sqlTokWs BETWEEN 5 AND 5000 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         |    CAST(SUM(CASE WHEN n_chars >= 100
+         |      AND $sqlTokWs BETWEEN 5 AND 5000
+         |      AND (CAST(length(text) - length(regexp_replace(text, '[\\p{P}]', '', 'g'))
+         |           AS DOUBLE) / NULLIF(length(text), 0)) <= 0.10
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS c3
+         |  FROM documents)
+         |SELECT stage_idx, stage, rows_in, rows_out,
+         |  CAST(rows_out AS DOUBLE) / NULLIF(rows_in, 0) AS retention
+         |FROM (
+         |  SELECT CAST(1 AS INT) AS stage_idx, 'min_chars' AS stage,
+         |    total AS rows_in, c1 AS rows_out FROM agg
+         |  UNION ALL
+         |  SELECT CAST(2 AS INT), 'token_band', c1, c2 FROM agg
+         |  UNION ALL
+         |  SELECT CAST(3 AS INT), 'punct_ratio', c2, c3 FROM agg)
+         |ORDER BY stage_idx""".stripMargin,
+  )
+}

@@ -23,7 +23,8 @@ class PlanQualitySpec extends SparkSpec {
     "uncorrelated_scalar_subquery", // one-row aggregate attached to the fact
     "tpcds_q88_band_counts", // 8-way cross of one-row COUNT aggregates
     "tpcds_q28_band_probes", // 6 one-row band probes cross-joined
-    "tpcds_q61_promo_ratio"  // promo/total: two one-row aggregates crossed
+    "tpcds_q61_promo_ratio", // promo/total: two one-row aggregates crossed
+    "curate_mix_temperature" // one-row pow-sum normalizer crossed onto per-domain counts
   )
 
   test("no oracle query plans a cartesian/nested-loop join unintentionally") {

@@ -45,7 +45,7 @@ class SparkEntrySpec extends SparkSpec {
       PlanFeaturizer.queries, SchedulingQueries.queries, Ingest.queries,
       TpcdsPromoted.queries, SyntheticWorkload.queries,
       TextAnalysis.queries, Dedup.queries,
-      Similarity.queries, Multimodal.queries)
+      Similarity.queries, Multimodal.queries, Curation.queries)
     assert(SparkEntry.queries.size === modules.map(_.size).sum,
       "a query key is claimed by more than one module")
   }

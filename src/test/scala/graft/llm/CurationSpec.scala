@@ -1,0 +1,136 @@
+package graft.llm
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Property tests for the corpus-curation operators; the value-level
+  * gate is the DuckDB oracle on each `curate_*` key. */
+class CurationSpec extends SparkSpec {
+
+  private def docs = Tables.load(spark, sfCorrect, "documents")
+
+  test("stratified sample is deterministic and monotone in the rate") {
+    val lo = Curation.stratifiedSample(docs, Seq("en" -> 40), 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val lo2 = Curation.stratifiedSample(docs, Seq("en" -> 40), 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lo == lo2, "same rates must select identical rows")
+    val hi = Curation.stratifiedSample(docs, Seq("en" -> 80), 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi),
+      "raising every rate must yield a superset (stable bucket order)")
+  }
+
+  test("split assignment partitions the corpus and roughly hits 80/10/10") {
+    val split = Curation.splitAssign(docs)
+    val total = docs.count()
+    assert(split.count() == total, "every document gets exactly one split")
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    val trainFrac = counts("train").toDouble / total
+    assert(trainFrac > 0.7 && trainFrac < 0.9,
+      s"train fraction $trainFrac far from the 0.8 target")
+  }
+
+  test("uniform mix caps every source near the target and keeps small sources whole") {
+    val target = 5.0
+    val mixed = Curation.uniformMix(docs, target)
+    val perSource = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val orig = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perSource.foreach { case (src, n) =>
+      assert(n <= orig(src), s"$src grew under sampling")
+    }
+    orig.filter(_._2 <= target).foreach { case (src, n) =>
+      assert(perSource.getOrElse(src, 0L) == n,
+        s"source $src at/below target must be kept whole (rate 1.0)")
+    }
+  }
+
+  test("temperature mix: alpha=1 keeps natural proportions, alpha<1 flattens") {
+    val total = docs.count().toDouble
+    // alpha=1 with target=total → keep_bp 10000 everywhere (identity)
+    val nat = Curation.temperatureMix(docs, alpha = 1.0, totalTarget = total)
+    assert(nat.count() == docs.count(),
+      "alpha=1 at full target must keep the whole corpus")
+    // alpha=0.5: rare domains keep a HIGHER fraction than common ones
+    val mixed = Curation.temperatureMix(docs, alpha = 0.5, totalTarget = 250.0)
+    val kept = mixed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val orig = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fracs = orig.map { case (l, n) =>
+      l -> (kept.getOrElse(l, 0L).toDouble / n) }
+    val (rare, common) = (orig.minBy(_._2)._1, orig.maxBy(_._2)._1)
+    assert(fracs(rare) > fracs(common),
+      s"rare domain $rare must survive at a higher rate than $common: $fracs")
+  }
+
+  test("epoch upsampling replicates by integer+fractional weight, deterministic") {
+    val up = Curation.epochUpsample(docs,
+      Curation.FixtureEpochWeights, Curation.FixtureEpochDefault)
+    val perDoc = up.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n"), max("epoch").as("max_e"))
+    // copies = max_epoch+1 (contiguous 0-based epochs)
+    assert(perDoc.filter(col("n") =!= col("max_e") + 1).count() == 0)
+    // integer part is a hard floor/ceiling per source
+    val bounds = up.groupBy("doc_id", "source").count()
+      .groupBy("source").agg(min("count").as("lo"), max("count").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bounds("src0") == (3L, 4L) || bounds("src0") == (3L, 3L)
+      || bounds("src0") == (4L, 4L), s"src0 copies outside [3,4]: $bounds")
+    assert(bounds("src1") == (2L, 2L), "integer weight 2.0 must give exactly 2")
+    // fractional-only weight 0.4 keeps a strict subset, each exactly once
+    val src2 = up.filter(col("source") === "src2")
+    assert(src2.groupBy("doc_id").count().filter(col("count") =!= 1).count() == 0)
+    val src2Docs = src2.select("doc_id").distinct().count()
+    val src2Orig = docs.filter(col("source") === "src2").count()
+    assert(src2Docs > 0 && src2Docs < src2Orig,
+      s"weight 0.4 should keep a strict nonempty subset ($src2Docs of $src2Orig)")
+  }
+
+  test("sequence packing covers every document once and buckets by running offset") {
+    val packed = Curation.packSequences(docs, budgetChars = 2000L)
+    assert(packed.count() == docs.count())
+    // within a shard stream, offsets are the exclusive prefix sum:
+    // re-derive via groupBy and compare totals
+    val bad = packed.filter(
+      col("seq_id") =!= floor(col("start_off") / 2000.0).cast("long"))
+    assert(bad.count() == 0)
+    // every (source, shard) stream starts at offset 0 / seq 0
+    val firsts = packed.groupBy("source", "shard")
+      .agg(min("start_off").as("min_off"), min("seq_id").as("min_seq"))
+      .filter(col("min_off") =!= 0L || col("min_seq") =!= 0L)
+    assert(firsts.count() == 0, "each packing stream must start at zero")
+  }
+
+  test("decontamination flags every planted leaked copy") {
+    val base = docs.select(col("doc_id"), col("text"))
+    val evalSet = base.filter(col("doc_id") % 41 === 0)
+    val train = base.filter(col("doc_id") % 41 =!= 0)
+      .unionByName(evalSet.select((col("doc_id") + lit(30000L)).as("doc_id"),
+        col("text")))
+    val flagged = Curation.decontaminate(train, evalSet)
+      .filter(col("contaminated"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val planted = evalSet.select((col("doc_id") + lit(30000L)).as("id"))
+      .collect().map(_.getLong(0)).toSet
+    val missed = planted -- flagged
+    assert(missed.isEmpty, s"leaked copies not flagged: $missed")
+  }
+
+  test("filter funnel stages chain: rows_in(n) = rows_out(n-1), monotone") {
+    val rows = Curation.filterFunnel(docs).orderBy("stage_idx").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("rows_out")) <=
+        r.getLong(r.fieldIndex("rows_in")))
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(a.fieldIndex("rows_out")) ==
+        b.getLong(b.fieldIndex("rows_in")))
+    }
+  }
+}
