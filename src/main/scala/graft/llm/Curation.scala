@@ -150,6 +150,26 @@ object Curation {
         floor(col("start_off") / lit(budgetChars.toDouble)).cast("long"))
   }
 
+  // ------------------------------------------- training-order shuffle
+
+  /** Deterministic corpus shuffle + shard assignment for training
+    * order: shard = id-hash bucket, position within shard = rank by a
+    * SECOND independent id-hash (doc_id tie-break) — a reproducible
+    * pseudo-random permutation that needs no global sort. Each shard's
+    * window sorts only its own slice (shard-parallel at 100 TB; the
+    * data-loader contract is "reader w consumes shard w in pos
+    * order"), and re-running on a grown corpus leaves the relative
+    * order of surviving rows unchanged within a shard. */
+  def shuffleShard(df: DataFrame, nShards: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("sort_key"), col(idCol))
+    df.withColumn("shard", hashBucket("shuf:", col(idCol), nShards))
+      .withColumn("sort_key", hashBucket("ord:", col(idCol), 1000000))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("sort_key")
+  }
+
   // ------------------------------------------------- decontamination
 
   /** Eval-set decontamination: flag training documents sharing at
@@ -256,6 +276,11 @@ object Curation {
         min(col("doc_id")).as("first_doc"))
       .orderBy("source", "shard", "seq_id")
 
+  private val curateShuffle: Q = (s, dir) =>
+    shuffleShard(docs(s, dir), nShards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("doc_id")
+
   /** Fixture decontamination corpus: eval set = every 41st document;
     * training corpus = the rest PLUS exact leaked copies of the eval
     * docs under ids +30000 (the planted contamination the operator
@@ -278,6 +303,7 @@ object Curation {
     "curate_mix_uniform"       -> curateMix,
     "curate_mix_temperature"   -> curateTemp,
     "curate_epoch_upsample"    -> curateEpochs,
+    "curate_shuffle_shard"     -> curateShuffle,
     "curate_pack_sequences"    -> curatePack,
     "curate_decontaminate"     -> curateDecontaminate,
     "curate_filter_funnel"     -> curateFunnel,
@@ -355,6 +381,17 @@ object Curation {
          |SELECT doc_id, source, CAST(unnest(range(n_copies)) AS BIGINT) AS epoch
          |FROM c WHERE n_copies > 0
          |ORDER BY doc_id, epoch""".stripMargin,
+
+    "curate_shuffle_shard" ->
+      s"""SELECT doc_id, shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
+         |    ORDER BY sort_key, doc_id) AS BIGINT) AS pos
+         |FROM (
+         |  SELECT doc_id,
+         |    ${sqlBucket("shuf:", "doc_id", 8)} AS shard,
+         |    ${sqlBucket("ord:", "doc_id", 1000000)} AS sort_key
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
 
     "curate_pack_sequences" ->
       s"""WITH offs AS (

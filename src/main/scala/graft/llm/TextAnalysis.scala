@@ -221,10 +221,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus-statistics rarity scoring (TF-IDF family, the CCNet-style
+    * "does this doc look like the corpus" quality facet, computed from
+    * the corpus itself — no external LM): document frequency per
+    * lowercased whitespace token (distinct docs containing it), then
+    * per-doc mean inverse df over token OCCURRENCES plus the fraction
+    * of occurrences whose token appears in ≤2 documents. Two-phase at
+    * 100 TB: one token-key groupBy builds the vocabulary-sized df
+    * frame, one token-key equi-join scores occurrences — both shuffles
+    * are on the token key, no all-pairs work. 1.0/df is a single IEEE
+    * division of identical ints on both engines; the mean goes through
+    * [[graft.functions.Exact]] decimal sums so partitioning and engine
+    * cannot reorder it. */
+  def idfScore(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(tokensWs(lower(col(textCol)))).as("token"))
+    val dfFrame = tok.groupBy("token")
+      .agg(count_distinct(col(idCol)).as("df"))
+    tok.join(dfFrame, "token")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        (graft.functions.Exact.dsum(lit(1.0) / col("df"))
+          / count(lit(1))).as("mean_inv_df"),
+        (sum(when(col("df") <= 2, 1L).otherwise(0L)).cast("double")
+          / count(lit(1))).as("rare_frac"))
+  }
+
+  private val textIdfScore: Q = (s, dir) =>
+    idfScore(docs(s, dir)).orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "text_tokenize"       -> textTokenize,
     "text_langid"         -> textLangId,
     "text_quality"        -> textQuality,
+    "text_idf_score"      -> textIdfScore,
     "doc_fingerprint"     -> docFingerprint,
     "text_embed_meanpool" -> textEmbedMeanpool,
   )
@@ -242,6 +273,22 @@ object TextAnalysis {
     "len(regexp_extract_all(text, '[\\p{L}]+|[\\p{N}]+|[^\\s\\p{L}\\p{N}]'))"
 
   val oracles: Map[String, String] = Map(
+    "text_idf_score" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+         |      t -> len(t) > 0)) AS token
+         |  FROM documents),
+         |dfreq AS (
+         |  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token)
+         |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  ${graft.functions.Exact.sqlSum("CAST(1.0 AS DOUBLE) / d.df")} / COUNT(*) AS mean_inv_df,
+         |  CAST(SUM(CASE WHEN d.df <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*) AS rare_frac
+         |FROM tok t JOIN dfreq d ON t.token = d.token
+         |GROUP BY t.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
+
     "text_tokenize" ->
       s"""SELECT doc_id, CAST($sqlTokWs AS INT) AS n_tokens_ws,
          |  CAST($sqlTokBpe AS INT) AS n_tokens_bpe,

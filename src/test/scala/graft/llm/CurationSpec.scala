@@ -106,6 +106,29 @@ class CurationSpec extends SparkSpec {
     assert(firsts.count() == 0, "each packing stream must start at zero")
   }
 
+  test("shuffle-shard is a permutation: dense 1..n positions per shard, stable order") {
+    val shuf = Curation.shuffleShard(docs, nShards = 8)
+    assert(shuf.count() == docs.count())
+    // positions are dense ranks 1..|shard|
+    val perShard = shuf.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("max_p"), min("pos").as("min_p"))
+    assert(perShard.filter(col("max_p") =!= col("n") || col("min_p") =!= 1L)
+      .count() == 0, "positions must be dense 1..n within each shard")
+    // growing the corpus preserves relative order of surviving rows
+    val subset = docs.filter(col("doc_id") % 3 === 0)
+    val small = Curation.shuffleShard(subset, nShards = 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+    val bigOrder = shuf.select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    small.groupBy(_._2._1).foreach { case (_, rows) =>
+      val bysmall = rows.sortBy(_._2._2).map(_._1)
+      val bybig = rows.sortBy(r => bigOrder(r._1)._2).map(_._1)
+      assert(bysmall.sameElements(bybig),
+        "within-shard relative order must survive corpus growth")
+    }
+  }
+
   test("decontamination flags every planted leaked copy") {
     val base = docs.select(col("doc_id"), col("text"))
     val evalSet = base.filter(col("doc_id") % 41 === 0)

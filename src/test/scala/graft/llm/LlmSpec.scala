@@ -60,6 +60,32 @@ class LlmSpec extends SparkSpec {
     assert(r.getInt(1) === 9)
   }
 
+  test("idfScore: df counts docs, all-unique corpus scores 1.0, repeats dilute") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"),   // alpha in 3 docs, beta in 2, gamma in 1
+      (2L, "alpha beta"),
+      (3L, "alpha alpha delta")   // repeated occurrence, df still 3
+    ).toDF("doc_id", "text")
+    val scored = TextAnalysis.idfScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        r.getDouble(r.fieldIndex("mean_inv_df")),
+        r.getDouble(r.fieldIndex("rare_frac")))).toMap
+    // doc 1: tokens (1/3, 1/2, 1/1) → mean 11/18; rare: beta+gamma = 2/3
+    assert(scored(1L)._1 == 3L)
+    assert(math.abs(scored(1L)._2 - 11.0 / 18.0) < 1e-6)
+    assert(math.abs(scored(1L)._3 - 2.0 / 3.0) < 1e-9)
+    // doc 3: (1/3, 1/3, 1/1) → mean 5/9; only delta (df=1) is rare
+    assert(scored(3L)._1 == 3L)
+    assert(math.abs(scored(3L)._2 - 5.0 / 9.0) < 1e-6)
+    assert(math.abs(scored(3L)._3 - 1.0 / 3.0) < 1e-9)
+    // an all-unique-token corpus scores mean_inv_df = rare_frac = 1
+    val uniq = TextAnalysis.idfScore(
+      Seq((9L, "solo tokens only here")).toDF("doc_id", "text")).head()
+    assert(uniq.getDouble(uniq.fieldIndex("mean_inv_df")) == 1.0)
+    assert(uniq.getDouble(uniq.fieldIndex("rare_frac")) == 1.0)
+  }
+
   test("qwen2Pretokenize follows the reference tokenizer's split rules") {
     def toks(s: String): Seq[String] =
       textDf((0L, s)).select(TextAnalysis.qwen2Pretokenize(col("text")))
