@@ -49,6 +49,19 @@ object Curation {
       .filter(col("bucket") < rate)
   }
 
+  /** Quality-weighted sampling: a document's keep-probability IS its
+    * [[TextAnalysis.qualityColumns]] composite score — keep iff the
+    * id-hash basis-point bucket falls below round(score * 10000). High
+    * quality survives at score-rate, junk at junk-rate; still fully
+    * deterministic and map-only (score and hash are row-local). */
+  def qualityWeightedSample(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val score = TextAnalysis.qualityColumns(col(textCol))
+      .toMap.apply("quality_score")
+    df.withColumn("keep_bp", round(score * 10000).cast("long"))
+      .filter(hashBucket("qsamp:", col(idCol), 10000) < col("keep_bp"))
+  }
+
   // ----------------------------------------------------- train split
 
   /** Reproducible train/val/test assignment by id-hash bucket
@@ -178,20 +191,60 @@ object Curation {
     * sized (thousands of docs, not billions), so its distinct shingle
     * set is broadcast and the big side does one map-side hash-join
     * probe — the only scalable shape for 100 TB x eval-set checks.
-    * Returns (doc_id, n_shared, contaminated) for every training doc
-    * with at least one shared shingle. */
+    * Returns (doc_id, n_shared, n_shingles, overlap_frac, contaminated)
+    * for every training doc with at least one shared shingle. The
+    * absolute `minShared` count catches short verbatim quotes; the
+    * `minFrac` share-of-own-shingles ratio is the near-copy contract
+    * that stays meaningful when organic shingle overlap is high (both
+    * must hold; pass minShared=1 for a pure-ratio gate or minFrac=0.0
+    * for a pure-count gate). */
   def decontaminate(train: DataFrame, evalSet: DataFrame,
-      minShared: Int = 10, idCol: String = "doc_id",
+      minShared: Int = 10, minFrac: Double = 0.0, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val trainSh = train.select(col(idCol),
+      size(Dedup.shingleSetCol(col(textCol))).cast("long").as("n_shingles"),
       explode(Dedup.shingleSetCol(col(textCol))).as("shingle"))
     val evalSh = evalSet
       .select(explode(Dedup.shingleSetCol(col(textCol))).as("shingle"))
       .distinct()
     trainSh.join(broadcast(evalSh), "shingle")
-      .groupBy(idCol)
+      .groupBy(idCol, "n_shingles")
       .agg(count(lit(1)).as("n_shared"))
-      .withColumn("contaminated", col("n_shared") >= minShared)
+      .withColumn("overlap_frac",
+        col("n_shared").cast("double") / col("n_shingles"))
+      .withColumn("contaminated",
+        col("n_shared") >= minShared && col("overlap_frac") >= minFrac)
+      .select(col(idCol), col("n_shared"), col("n_shingles"),
+        col("overlap_frac"), col("contaminated"))
+  }
+
+  /** The whole curation recipe as ONE composed dataflow — the shape a
+    * production pretraining pipeline runs end-to-end (quality filter →
+    * exact dedup keep-min-id → eval-holdout removal → decontamination
+    * drop → split assignment → training-order shuffle), every stage
+    * the library operator it composes. One corpus pass per stage, all
+    * joins equi-keyed (content hash, shingle, id), so the composition
+    * inherits each stage's 100 TB shape. Returns the surviving
+    * training corpus with (split, shard, pos). */
+  def pipelineE2e(df: DataFrame, evalModulus: Int = 41,
+      minQuality: Double = 0.5, minShared: Int = 10,
+      minFrac: Double = 0.8): DataFrame = {
+    val base = df.select(col("doc_id"), col("text"))
+    val score = TextAnalysis.qualityColumns(col("text"))
+      .toMap.apply("quality_score")
+    val filtered = base.filter(score >= minQuality)
+    // exact dedup: keep the smallest doc_id per content hash
+    val keep = filtered.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).drop("h")
+    val deduped = filtered.join(keep, "doc_id")
+    // eval holdout leaves the training side entirely
+    val train = deduped.filter(col("doc_id") % evalModulus =!= 0)
+    val evalSet = base.filter(col("doc_id") % evalModulus === 0)
+    val dirty = decontaminate(train, evalSet, minShared, minFrac)
+      .filter(col("contaminated")).select("doc_id")
+    val clean = train.join(dirty, Seq("doc_id"), "left_anti")
+    shuffleShard(splitAssign(clean).drop("bucket"), nShards = 8)
+      .select(col("doc_id"), col("split"), col("shard"), col("pos"))
   }
 
   // ------------------------------------------------------ filter funnel
@@ -276,6 +329,14 @@ object Curation {
         min(col("doc_id")).as("first_doc"))
       .orderBy("source", "shard", "seq_id")
 
+  private val curateQualitySample: Q = (s, dir) =>
+    qualityWeightedSample(docs(s, dir))
+      .select(col("doc_id"), col("keep_bp"))
+      .orderBy("doc_id")
+
+  private val curatePipeline: Q = (s, dir) =>
+    pipelineE2e(docs(s, dir)).orderBy("doc_id")
+
   private val curateShuffle: Q = (s, dir) =>
     shuffleShard(docs(s, dir), nShards = 8)
       .select(col("doc_id"), col("shard"), col("pos"))
@@ -304,6 +365,8 @@ object Curation {
     "curate_mix_temperature"   -> curateTemp,
     "curate_epoch_upsample"    -> curateEpochs,
     "curate_shuffle_shard"     -> curateShuffle,
+    "curate_sample_quality"    -> curateQualitySample,
+    "curate_pipeline_e2e"      -> curatePipeline,
     "curate_pack_sequences"    -> curatePack,
     "curate_decontaminate"     -> curateDecontaminate,
     "curate_filter_funnel"     -> curateFunnel,
@@ -382,6 +445,53 @@ object Curation {
          |FROM c WHERE n_copies > 0
          |ORDER BY doc_id, epoch""".stripMargin,
 
+    "curate_sample_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(round((${TextAnalysis.sqlQualityScore}) * 10000) AS BIGINT)
+         |    AS keep_bp
+         |FROM documents
+         |WHERE (${sqlBucket("qsamp:", "doc_id", 10000)})
+         |  < CAST(round((${TextAnalysis.sqlQualityScore}) * 10000) AS BIGINT)
+         |ORDER BY doc_id""".stripMargin,
+
+    "curate_pipeline_e2e" ->
+      s"""WITH flt AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE (${TextAnalysis.sqlQualityScore}) >= 0.5),
+         |keep AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM flt GROUP BY md5(text)),
+         |train AS (
+         |  SELECT f.doc_id, f.text FROM flt f JOIN keep k ON f.doc_id = k.doc_id
+         |  WHERE f.doc_id % 41 <> 0),
+         |eval_sh AS (
+         |  SELECT DISTINCT shingle FROM (
+         |    SELECT unnest($sqlShingles) AS shingle
+         |    FROM documents WHERE doc_id % 41 = 0)),
+         |dirty AS (
+         |  SELECT t.doc_id
+         |  FROM (SELECT doc_id, CAST(len($sqlShingles) AS BIGINT) AS n_shingles,
+         |          unnest($sqlShingles) AS shingle FROM train) t
+         |  JOIN eval_sh e ON t.shingle = e.shingle
+         |  GROUP BY t.doc_id, t.n_shingles
+         |  HAVING COUNT(*) >= 10
+         |    AND CAST(COUNT(*) AS DOUBLE) / t.n_shingles >= 0.8),
+         |clean AS (
+         |  SELECT doc_id FROM train
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+         |assigned AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ${sqlBucket("split:", "doc_id", 1000)} < 800 THEN 'train'
+         |         WHEN ${sqlBucket("split:", "doc_id", 1000)} < 900 THEN 'val'
+         |         ELSE 'test' END AS split,
+         |    ${sqlBucket("shuf:", "doc_id", 8)} AS shard,
+         |    ${sqlBucket("ord:", "doc_id", 1000000)} AS sort_key
+         |  FROM clean)
+         |SELECT doc_id, split, shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
+         |    ORDER BY sort_key, doc_id) AS BIGINT) AS pos
+         |FROM assigned
+         |ORDER BY doc_id""".stripMargin,
+
     "curate_shuffle_shard" ->
       s"""SELECT doc_id, shard,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
@@ -419,14 +529,18 @@ object Curation {
          |  UNION ALL
          |  SELECT doc_id + 30000, text FROM eval_docs),
          |train_sh AS (
-         |  SELECT doc_id, unnest($sqlShingles) AS shingle FROM train),
+         |  SELECT doc_id, CAST(len($sqlShingles) AS BIGINT) AS n_shingles,
+         |    unnest($sqlShingles) AS shingle FROM train),
          |eval_sh AS (
          |  SELECT DISTINCT shingle FROM (
          |    SELECT unnest($sqlShingles) AS shingle FROM eval_docs))
          |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared,
-         |  COUNT(*) >= 10 AS contaminated
+         |  t.n_shingles,
+         |  CAST(COUNT(*) AS DOUBLE) / t.n_shingles AS overlap_frac,
+         |  COUNT(*) >= 10 AND CAST(COUNT(*) AS DOUBLE) / t.n_shingles >= 0.0
+         |    AS contaminated
          |FROM train_sh t JOIN eval_sh e ON t.shingle = e.shingle
-         |GROUP BY t.doc_id
+         |GROUP BY t.doc_id, t.n_shingles
          |ORDER BY t.doc_id""".stripMargin,
 
     "curate_filter_funnel" ->

@@ -272,6 +272,22 @@ object TextAnalysis {
   private val sqlTokBpe =
     "len(regexp_extract_all(text, '[\\p{L}]+|[\\p{N}]+|[^\\s\\p{L}\\p{N}]'))"
 
+  /** DuckDB twin of the [[qualityColumns]] composite score — factored
+    * out so curation oracles can sample on the same expression. The op
+    * sequence mirrors the Spark column exactly; every division is of
+    * identical ints, so the doubles hash-match. */
+  def sqlQualityScore: String =
+    s"""0.25 * (CASE WHEN $sqlTokWs BETWEEN 10 AND 100000
+       |            THEN 1.0 ELSE 0.0 END) +
+       |  0.25 * (CASE WHEN (CAST(length(regexp_replace(text, '[\\s]', '', 'g'))
+       |              AS DOUBLE) / NULLIF($sqlTokWs, 0)) BETWEEN 3.0 AND 10.0
+       |            THEN 1.0 ELSE 0.0 END) +
+       |  0.25 * (1.0 - COALESCE(CAST(length(text)
+       |            - length(regexp_replace(text, '[\\p{P}]', '', 'g'))
+       |            AS DOUBLE) / NULLIF(length(text), 0), 1.0)) +
+       |  0.25 * LEAST(1.0, COALESCE(CAST(${sqlStopCount(Stopwords.head._2)}
+       |            AS DOUBLE) / NULLIF($sqlTokWs, 0), 0.0) * 5.0)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "text_idf_score" ->
       s"""WITH tok AS (
@@ -323,16 +339,7 @@ object TextAnalysis {
          |    / NULLIF($sqlTokWs, 0) AS stopword_ratio,
          |  CAST(length(regexp_replace(text, '[\\s]', '', 'g')) AS DOUBLE)
          |    / NULLIF($sqlTokWs, 0) AS mean_token_len,
-         |  0.25 * (CASE WHEN $sqlTokWs BETWEEN 10 AND 100000
-         |            THEN 1.0 ELSE 0.0 END) +
-         |  0.25 * (CASE WHEN (CAST(length(regexp_replace(text, '[\\s]', '', 'g'))
-         |              AS DOUBLE) / NULLIF($sqlTokWs, 0)) BETWEEN 3.0 AND 10.0
-         |            THEN 1.0 ELSE 0.0 END) +
-         |  0.25 * (1.0 - COALESCE(CAST(length(text)
-         |            - length(regexp_replace(text, '[\\p{P}]', '', 'g'))
-         |            AS DOUBLE) / NULLIF(length(text), 0), 1.0)) +
-         |  0.25 * LEAST(1.0, COALESCE(CAST(${sqlStopCount(Stopwords.head._2)}
-         |            AS DOUBLE) / NULLIF($sqlTokWs, 0), 0.0) * 5.0)
+         |  $sqlQualityScore
          |    AS quality_score
          |FROM documents ORDER BY doc_id""".stripMargin,
 

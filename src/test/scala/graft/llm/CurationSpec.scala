@@ -144,6 +144,39 @@ class CurationSpec extends SparkSpec {
     assert(missed.isEmpty, s"leaked copies not flagged: $missed")
   }
 
+  test("quality-weighted sample keeps high-quality docs at a higher rate") {
+    val sampled = Curation.qualityWeightedSample(docs)
+    val n = sampled.count()
+    assert(n > 0 && n < docs.count())
+    // survivors' mean keep-rate must exceed the corpus mean score
+    val meanKept = sampled.agg(avg(col("keep_bp"))).head().getDouble(0)
+    val scoreCol = TextAnalysis.qualityColumns(col("text"))
+      .toMap.apply("quality_score")
+    val meanAll = docs.agg(avg(round(scoreCol * 10000))).head().getDouble(0)
+    assert(meanKept > meanAll,
+      s"survivor mean keep_bp $meanKept should exceed corpus mean $meanAll")
+  }
+
+  test("pipeline e2e: stages compose — no eval ids, no dupes, dense shard positions") {
+    val out = Curation.pipelineE2e(docs)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // eval holdout really left the corpus
+    assert(rows.forall(_.getLong(0) % 41 != 0))
+    // one row per surviving doc
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    // every split value valid; positions dense per shard
+    assert(rows.map(_.getString(1)).toSet.subsetOf(Set("train", "val", "test")))
+    rows.groupBy(_.getLong(2)).foreach { case (_, rs) =>
+      val ps = rs.map(_.getLong(3)).sorted
+      assert(ps.head == 1L && ps.last == ps.length.toLong,
+        "positions must be dense 1..n within each shard")
+    }
+    // subset of the plain split assignment on the same corpus
+    val full = docs.count()
+    assert(rows.length < full, "pipeline must actually drop something")
+  }
+
   test("filter funnel stages chain: rows_in(n) = rows_out(n-1), monotone") {
     val rows = Curation.filterFunnel(docs).orderBy("stage_idx").collect()
     assert(rows.length == 3)
