@@ -87,6 +87,12 @@ object BenchExtra {
       val e = embs(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") % 50 === 0), 5)
     }),
+    "bench_pipeline_full" -> ((s, dir) =>
+      // the curation recipe end-to-end over the UNclamped corpus at
+      // bench SF (the oracle key runs it at sf0.01): quality filter →
+      // exact dedup → eval holdout → ratio decontamination → split →
+      // shuffle-shard, measured as one dataflow
+      graft.llm.Curation.pipelineE2e(docs(s, dir))),
     "bench_synth_runner" -> ((s, dir) => {
       // Sequential workload-runner throughput on 48 reference-shaped
       // synthetic queries (join chains / IN-lists / CAST-LIKE) at the

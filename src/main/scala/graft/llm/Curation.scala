@@ -201,15 +201,25 @@ object Curation {
   def decontaminate(train: DataFrame, evalSet: DataFrame,
       minShared: Int = 10, minFrac: Double = 0.0, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // ONE explode + ONE groupBy: left-join the (distinct) shingle rows
+    // against the broadcast eval set with a hit marker, then count all
+    // rows (= the doc's distinct-shingle count, since shingleSetCol is
+    // array_distinct) and non-null hits in the same aggregate. A
+    // size(shingleSetCol) companion column would be re-collapsed by
+    // Catalyst into the post-explode projection and rebuild the whole
+    // array PER SHINGLE ROW — O(shingles²) per doc (measured 70 s on
+    // 500 fixture docs before this shape).
     val trainSh = train.select(col(idCol),
-      size(Dedup.shingleSetCol(col(textCol))).cast("long").as("n_shingles"),
       explode(Dedup.shingleSetCol(col(textCol))).as("shingle"))
     val evalSh = evalSet
       .select(explode(Dedup.shingleSetCol(col(textCol))).as("shingle"))
       .distinct()
-    trainSh.join(broadcast(evalSh), "shingle")
-      .groupBy(idCol, "n_shingles")
-      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("hit", lit(1))
+    trainSh.join(broadcast(evalSh), Seq("shingle"), "left")
+      .groupBy(idCol)
+      .agg(count(col("hit")).as("n_shared"),
+        count(lit(1)).as("n_shingles"))
+      .filter(col("n_shared") > 0)
       .withColumn("overlap_frac",
         col("n_shared").cast("double") / col("n_shingles"))
       .withColumn("contaminated",
@@ -469,12 +479,11 @@ object Curation {
          |    FROM documents WHERE doc_id % 41 = 0)),
          |dirty AS (
          |  SELECT t.doc_id
-         |  FROM (SELECT doc_id, CAST(len($sqlShingles) AS BIGINT) AS n_shingles,
-         |          unnest($sqlShingles) AS shingle FROM train) t
-         |  JOIN eval_sh e ON t.shingle = e.shingle
-         |  GROUP BY t.doc_id, t.n_shingles
-         |  HAVING COUNT(*) >= 10
-         |    AND CAST(COUNT(*) AS DOUBLE) / t.n_shingles >= 0.8),
+         |  FROM (SELECT doc_id, unnest($sqlShingles) AS shingle FROM train) t
+         |  LEFT JOIN eval_sh e ON t.shingle = e.shingle
+         |  GROUP BY t.doc_id
+         |  HAVING COUNT(e.shingle) >= 10
+         |    AND CAST(COUNT(e.shingle) AS DOUBLE) / COUNT(*) >= 0.8),
          |clean AS (
          |  SELECT doc_id FROM train
          |  WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
@@ -529,18 +538,19 @@ object Curation {
          |  UNION ALL
          |  SELECT doc_id + 30000, text FROM eval_docs),
          |train_sh AS (
-         |  SELECT doc_id, CAST(len($sqlShingles) AS BIGINT) AS n_shingles,
-         |    unnest($sqlShingles) AS shingle FROM train),
+         |  SELECT doc_id, unnest($sqlShingles) AS shingle FROM train),
          |eval_sh AS (
          |  SELECT DISTINCT shingle FROM (
          |    SELECT unnest($sqlShingles) AS shingle FROM eval_docs))
-         |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared,
-         |  t.n_shingles,
-         |  CAST(COUNT(*) AS DOUBLE) / t.n_shingles AS overlap_frac,
-         |  COUNT(*) >= 10 AND CAST(COUNT(*) AS DOUBLE) / t.n_shingles >= 0.0
+         |SELECT t.doc_id, CAST(COUNT(e.shingle) AS BIGINT) AS n_shared,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |  CAST(COUNT(e.shingle) AS DOUBLE) / COUNT(*) AS overlap_frac,
+         |  COUNT(e.shingle) >= 10
+         |    AND CAST(COUNT(e.shingle) AS DOUBLE) / COUNT(*) >= 0.0
          |    AS contaminated
-         |FROM train_sh t JOIN eval_sh e ON t.shingle = e.shingle
-         |GROUP BY t.doc_id, t.n_shingles
+         |FROM train_sh t LEFT JOIN eval_sh e ON t.shingle = e.shingle
+         |GROUP BY t.doc_id
+         |HAVING COUNT(e.shingle) > 0
          |ORDER BY t.doc_id""".stripMargin,
 
     "curate_filter_funnel" ->

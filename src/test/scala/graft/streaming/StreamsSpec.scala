@@ -69,6 +69,44 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("curation ops are stream-transparent: streaming split/sample equals batch") {
+    // splitAssign / stratifiedSample / qualityWeightedSample are pure
+    // map-only column dataflows, so the SAME library functions run
+    // unchanged on a streaming DataFrame (append mode, no state) and
+    // must select the identical rows the batch path selects — the
+    // contract that lets one curation recipe serve both the backfill
+    // and the ingest-time path.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.llm.Curation
+    val docs = graft.Tables.load(spark, sfSmoke, "documents")
+      .select("doc_id", "text", "lang").as[(Long, String, String)]
+      .collect().toSeq
+    val input = MemoryStream[(Long, String, String)]
+    val stream = input.toDF().toDF("doc_id", "text", "lang")
+    val out = Curation.splitAssign(
+        Curation.stratifiedSample(stream, Curation.FixtureRates,
+          Curation.FixtureRateDefault).drop("bucket"))
+      .writeStream.format("memory").queryName("curstream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (a, b) = docs.splitAt(docs.size / 2)
+      input.addData(a: _*); out.processAllAvailable()
+      input.addData(b: _*); out.processAllAvailable()
+      val streamed = spark.table("curstream")
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val batch = Curation.splitAssign(
+          Curation.stratifiedSample(
+            graft.Tables.load(spark, sfSmoke, "documents"),
+            Curation.FixtureRates, Curation.FixtureRateDefault).drop("bucket"))
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed == batch,
+        "streaming curation must select exactly the batch rows")
+    } finally out.stop()
+  }
+
   test("dedupStream drops replayed ids") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
