@@ -221,6 +221,31 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** PII/secret redaction patterns: (name, regex, replacement). The
+    * regexes stay inside the dialect both Java regex and RE2 share —
+    * no lookahead/backreferences — so the Spark column and the DuckDB
+    * twin match the same spans. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\+[0-9]{7,15}", "<PHONE>"),
+    ("key", "\\b[0-9a-f]{32}\\b", "<KEY>"))
+
+  /** Document-level PII/secret redaction for corpus curation: count
+    * then replace each [[PiiPatterns]] match. Map-only (row-local
+    * regex, no shuffle at any scale); counts are taken BEFORE any
+    * replacement so overlapping pattern families (an email contains no
+    * `+digits` run, but order-independence is still the safer
+    * contract) report what the raw text contained. */
+  def redactPii(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val counted = PiiPatterns.foldLeft(df) { case (d, (name, pat, _)) =>
+      d.withColumn(s"n_$name", regexp_count(col(textCol), lit(pat)))
+    }
+    val redacted = PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    counted.withColumn("redacted", redacted)
+  }
+
   /** Corpus-statistics rarity scoring (TF-IDF family, the CCNet-style
     * "does this doc look like the corpus" quality facet, computed from
     * the corpus itself — no external LM): document frequency per
@@ -251,11 +276,33 @@ object TextAnalysis {
   private val textIdfScore: Q = (s, dir) =>
     idfScore(docs(s, dir)).orderBy("doc_id")
 
+  /** Fixture with deterministically PLANTED PII (the word-soup corpus
+    * contains none): every 5th doc gains an email, every 7th a phone,
+    * every 11th a 32-hex token (md5 of the id) — built identically in
+    * the oracle so the redacted strings hash-match. */
+  private val textRedactPii: Q = (s, dir) => {
+    val planted = docs(s, dir).withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.org")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" tel +1555010"), col("doc_id"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" token "), md5(col("doc_id").cast("string"))))
+          .otherwise(lit(""))))
+    redactPii(planted)
+      .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_key"),
+        col("redacted"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "text_tokenize"       -> textTokenize,
     "text_langid"         -> textLangId,
     "text_quality"        -> textQuality,
     "text_idf_score"      -> textIdfScore,
+    "text_redact_pii"     -> textRedactPii,
     "doc_fingerprint"     -> docFingerprint,
     "text_embed_meanpool" -> textEmbedMeanpool,
   )
@@ -304,6 +351,31 @@ object TextAnalysis {
          |FROM tok t JOIN dfreq d ON t.token = d.token
          |GROUP BY t.doc_id
          |ORDER BY t.doc_id""".stripMargin,
+
+    "text_redact_pii" -> {
+      val Seq((_, emailPat, emailRepl), (_, phonePat, phoneRepl),
+        (_, keyPat, keyRepl)) = PiiPatterns
+      s"""WITH planted AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 5 = 0
+         |      THEN ' contact user' || doc_id || '@example.org' ELSE '' END ||
+         |    CASE WHEN doc_id % 7 = 0
+         |      THEN ' tel +1555010' || doc_id ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0
+         |      THEN ' token ' || md5(CAST(doc_id AS VARCHAR)) ELSE '' END
+         |    AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$emailPat')) AS INT) AS n_email,
+         |  CAST(len(regexp_extract_all(text, '$phonePat')) AS INT) AS n_phone,
+         |  CAST(len(regexp_extract_all(text, '$keyPat')) AS INT) AS n_key,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$emailPat', '$emailRepl', 'g'),
+         |    '$phonePat', '$phoneRepl', 'g'),
+         |    '$keyPat', '$keyRepl', 'g') AS redacted
+         |FROM planted
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "text_tokenize" ->
       s"""SELECT doc_id, CAST($sqlTokWs AS INT) AS n_tokens_ws,

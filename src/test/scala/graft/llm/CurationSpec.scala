@@ -129,6 +129,23 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("shuffle-shard output lands as a bucketed, sorted, loader-ready table") {
+    // the data-loader contract end-to-end: shuffleShard → bucketed-by-
+    // shard sorted-by-pos table; each training reader then scans one
+    // bucket in position order with no shuffle and no sort
+    val shuf = Curation.shuffleShard(docs, nShards = 8)
+    graft.sources.Ingest.writeBucketedTable(shuf, "curated_shards",
+      bucketCols = Seq("shard"), numBuckets = 8, sortCols = Seq("pos"))
+    val back = spark.table("curated_shards")
+    assert(back.count() == docs.count())
+    // a per-shard aggregate over the bucketed table plans NO exchange
+    val agg = back.groupBy("shard").count()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed-by-shard aggregate must not reshuffle:\n$plan")
+    spark.sql("DROP TABLE IF EXISTS curated_shards")
+  }
+
   test("decontamination flags every planted leaked copy") {
     val base = docs.select(col("doc_id"), col("text"))
     val evalSet = base.filter(col("doc_id") % 41 === 0)

@@ -86,6 +86,27 @@ class LlmSpec extends SparkSpec {
     assert(uniq.getDouble(uniq.fieldIndex("rare_frac")) == 1.0)
   }
 
+  test("redactPii counts then replaces emails, phones, and hex keys") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a.b+c@ex-ample.org and d@e.io, call +4915512345678"),
+      (2L, s"leaked ${"0123456789abcdef" * 2} plus clean text"),
+      (3L, "nothing sensitive here, 12345 and word@@word are fine")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(out(1L).fieldIndex("n_email")) == 2)
+    assert(out(1L).getInt(out(1L).fieldIndex("n_phone")) == 1)
+    val red1 = out(1L).getString(out(1L).fieldIndex("redacted"))
+    assert(red1 == "mail <EMAIL> and <EMAIL>, call <PHONE>")
+    assert(out(2L).getInt(out(2L).fieldIndex("n_key")) == 1)
+    assert(out(2L).getString(out(2L).fieldIndex("redacted"))
+      == "leaked <KEY> plus clean text")
+    assert(out(3L).getInt(out(3L).fieldIndex("n_email")) == 0)
+    assert(out(3L).getString(out(3L).fieldIndex("redacted"))
+      == "nothing sensitive here, 12345 and word@@word are fine")
+  }
+
   test("qwen2Pretokenize follows the reference tokenizer's split rules") {
     def toks(s: String): Seq[String] =
       textDf((0L, s)).select(TextAnalysis.qwen2Pretokenize(col("text")))
