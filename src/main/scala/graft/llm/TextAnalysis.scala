@@ -297,7 +297,25 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-language top-5 tokens by frequency — the corpus vocabulary
+    * report, composed over the library's own custom physical operator:
+    * token explode → one (lang, token) count groupBy → TopKPerKey
+    * (bounded per-key heaps, no per-group sort; the plan the window
+    * ROW_NUMBER form cannot reach). The (count desc, token asc) order
+    * is total within a language, so the heap boundary is
+    * deterministic and the DuckDB window twin is bit-identical. */
+  private val textTopTokens: Q = (s, dir) => {
+    val counts = docs(s, dir)
+      .select(col("lang"), explode(tokensWs(lower(col("text")))).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+    graft.plans.TopKPerKey(counts, Seq("lang"),
+        Seq(col("n").desc, col("token").asc), 5)
+      .select(col("lang"), col("token"), col("n"))
+      .orderBy("lang", "token")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_top_tokens"     -> textTopTokens,
     "text_tokenize"       -> textTokenize,
     "text_langid"         -> textLangId,
     "text_quality"        -> textQuality,
@@ -336,6 +354,22 @@ object TextAnalysis {
        |            AS DOUBLE) / NULLIF($sqlTokWs, 0), 0.0) * 5.0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_top_tokens" ->
+      s"""WITH counts AS (
+         |  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n FROM (
+         |    SELECT lang,
+         |      unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+         |        t -> len(t) > 0)) AS token
+         |    FROM documents)
+         |  GROUP BY lang, token)
+         |SELECT lang, token, n FROM (
+         |  SELECT lang, token, n,
+         |    ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY n DESC, token ASC) AS rk
+         |  FROM counts)
+         |WHERE rk <= 5
+         |ORDER BY lang, token""".stripMargin,
+
     "text_idf_score" ->
       s"""WITH tok AS (
          |  SELECT doc_id,
