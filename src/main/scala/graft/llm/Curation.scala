@@ -91,6 +91,23 @@ object Curation {
       .filter(frac < least(lit(1.0), lit(targetPerSource) / col("src_cnt")))
   }
 
+  /** Token-budget mixing: sample each source down toward a common
+    * PER-SOURCE CONTENT budget (chars/tokens, not doc count) — the
+    * contract a pretraining mix actually specifies. rate_s = min(1,
+    * budget / total_size_s); selection by id-hash fraction, so the
+    * expected surviving volume per source is the budget while staying
+    * deterministic. Same 100 TB shape as [[uniformMix]]: one tiny
+    * per-source size aggregate broadcast back onto the scan. */
+  def tokenBudgetMix(df: DataFrame, budgetChars: Double,
+      sourceCol: String = "source", idCol: String = "doc_id",
+      sizeCol: String = "n_chars"): DataFrame = {
+    val sizes = df.groupBy(sourceCol)
+      .agg(sum(col(sizeCol)).cast("long").as("src_chars"))
+    val frac = hashBucket("tbmix:", col(idCol), 10000) / lit(10000.0)
+    df.join(broadcast(sizes), sourceCol)
+      .filter(frac < least(lit(1.0), lit(budgetChars) / col("src_chars")))
+  }
+
   /** Temperature-weighted domain mixing: sample domain s at rate
     * min(1, N * n_s^alpha / (sum_t n_t^alpha) / n_s) — alpha<1 flattens
     * the domain distribution toward uniform (rare domains upweighted),
@@ -314,6 +331,11 @@ object Curation {
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
 
+  private val curateTokenBudget: Q = (s, dir) =>
+    tokenBudgetMix(docs(s, dir), budgetChars = 3000.0)
+      .select(col("doc_id"), col("source"), col("src_chars"))
+      .orderBy("doc_id")
+
   /** Fixture temperature mix: alpha=0.5 over lang, total target 250. */
   private val curateTemp: Q = (s, dir) =>
     temperatureMix(docs(s, dir), alpha = 0.5, totalTarget = 250.0)
@@ -373,6 +395,7 @@ object Curation {
     "curate_split_assign"      -> curateSplit,
     "curate_mix_uniform"       -> curateMix,
     "curate_mix_temperature"   -> curateTemp,
+    "curate_mix_token_budget"  -> curateTokenBudget,
     "curate_epoch_upsample"    -> curateEpochs,
     "curate_shuffle_shard"     -> curateShuffle,
     "curate_sample_quality"    -> curateQualitySample,
@@ -423,6 +446,16 @@ object Curation {
          |FROM documents d JOIN counts c ON d.source = c.source
          |WHERE (${sqlBucket("mix:", "d.doc_id", 10000)}) / 10000.0
          |      < LEAST(1.0, 5.0 / c.src_cnt)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "curate_mix_token_budget" ->
+      s"""WITH sizes AS (
+         |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS src_chars
+         |  FROM documents GROUP BY source)
+         |SELECT d.doc_id, d.source, s.src_chars
+         |FROM documents d JOIN sizes s ON d.source = s.source
+         |WHERE (${sqlBucket("tbmix:", "d.doc_id", 10000)}) / 10000.0
+         |      < LEAST(CAST(1.0 AS DOUBLE), CAST(3000.0 AS DOUBLE) / s.src_chars)
          |ORDER BY d.doc_id""".stripMargin,
 
     "curate_mix_temperature" ->

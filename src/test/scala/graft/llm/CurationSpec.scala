@@ -91,6 +91,25 @@ class CurationSpec extends SparkSpec {
       s"weight 0.4 should keep a strict nonempty subset ($src2Docs of $src2Orig)")
   }
 
+  test("token-budget mix: surviving volume tracks the budget, small sources whole") {
+    val budget = 3000.0
+    val mixed = Curation.tokenBudgetMix(docs, budget)
+    val perSource = mixed.groupBy("source")
+      .agg(sum("n_chars").as("kept"), first("src_chars").as("total"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    perSource.foreach { case (kept, total) =>
+      if (total <= budget) assert(kept == total,
+        "a source inside the budget must be kept whole")
+      else {
+        // hash-fraction selection: expected kept ≈ budget; allow wide
+        // slack for the small fixture (selection variance)
+        assert(kept < total, "an over-budget source must shrink")
+        assert(kept < 3 * budget,
+          s"kept volume $kept wildly exceeds the $budget budget")
+      }
+    }
+  }
+
   test("sequence packing covers every document once and buckets by running offset") {
     val packed = Curation.packSequences(docs, budgetChars = 2000L)
     assert(packed.count() == docs.count())
