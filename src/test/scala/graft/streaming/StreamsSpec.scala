@@ -107,6 +107,47 @@ class StreamsSpec extends SparkSpec {
     } finally out.stop()
   }
 
+  test("per-batch streaming decontamination equals the batch result") {
+    // decontamination scores each doc against a STATIC eval shingle
+    // set, so running the batch operator per micro-batch (foreachBatch)
+    // is exact — stateless, idempotent, no cross-batch state to evict.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.llm.Curation
+    val base = graft.Tables.load(spark, sfSmoke, "documents")
+      .select("doc_id", "text")
+    val evalSet = base.filter(org.apache.spark.sql.functions.col("doc_id") % 41 === 0)
+    val trainDocs = base.as[(Long, String)].collect().toSeq
+      .filter(_._1 % 41 != 0) ++
+      base.as[(Long, String)].collect().toSeq
+        .filter(_._1 % 41 == 0).map { case (id, t) => (id + 30000L, t) }
+    val flagged = scala.collection.mutable.Set[Long]()
+    val input = MemoryStream[(Long, String)]
+    val query = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Curation.decontaminate(batch, evalSet, minShared = 1, minFrac = 0.8)
+          .filter(org.apache.spark.sql.functions.col("contaminated"))
+          .select("doc_id").collect()
+          .foreach(r => flagged.synchronized { flagged += r.getLong(0) })
+      }.start()
+    try {
+      val (a, b) = trainDocs.splitAt(trainDocs.size / 2)
+      input.addData(a: _*); query.processAllAvailable()
+      input.addData(b: _*); query.processAllAvailable()
+      val batchFlagged = Curation.decontaminate(
+          base.filter(org.apache.spark.sql.functions.col("doc_id") % 41 =!= 0)
+            .unionByName(evalSet.select(
+              (org.apache.spark.sql.functions.col("doc_id") + 30000L).as("doc_id"),
+              org.apache.spark.sql.functions.col("text"))),
+          evalSet, minShared = 1, minFrac = 0.8)
+        .filter(org.apache.spark.sql.functions.col("contaminated"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(flagged.toSet == batchFlagged,
+        "streaming per-batch decontamination must flag exactly the batch set")
+      assert(batchFlagged.nonEmpty, "planted copies must be flagged")
+    } finally query.stop()
+  }
+
   test("dedupStream drops replayed ids") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
