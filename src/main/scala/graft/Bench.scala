@@ -139,7 +139,19 @@ object Bench {
     // 20 slowest queries only.
     println(s"""{"metric":"per_query_full","queries":${dict(results)},"sf":"$sfDir"}""")
     val slowest = results.sortBy(-_._2).take(20).sortBy(_._1)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","oracle_total":${r3(oracleTotal)},"core_total":${r3(coreTotal)},"tpcds_total":${r3(tpcdsTotal)},"curate_total":${r3(curateTotal)},"extra_total":${r3(total - oracleTotal)},"n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"calibration_s":${r3(calibrationS)},"calibration_end_s":${r3(calibrationEndS)},"calibration_max_s":${r3(calibrationMaxS)},"n_probes":${probes.size},"host_load_factor":${r3(hostLoadFactor2)},"queries":${dict(slowest)},"sf":"$sfDir"}""")
+    val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","oracle_total":${r3(oracleTotal)},"core_total":${r3(coreTotal)},"tpcds_total":${r3(tpcdsTotal)},"curate_total":${r3(curateTotal)},"extra_total":${r3(total - oracleTotal)},"n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"calibration_s":${r3(calibrationS)},"calibration_end_s":${r3(calibrationEndS)},"calibration_max_s":${r3(calibrationMaxS)},"n_probes":${probes.size},"host_load_factor":${r3(hostLoadFactor2)},"queries":${dict(slowest)},"sf":"$sfDir"}"""
+    println(summary)
+    // Machine-diffable artifact: the FULL summary (totals, every probe,
+    // the complete per-query map — not just the 20 slowest) at a stable
+    // path. The stdout tail protocol above caps what the driver's
+    // BENCH_r{N}.json can carry; this file is the round-over-round
+    // per-query diff source (r4's "parsed": null verdict finding).
+    val fileJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","oracle_total":${r3(oracleTotal)},"core_total":${r3(coreTotal)},"tpcds_total":${r3(tpcdsTotal)},"curate_total":${r3(curateTotal)},"extra_total":${r3(total - oracleTotal)},"n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"calibration_s":${r3(calibrationS)},"calibration_end_s":${r3(calibrationEndS)},"calibration_max_s":${r3(calibrationMaxS)},"n_probes":${probes.size},"probes":[${probes.map(r3).mkString(",")}],"host_load_factor":${r3(hostLoadFactor2)},"queries":${dict(results)},"sf":"$sfDir"}"""
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+    Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(outPath, fileJson + "\n")
+    Console.err.println(s"[bench] summary written to $outPath")
     spark.stop()
   }
 }

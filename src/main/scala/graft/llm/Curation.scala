@@ -95,8 +95,12 @@ object Curation {
     * PER-SOURCE CONTENT budget (chars/tokens, not doc count) — the
     * contract a pretraining mix actually specifies. rate_s = min(1,
     * budget / total_size_s); selection by id-hash fraction, so the
-    * expected surviving volume per source is the budget while staying
-    * deterministic. Same 100 TB shape as [[uniformMix]]: one tiny
+    * budget is met IN EXPECTATION, not as a cap: the keep decision
+    * hashes doc ids, never sizes, and a source dominated by a few
+    * large documents can land well over (or under) the budget —
+    * that variance is the price of the map-only, membership-stable
+    * selection. Use [[tokenBudgetPack]] when the budget is a hard
+    * ceiling. Same 100 TB shape as [[uniformMix]]: one tiny
     * per-source size aggregate broadcast back onto the scan. */
   def tokenBudgetMix(df: DataFrame, budgetChars: Double,
       sourceCol: String = "source", idCol: String = "doc_id",
@@ -108,6 +112,34 @@ object Curation {
       .filter(frac < least(lit(1.0), lit(budgetChars) / col("src_chars")))
   }
 
+  /** Size-aware token-budget CAP — the hard-ceiling twin of
+    * [[tokenBudgetMix]]: within each (source, hash-shard) stream,
+    * order documents by an independent id-hash (a deterministic
+    * shuffle, so the surviving prefix is an unbiased sample) and keep
+    * a document iff the running char offset BEFORE it is still under
+    * the stream's share (budget / shards) — the [[packSequences]]
+    * running-offset contract applied as a cutoff. Per-source
+    * surviving volume is < budget + shards × max_doc_size, i.e. the
+    * overshoot is bounded by ONE document per stream rather than
+    * [[tokenBudgetMix]]'s unbounded expectation variance. The window
+    * is per (source, shard) — shard-parallel at 100 TB like every
+    * packer window here; membership is stable under corpus growth
+    * only for the already-selected prefix (appended docs can displace
+    * later hash positions — a cap is inherently order-coupled). */
+  def tokenBudgetPack(df: DataFrame, budgetChars: Long, shards: Int = 4,
+      sourceCol: String = "source", idCol: String = "doc_id",
+      sizeCol: String = "n_chars"): DataFrame = {
+    val perShard = budgetChars / shards
+    val w = Window.partitionBy(col(sourceCol), col("shard"))
+      .orderBy(col("ord"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("shard", hashBucket("tbshard:", col(idCol), shards))
+      .withColumn("ord", hashBucket("tbord:", col(idCol), 1000000))
+      .withColumn("start_off", coalesce(sum(col(sizeCol)).over(w), lit(0L)))
+      .filter(col("start_off") < perShard)
+      .drop("ord", "start_off")
+  }
+
   /** Temperature-weighted domain mixing: sample domain s at rate
     * min(1, N * n_s^alpha / (sum_t n_t^alpha) / n_s) — alpha<1 flattens
     * the domain distribution toward uniform (rare domains upweighted),
@@ -117,7 +149,12 @@ object Curation {
     * count aggregate + a 1-row total, both broadcast back onto the
     * scan — the 100 TB side never shuffles. The keep threshold is
     * rounded to integer basis points on BOTH engines so a sub-ulp
-    * pow() difference between libms cannot flip a row. */
+    * pow() difference between libms cannot flip a row. Residual risk
+    * (accepted): if the true rate lands within an ulp of a .5
+    * basis-point boundary, JVM and libm pow() could still round the
+    * threshold apart — never observed across the fixture gates; if a
+    * flake ever appears, precompute keep_bp on the driver from exact
+    * counts and inject it as a literal map on both engines. */
   def temperatureMix(df: DataFrame, alpha: Double, totalTarget: Double,
       domainCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
     val counts = df.groupBy(domainCol).agg(count(lit(1)).as("dom_cnt"))
@@ -214,7 +251,10 @@ object Curation {
     * `minFrac` share-of-own-shingles ratio is the near-copy contract
     * that stays meaningful when organic shingle overlap is high (both
     * must hold; pass minShared=1 for a pure-ratio gate or minFrac=0.0
-    * for a pure-count gate). */
+    * for a pure-count gate). The count gate is clamped to the doc's
+    * own distinct-shingle count — a sub-shingle-size doc collapses to
+    * ONE whole-text shingle, and an uncapped minShared=10 could never
+    * flag even a verbatim copy of such a short eval doc. */
   def decontaminate(train: DataFrame, evalSet: DataFrame,
       minShared: Int = 10, minFrac: Double = 0.0, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
@@ -240,7 +280,8 @@ object Curation {
       .withColumn("overlap_frac",
         col("n_shared").cast("double") / col("n_shingles"))
       .withColumn("contaminated",
-        col("n_shared") >= minShared && col("overlap_frac") >= minFrac)
+        col("n_shared") >= least(lit(minShared), col("n_shingles")) &&
+          col("overlap_frac") >= minFrac)
       .select(col(idCol), col("n_shared"), col("n_shingles"),
         col("overlap_frac"), col("contaminated"))
   }
@@ -336,6 +377,11 @@ object Curation {
       .select(col("doc_id"), col("source"), col("src_chars"))
       .orderBy("doc_id")
 
+  private val curateTokenBudgetPack: Q = (s, dir) =>
+    tokenBudgetPack(docs(s, dir), budgetChars = 3000L)
+      .select(col("doc_id"), col("source"), col("shard"))
+      .orderBy("doc_id")
+
   /** Fixture temperature mix: alpha=0.5 over lang, total target 250. */
   private val curateTemp: Q = (s, dir) =>
     temperatureMix(docs(s, dir), alpha = 0.5, totalTarget = 250.0)
@@ -396,6 +442,7 @@ object Curation {
     "curate_mix_uniform"       -> curateMix,
     "curate_mix_temperature"   -> curateTemp,
     "curate_mix_token_budget"  -> curateTokenBudget,
+    "curate_token_budget_pack" -> curateTokenBudgetPack,
     "curate_epoch_upsample"    -> curateEpochs,
     "curate_shuffle_shard"     -> curateShuffle,
     "curate_sample_quality"    -> curateQualitySample,
@@ -458,6 +505,20 @@ object Curation {
          |      < LEAST(CAST(1.0 AS DOUBLE), CAST(3000.0 AS DOUBLE) / s.src_chars)
          |ORDER BY d.doc_id""".stripMargin,
 
+    "curate_token_budget_pack" ->
+      s"""WITH offs AS (
+         |  SELECT doc_id, source,
+         |    ${sqlBucket("tbshard:", "doc_id", 4)} AS shard,
+         |    COALESCE(SUM(n_chars) OVER (
+         |      PARTITION BY source, ${sqlBucket("tbshard:", "doc_id", 4)}
+         |      ORDER BY ${sqlBucket("tbord:", "doc_id", 1000000)}, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS start_off
+         |  FROM documents)
+         |SELECT doc_id, source, shard FROM offs
+         |WHERE start_off < 750
+         |ORDER BY doc_id""".stripMargin,
+
     "curate_mix_temperature" ->
       s"""WITH counts AS (
          |  SELECT lang, COUNT(*) AS dom_cnt FROM documents GROUP BY lang),
@@ -515,7 +576,7 @@ object Curation {
          |  FROM (SELECT doc_id, unnest($sqlShingles) AS shingle FROM train) t
          |  LEFT JOIN eval_sh e ON t.shingle = e.shingle
          |  GROUP BY t.doc_id
-         |  HAVING COUNT(e.shingle) >= 10
+         |  HAVING COUNT(e.shingle) >= LEAST(10, COUNT(*))
          |    AND CAST(COUNT(e.shingle) AS DOUBLE) / COUNT(*) >= 0.8),
          |clean AS (
          |  SELECT doc_id FROM train
@@ -578,7 +639,7 @@ object Curation {
          |SELECT t.doc_id, CAST(COUNT(e.shingle) AS BIGINT) AS n_shared,
          |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
          |  CAST(COUNT(e.shingle) AS DOUBLE) / COUNT(*) AS overlap_frac,
-         |  COUNT(e.shingle) >= 10
+         |  COUNT(e.shingle) >= LEAST(10, COUNT(*))
          |    AND CAST(COUNT(e.shingle) AS DOUBLE) / COUNT(*) >= 0.0
          |    AS contaminated
          |FROM train_sh t LEFT JOIN eval_sh e ON t.shingle = e.shingle

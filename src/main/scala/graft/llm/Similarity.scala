@@ -129,10 +129,37 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Deterministic IVF centroid training: spark.ml KMeans with a fixed
+    * seed (k-means|| init and Lloyd iterations are pure functions of
+    * (data, partitioning, seed), so the same corpus trains the same
+    * codebook on every run — the reproducibility contract the rest of
+    * this library's content-addressed selection keeps). Returns a
+    * (centroid_id, embedding) frame in exactly the shape [[ivfAssign]]
+    * / [[ivfTopK]] consume; centroid_id is the KMeans cluster index.
+    * Scale shape: training fits k · dims doubles on the driver (the
+    * model) from one corpus aggregation per iteration — the standard
+    * index-build step, run once per index, off the query path. */
+  def trainCentroids(corpus: DataFrame, k: Int, seed: Long = 42L,
+      maxIter: Int = 20, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val feats = corpus.select(
+      org.apache.spark.ml.functions.array_to_vector(col(embCol))
+        .as("features"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("features")
+      .fit(feats)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.toArray) }
+      .toDF(idCol, embCol)
+  }
+
   /** IVF: assign every vector to its nearest centroid (broadcast
     * centroid join), producing a partition key for bucket-pruned
     * search. Centroids are any small (id, embedding) frame — at scale,
-    * a k-means output or a deterministic sample. */
+    * a [[trainCentroids]] k-means output or a deterministic sample. */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val c = centroids.select(col(idCol).as("centroid_id"),

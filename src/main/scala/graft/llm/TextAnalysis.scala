@@ -232,10 +232,17 @@ object TextAnalysis {
 
   /** Document-level PII/secret redaction for corpus curation: count
     * then replace each [[PiiPatterns]] match. Map-only (row-local
-    * regex, no shuffle at any scale); counts are taken BEFORE any
-    * replacement so overlapping pattern families (an email contains no
-    * `+digits` run, but order-independence is still the safer
-    * contract) report what the raw text contained. */
+    * regex, no shuffle at any scale). Counting contract: each
+    * `n_<name>` is the pattern's match count over the RAW text,
+    * independent of the other patterns — pattern families CAN overlap
+    * (an RFC-valid local part like `user+12345678@ex.com` matches the
+    * phone pattern inside the email match), so the per-pattern counts
+    * may double-count a span, and `n_phone` may exceed the `<PHONE>`
+    * markers in `redacted` (replacement runs sequentially email →
+    * phone → key, and an earlier replacement consumes the span).
+    * Raw-text counts are the audit number a curation report wants —
+    * "what did the corpus contain" — and stay order-independent;
+    * the redacted string is the sanitized artifact. */
   def redactPii(df: DataFrame, textCol: String = "text"): DataFrame = {
     val counted = PiiPatterns.foldLeft(df) { case (d, (name, pat, _)) =>
       d.withColumn(s"n_$name", regexp_count(col(textCol), lit(pat)))
@@ -264,7 +271,13 @@ object TextAnalysis {
       explode(tokensWs(lower(col(textCol)))).as("token"))
     val dfFrame = tok.groupBy("token")
       .agg(count_distinct(col(idCol)).as("df"))
-    tok.join(dfFrame, "token")
+    // The df frame is vocabulary-sized (sublinear in corpus size), but
+    // the token key is Zipf-skewed — a shuffled join would concentrate
+    // every "the" occurrence in one reducer at 100 TB. Broadcasting df
+    // keeps the occurrence side map-only: its only shuffles are the
+    // token-key df aggregation (map-side partial combine absorbs the
+    // skew) and the final per-doc groupBy (doc_id is unskewed).
+    tok.join(broadcast(dfFrame), "token")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"),
         (graft.functions.Exact.dsum(lit(1.0) / col("df"))

@@ -110,6 +110,35 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("token-budget pack: hard cap per stream, deterministic, small sources whole") {
+    val packed = Curation.tokenBudgetPack(docs, budgetChars = 3000L)
+    // hard ceiling: within every (source, shard) stream the volume
+    // BEFORE the last kept doc is under the per-shard share, so
+    // kept - largest_doc < 750 always holds (overshoot ≤ one doc)
+    val streams = packed.groupBy("source", "shard")
+      .agg(sum("n_chars").as("kept"), max("n_chars").as("biggest"))
+      .collect()
+    streams.foreach { r =>
+      assert(r.getLong(2) - r.getLong(3) < 750L,
+        s"stream ${r.get(0)}/${r.get(1)} exceeds the cap beyond one doc")
+    }
+    // a source whose every stream fits inside its share survives whole
+    val totals = docs.groupBy("source").agg(sum("n_chars").as("total"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptBySource = packed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docsBySource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.filter(_._2 <= 750L).keys.foreach { s =>
+      assert(keptBySource(s) == docsBySource(s),
+        s"source $s fits in every stream share and must be kept whole")
+    }
+    // deterministic: same inputs, same survivors
+    val again = Curation.tokenBudgetPack(docs, budgetChars = 3000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == packed.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("sequence packing covers every document once and buckets by running offset") {
     val packed = Curation.packSequences(docs, budgetChars = 2000L)
     assert(packed.count() == docs.count())
@@ -178,6 +207,25 @@ class CurationSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     val missed = planted -- flagged
     assert(missed.isEmpty, s"leaked copies not flagged: $missed")
+  }
+
+  test("decontamination catches sub-shingle-size verbatim leaks (clamped count gate)") {
+    import spark.implicits._
+    // "42!" is shorter than the 9-char shingle, so it collapses to ONE
+    // whole-text shingle; with the default minShared=10 an unclamped
+    // gate could never flag its verbatim copy in the training corpus
+    val evalSet = Seq((1L, "42!")).toDF("doc_id", "text")
+    val train = Seq(
+      (100L, "42!"),                                  // verbatim leak
+      (101L, "a completely unrelated long document about nothing at all")
+    ).toDF("doc_id", "text")
+    val out = Curation.decontaminate(train, evalSet)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(out.contains(100L), "verbatim short leak must share its shingle")
+    assert(out(100L) == ((1L, 1L, true)),
+      s"short verbatim leak must be contaminated: ${out(100L)}")
+    assert(!out.contains(101L), "unrelated doc shares nothing")
   }
 
   test("quality-weighted sample keeps high-quality docs at a higher rate") {

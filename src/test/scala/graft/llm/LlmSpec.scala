@@ -86,6 +86,20 @@ class LlmSpec extends SparkSpec {
     assert(uniq.getDouble(uniq.fieldIndex("rare_frac")) == 1.0)
   }
 
+  test("idfScore joins the df frame as a broadcast (no token-key shuffle join)") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha gamma")).toDF("doc_id", "text")
+    val df = TextAnalysis.idfScore(docs)
+    df.collect()
+    // the occurrence→df join must be BroadcastHashJoin: a shuffled
+    // join on the Zipf-skewed token key would put every stopword
+    // occurrence in one reducer at 100 TB
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      plan.take(800))
+  }
+
   test("redactPii counts then replaces emails, phones, and hex keys") {
     import spark.implicits._
     val docs = Seq(
@@ -321,6 +335,41 @@ class LlmSpec extends SparkSpec {
     val cosines = res.map(_.getDouble(3))
     assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
     assert(res.map(_.getInt(2)).toSeq === (1 to res.length))
+  }
+
+  test("trained IVF centroids: deterministic k-means, assignment is argmax cosine") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = graft.Tables.load(spark, sfSmoke, "embeddings")
+      .filter(col("vec_id") < 150)
+    val cents = Similarity.trainCentroids(emb, k = 4)
+    assert(cents.count() === 4L)
+    // fixed (data, seed) → identical codebook on a second fit
+    val again = Similarity.trainCentroids(emb, k = 4)
+    assert(cents.collect().map(_.toString).sorted
+      === again.collect().map(_.toString).sorted,
+      "k-means with a fixed seed must reproduce the same centroids")
+    // spec-pin vs the float path: every assignment is the true
+    // argmax-cosine centroid (same centroid_id tie-break)
+    val assigned = Similarity.ivfAssign(emb, cents)
+      .select(col("vec_id"), col("centroid_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c = cents.select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val brute = emb.crossJoin(broadcast(c))
+      .withColumn("sim", Similarity.cosine(col("embedding"), col("cemb")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned === brute,
+      "ivfAssign over trained centroids must match brute-force argmax")
+    // the trained codebook drives the full probe path end-to-end
+    val res = Similarity.ivfTopK(Similarity.ivfAssign(emb, cents), cents,
+      emb.filter(col("vec_id") === 1), 5, nprobe = 2)
+      .orderBy("rank").collect()
+    assert(res.nonEmpty)
+    val cosines = res.map(_.getDouble(3))
+    assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
   }
 
   // ------------------------------------------------------- Multimodal
