@@ -254,10 +254,18 @@ object Curation {
     * for a pure-count gate). The count gate is clamped to the doc's
     * own distinct-shingle count — a sub-shingle-size doc collapses to
     * ONE whole-text shingle, and an uncapped minShared=10 could never
-    * flag even a verbatim copy of such a short eval doc. */
+    * flag even a verbatim copy of such a short eval doc.
+    *
+    * `broadcastEval=false` is the fallback for eval sets too large to
+    * broadcast (a many-benchmark union, or decontaminating against
+    * another corpus slice): the probe becomes a SHUFFLE_HASH equi-join
+    * on the shingle key — both sides shuffle once, the (distinct,
+    * smaller) eval side builds the hash table, and no executor ever
+    * materializes the whole eval shingle set. Same result, plan-
+    * asserted in CurationSpec. */
   def decontaminate(train: DataFrame, evalSet: DataFrame,
       minShared: Int = 10, minFrac: Double = 0.0, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", broadcastEval: Boolean = true): DataFrame = {
     // ONE explode + ONE groupBy: left-join the (distinct) shingle rows
     // against the broadcast eval set with a hit marker, then count all
     // rows (= the doc's distinct-shingle count, since shingleSetCol is
@@ -272,7 +280,9 @@ object Curation {
       .select(explode(Dedup.shingleSetCol(col(textCol))).as("shingle"))
       .distinct()
       .withColumn("hit", lit(1))
-    trainSh.join(broadcast(evalSh), Seq("shingle"), "left")
+    val evalKeyed =
+      if (broadcastEval) broadcast(evalSh) else evalSh.hint("shuffle_hash")
+    trainSh.join(evalKeyed, Seq("shingle"), "left")
       .groupBy(idCol)
       .agg(count(col("hit")).as("n_shared"),
         count(lit(1)).as("n_shingles"))
@@ -284,6 +294,37 @@ object Curation {
           col("overlap_frac") >= minFrac)
       .select(col(idCol), col("n_shared"), col("n_shingles"),
         col("overlap_frac"), col("contaminated"))
+  }
+
+  /** Corpus-wide paragraph-level deduplication — the CCNet/C4-lineage
+    * boilerplate killer: split every document on `sep`, keep only the
+    * FIRST corpus-wide occurrence of each distinct paragraph (ordered
+    * by (doc_id, position)), and reassemble each document from its
+    * surviving paragraphs in original order. Shared headers, footers,
+    * and licence blocks survive exactly once, in the lowest-id doc
+    * that carries them. 100 TB shape: one posexplode, ONE groupBy on
+    * the paragraph md5 (fixed-width shuffle key, never the paragraph
+    * text) electing min(struct(doc, pos)) with map-side combine, one
+    * (doc, pos) semi-join back, one per-doc reassembly groupBy whose
+    * collect_list is bounded by paragraphs-per-document — every
+    * shuffle equi-keyed, no all-pairs work, no windows over raw rows.
+    * Docs whose every paragraph is a repeat vanish (their content
+    * survives elsewhere). */
+  def paragraphDedup(df: DataFrame, sep: String = "\n",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val paras = df.select(col(idCol).as("pd_id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "para")))
+    val keeper = paras
+      .groupBy(md5(col("para")).as("h"))
+      .agg(min(struct(col("pd_id"), col("pos"))).as("k"))
+      .select(col("k.pd_id").as("pd_id"), col("k.pos").as("pos"))
+    paras.join(keeper, Seq("pd_id", "pos"), "left_semi")
+      .groupBy(col("pd_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+          x => x.getField("para")), sep).as(textCol))
+      .select(col("pd_id").as(idCol), col(textCol))
   }
 
   /** The whole curation recipe as ONE composed dataflow — the shape a
@@ -436,6 +477,20 @@ object Curation {
   private val curateFunnel: Q = (s, dir) =>
     filterFunnel(docs(s, dir)).orderBy("stage_idx")
 
+  /** Fixture paragraph-dedup corpus: the word-soup docs carry no line
+    * structure, so boilerplate is PLANTED — every doc becomes
+    * header(lang) \n body(first 80 chars) \n footer(source). The
+    * shared per-lang headers and per-source footers must survive only
+    * in the lowest doc_id that carries them; the (unique) bodies all
+    * survive. Built identically in the oracle so texts hash-match. */
+  private val curateParagraphDedup: Q = (s, dir) => {
+    val corpus = docs(s, dir).select(col("doc_id"),
+      concat(lit("HDR "), col("lang"), lit("\n"),
+        substring(col("text"), 1, 80), lit("\n"),
+        lit("FTR "), col("source")).as("text"))
+    paragraphDedup(corpus).orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "curate_sample_stratified" -> curateSample,
     "curate_split_assign"      -> curateSplit,
@@ -450,6 +505,7 @@ object Curation {
     "curate_pack_sequences"    -> curatePack,
     "curate_decontaminate"     -> curateDecontaminate,
     "curate_filter_funnel"     -> curateFunnel,
+    "curate_paragraph_dedup"   -> curateParagraphDedup,
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -669,5 +725,28 @@ object Curation {
          |  UNION ALL
          |  SELECT CAST(3 AS INT), 'punct_ratio', c2, c3 FROM agg)
          |ORDER BY stage_idx""".stripMargin,
+
+    "curate_paragraph_dedup" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, 'HDR ' || lang || chr(10) || substr(text, 1, 80)
+         |    || chr(10) || 'FTR ' || source AS text
+         |  FROM documents),
+         |paras AS (
+         |  SELECT doc_id, generate_subscripts(l, 1) AS pos,
+         |    unnest(l) AS para
+         |  FROM (SELECT doc_id, string_split(text, chr(10)) AS l
+         |        FROM corpus)),
+         |keeper AS (
+         |  SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos,
+         |      ROW_NUMBER() OVER (PARTITION BY para
+         |        ORDER BY doc_id, pos) AS rn
+         |    FROM paras) WHERE rn = 1)
+         |SELECT p.doc_id,
+         |  string_agg(p.para, chr(10) ORDER BY p.pos) AS text
+         |FROM paras p
+         |JOIN keeper k ON p.doc_id = k.doc_id AND p.pos = k.pos
+         |GROUP BY p.doc_id
+         |ORDER BY p.doc_id""".stripMargin,
   )
 }

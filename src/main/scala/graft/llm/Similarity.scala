@@ -343,10 +343,40 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Index-quality report: per-query recall@k of an approximate ANN
+    * result against the exact ranking — the metric every ANN index
+    * ships with (and the acceptance gate for tuning numPlanes/nprobe).
+    * Left-join exact top-k rows against the approx set on
+    * (query_id, neighbor_id) and count hits per query: recall =
+    * hits / |exact top-k|. One equi-join + one groupBy, both on the
+    * (unskewed) query key — the report costs no more than the searches
+    * themselves at any scale. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame =
+    exact.join(
+        approx.select(col("query_id"), col("neighbor_id"),
+          lit(1).as("hit")),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(col("hit")).as("n_hit"), count(lit(1)).as("n_exact"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_exact"))
+      .select("query_id", "n_hit", "n_exact", "recall")
+
+  /** Recall@3 of the nprobe=2 IVF path vs exact brute force — composes
+    * the two oracle-gated searches above, so the DuckDB twin is their
+    * oracle texts re-joined. (The coarse-bucket LSH fixture was
+    * considered and rejected: its recall is 0.0 for every fixture
+    * query at both SFs, an undiscriminating gate; IVF recall spans
+    * 0..1 across queries.) */
+  private val annRecallIvf: Q = (s, dir) =>
+    recallAtK(annIvf(s, dir),
+      annBruteForce(s, dir).filter(col("rank") <= 3)).orderBy("query_id")
+
   val queries: Map[String, Q] = Map(
     "ann_brute_force"  -> annBruteForce,
     "ann_lsh_bucketed" -> annLshBucketed,
     "ann_ivf"          -> annIvf,
+    "ann_recall_ivf"   -> annRecallIvf,
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -357,7 +387,7 @@ object Similarity {
       |FROM embeddings e, generate_series(1, 64) t(i)
       |WHERE vec_id < 200""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val searchOracles: Map[String, String] = Map(
     "ann_brute_force" ->
       s"""WITH elems AS ($elemsSql),
          |norms AS (SELECT id, SUM(e_micro * e_micro) AS norm2
@@ -477,4 +507,20 @@ object Similarity {
          |SELECT query_id, neighbor_id, rank, cosine FROM ranked
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
   )
+
+  /** The recall oracle composes the two gated search oracles VERBATIM
+    * as derived tables, so it can never drift from them. */
+  private val recallOracle: (String, String) = "ann_recall_ivf" ->
+    s"""SELECT e.query_id,
+       |  CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+       |  CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |  CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
+       |FROM (SELECT * FROM (${searchOracles("ann_brute_force")})
+       |      WHERE rank <= 3) e
+       |LEFT JOIN (${searchOracles("ann_ivf")}) a
+       |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |GROUP BY e.query_id
+       |ORDER BY e.query_id""".stripMargin
+
+  val oracles: Map[String, String] = searchOracles + recallOracle
 }

@@ -289,6 +289,57 @@ object TextAnalysis {
   private val textIdfScore: Q = (s, dir) =>
     idfScore(docs(s, dir)).orderBy("doc_id")
 
+  /** Within-document repetition metrics — the Gopher/MassiveText
+    * repetition rules re-expressed at word granularity (the fixture
+    * corpus has no line structure; the rule family is identical):
+    * duplicate-word fraction, top-word share, and their bigram twins
+    * (Gopher's "top n-gram fraction" signal). 100 TB shape: explode →
+    * (doc, gram) count groupBy → per-doc groupBy — every shuffle is on
+    * (doc_id[, gram]) which is unskewed, map-side combine absorbs
+    * within-doc repeats, and no per-row work is super-linear in
+    * document length (the naive array-functions form —
+    * `size(filter(w, eq))` per distinct word — is O(len²) per doc and
+    * melts on long documents). Docs with <2 words get 0.0 bigram
+    * fractions. Every emitted fraction is one IEEE division of
+    * identical integers on both engines. */
+  def repetitionMetrics(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val words = df.select(col(idCol), tokensWs(lower(col(textCol))).as("ws"))
+    val wordStats = words
+      .select(col(idCol), explode(col("ws")).as("w"))
+      .groupBy(idCol, "w").agg(count(lit(1)).as("c"))
+      .groupBy(idCol)
+      .agg(sum("c").as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        max("c").as("top_word_n"))
+    val bigramStats = words
+      .select(col(idCol), explode(
+        when(size(col("ws")) >= 2,
+          transform(sequence(lit(1), size(col("ws")) - 1),
+            i => concat_ws(" ", element_at(col("ws"), i),
+              element_at(col("ws"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("b"))
+      .groupBy(idCol, "b").agg(count(lit(1)).as("c"))
+      .groupBy(idCol)
+      .agg(sum("c").as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max("c").as("top_bigram_n"))
+    wordStats.join(bigramStats, Seq(idCol), "left")
+      .select(col(idCol), col("n_words"),
+        ((col("n_words") - col("n_distinct_words")).cast("double")
+          / col("n_words")).as("dup_word_frac"),
+        (col("top_word_n").cast("double") / col("n_words"))
+          .as("top_word_frac"),
+        coalesce((col("n_bigrams") - col("n_distinct_bigrams"))
+          .cast("double") / col("n_bigrams"), lit(0.0))
+          .as("dup_bigram_frac"),
+        coalesce(col("top_bigram_n").cast("double") / col("n_bigrams"),
+          lit(0.0)).as("top_bigram_frac"))
+  }
+
+  private val textRepetition: Q = (s, dir) =>
+    repetitionMetrics(docs(s, dir)).orderBy("doc_id")
+
   /** Fixture with deterministically PLANTED PII (the word-soup corpus
     * contains none): every 5th doc gains an email, every 7th a phone,
     * every 11th a 32-hex token (md5 of the id) — built identically in
@@ -333,6 +384,7 @@ object TextAnalysis {
     "text_langid"         -> textLangId,
     "text_quality"        -> textQuality,
     "text_idf_score"      -> textIdfScore,
+    "text_repetition"     -> textRepetition,
     "text_redact_pii"     -> textRedactPii,
     "doc_fingerprint"     -> docFingerprint,
     "text_embed_meanpool" -> textEmbedMeanpool,
@@ -398,6 +450,39 @@ object TextAnalysis {
          |FROM tok t JOIN dfreq d ON t.token = d.token
          |GROUP BY t.doc_id
          |ORDER BY t.doc_id""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+         |      t -> len(t) > 0)) AS w
+         |  FROM documents),
+         |wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w),
+         |ws AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+         |    COUNT(*) AS nd, MAX(c) AS tw
+         |  FROM wc GROUP BY doc_id),
+         |barr AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\s+'),
+         |      t -> len(t) > 0) AS l
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, len(l) - 1),
+         |      i -> l[i] || ' ' || l[i + 1])) AS b
+         |  FROM barr),
+         |bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+         |bs AS (
+         |  SELECT doc_id, SUM(c) AS n_bg, COUNT(*) AS ndb, MAX(c) AS tb
+         |  FROM bc GROUP BY doc_id)
+         |SELECT ws.doc_id, n_words,
+         |  CAST(n_words - nd AS DOUBLE) / n_words AS dup_word_frac,
+         |  CAST(tw AS DOUBLE) / n_words AS top_word_frac,
+         |  COALESCE(CAST(n_bg - ndb AS DOUBLE) / n_bg, 0.0) AS dup_bigram_frac,
+         |  COALESCE(CAST(tb AS DOUBLE) / n_bg, 0.0) AS top_bigram_frac
+         |FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+         |ORDER BY ws.doc_id""".stripMargin,
 
     "text_redact_pii" -> {
       val Seq((_, emailPat, emailRepl), (_, phonePat, phoneRepl),

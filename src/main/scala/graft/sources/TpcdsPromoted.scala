@@ -71,15 +71,15 @@ object TpcdsPromoted {
     // totality only matters under LIMIT) — promoted verbatim.
     "tpcds_q17_cheap_quantity"    -> "q11", // correlated per-part avg threshold
     "tpcds_q78_return_ratio"      -> "q14", // fact-fact LEFT JOIN null retention
-    "tpcds_q5_channel_rollup"     -> "q16", // channel UNION + ROLLUP
+    "tpcds_q5_channel_rollup"     -> "q16", // CASE-channel single scan + ROLLUP (r5 collapse)
     "tpcds_q31_quarter_growth"    -> "q17", // 4-arm consecutive-quarter self-join
     "tpcds_q49_worst_returns"     -> "q19", // dual dense ranks + UNION distinct
     "tpcds_q85_band_refunds"      -> "q20", // disjunctive bands + CASE refund
-    "tpcds_q58_equal_share"       -> "q24", // three-way equal-share screen
+    "tpcds_q58_equal_share"       -> "q24", // equal-share screen, conditional-agg single scan (r5)
     "tpcds_q35_cond_stats"        -> "q27", // multi-conditional group stats
     "tpcds_q29_sale_return_cycle" -> "q28", // three-arm fact self-join
     "tpcds_q11_growth_segments"   -> "q31", // two-channel two-year growth
-    "tpcds_q33_channel_brands"    -> "q32", // UNION of channel aggs re-agg
+    "tpcds_q33_channel_brands"    -> "q32", // channel aggs folded to one scan (r5 collapse)
     "tpcds_q41_attr_bands"        -> "q33", // EXISTS over OR-band attributes
     "tpcds_q34_order_size_band"   -> "q34", // frequency-band cohort
     "tpcds_q6_above_category_avg" -> "q35", // correlated category-avg screen

@@ -194,6 +194,25 @@ class CurationSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS curated_shards")
   }
 
+  test("paragraph dedup keeps first corpus occurrence, reassembles in order") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "shared header\nunique one\nshared footer"),
+      (2L, "shared header\nunique two\nshared footer"),
+      (3L, "unique three\nshared header"),
+      (4L, "rep\nrep"),          // within-doc repeat: survives once
+      (5L, "shared header")      // all paragraphs are repeats: doc vanishes
+    ).toDF("doc_id", "text")
+    val out = Curation.paragraphDedup(corpus).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "shared header\nunique one\nshared footer",
+      s"first carrier keeps everything: ${out.get(1L)}")
+    assert(out(2L) == "unique two", "later carrier loses header+footer")
+    assert(out(3L) == "unique three")
+    assert(out(4L) == "rep")
+    assert(!out.contains(5L), "doc of pure boilerplate must vanish")
+  }
+
   test("decontamination flags every planted leaked copy") {
     val base = docs.select(col("doc_id"), col("text"))
     val evalSet = base.filter(col("doc_id") % 41 === 0)
@@ -207,6 +226,28 @@ class CurationSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     val missed = planted -- flagged
     assert(missed.isEmpty, s"leaked copies not flagged: $missed")
+  }
+
+  test("decontamination shuffle-hash fallback: same result, no broadcast of the eval side") {
+    // eval sets too large to broadcast take the broadcastEval=false
+    // path: a SHUFFLE_HASH equi-join on the shingle key instead of a
+    // broadcast probe. Result must be identical to the default path.
+    val base = docs.select(col("doc_id"), col("text"))
+    val evalSet = base.filter(col("doc_id") % 41 === 0)
+    val train = base.filter(col("doc_id") % 41 =!= 0)
+      .unionByName(evalSet.select((col("doc_id") + lit(30000L)).as("doc_id"),
+        col("text")))
+    val viaBroadcast = Curation.decontaminate(train, evalSet)
+    val viaShuffle = Curation.decontaminate(train, evalSet,
+      broadcastEval = false)
+    val plan = viaShuffle.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"fallback must plan a shuffled hash join:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"fallback must not broadcast the eval shingles:\n$plan")
+    assert(viaBroadcast.exceptAll(viaShuffle).isEmpty &&
+      viaShuffle.exceptAll(viaBroadcast).isEmpty,
+      "fallback path must return the broadcast path's exact rows")
   }
 
   test("decontamination catches sub-shingle-size verbatim leaks (clamped count gate)") {

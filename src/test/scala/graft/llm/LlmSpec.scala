@@ -100,6 +100,26 @@ class LlmSpec extends SparkSpec {
       plan.take(800))
   }
 
+  test("repetitionMetrics: dup/top fractions at word and bigram level") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b"),  // words: 4 total, 2 distinct → dup 1/2, top 3/4
+                        // bigrams: "a a","a a","a b" → dup 1/3, top 2/3
+      (2L, "x"),        // single word: bigram fractions must be 0.0
+      (3L, "p q r s")   // all unique → dup 0, top 1/4; bigrams dup 0, top 1/3
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(docs).collect().map { r =>
+      r.getLong(0) -> (r.getLong(1),
+        r.getDouble(r.fieldIndex("dup_word_frac")),
+        r.getDouble(r.fieldIndex("top_word_frac")),
+        r.getDouble(r.fieldIndex("dup_bigram_frac")),
+        r.getDouble(r.fieldIndex("top_bigram_frac")))
+    }.toMap
+    assert(m(1L) == ((4L, 0.5, 0.75, 1.0 / 3.0, 2.0 / 3.0)))
+    assert(m(2L) == ((1L, 0.0, 1.0, 0.0, 0.0)))
+    assert(m(3L) == ((4L, 0.0, 0.25, 0.0, 1.0 / 3.0)))
+  }
+
   test("redactPii counts then replaces emails, phones, and hex keys") {
     import spark.implicits._
     val docs = Seq(
@@ -373,6 +393,23 @@ class LlmSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------- Multimodal
+
+  test("recallAtK: per-query hit counts against the exact ranking") {
+    import spark.implicits._
+    val exact = Seq( // two queries, top-3 each
+      (10L, 1L, 1), (10L, 2L, 2), (10L, 3L, 3),
+      (20L, 4L, 1), (20L, 5L, 2), (20L, 6L, 3)
+    ).toDF("query_id", "neighbor_id", "rank")
+    val approx = Seq( // q10 found 2 of 3 (+1 spurious); q20 found none
+      (10L, 1L), (10L, 3L), (10L, 99L),
+      (20L, 98L)
+    ).toDF("query_id", "neighbor_id")
+    val r = Similarity.recallAtK(approx, exact).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2),
+        x.getDouble(3))).toMap
+    assert(r(10L) == ((2L, 3L, 2.0 / 3.0)))
+    assert(r(20L) == ((0L, 3L, 0.0)))
+  }
 
   test("multimodal: stub decode, batched features, frame sampling") {
     implicit val sp: SparkSession = spark

@@ -7,11 +7,12 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 /** The synthetic-workload analog of the reference's RF training corpus
-  * (`models/Queries/Local_TPCDS/tpcds_Local_train.ndjson`, ~3k
-  * queries): generation is deterministic, the corpus measures through
-  * WorkloadRunner, and the RF study retrains on the self-produced log
-  * at reference-like sample counts (train/test split over >=1k
-  * samples) — the three "done" criteria of the r3 verdict. */
+  * (`models/Queries/Local_TPCDS/tpcds_Local_{train,test}.ndjson`,
+  * 3,077 + 770 = 3,847 queries): generation is deterministic, the
+  * corpus measures through WorkloadRunner at the REFERENCE sample
+  * count, and the RF study retrains on the self-produced log with a
+  * deterministic ~80/20 split — sample-for-sample comparable to the
+  * reference's Local_TPCDS results (r4 verdict item 3). */
 class SyntheticWorkloadSpec extends SparkSpec {
   import spark.implicits._
 
@@ -127,9 +128,13 @@ class SyntheticWorkloadSpec extends SparkSpec {
     }
   }
 
-  test("measured corpus -> NDJSON log -> RF retrain on >=1k samples") {
+  test("measured corpus -> NDJSON log -> RF retrain at reference count (3847)") {
     val outDir = Files.createTempDirectory("graft_synth").toString
-    val n = 1100
+    // the reference's Local_TPCDS RF corpus is 3,847 measured queries
+    // (3,077 train + 770 test in tpcds_Local_{train,test}.ndjson) —
+    // generate and MEASURE the same sample count so the retrain is
+    // sample-for-sample comparable (r4 verdict item 3)
+    val n = 3847
     // -- generate + measure (the reference's run_workload loop)
     val results = SyntheticWorkload.generateAndRun(
       spark, sfSmoke, outDir, n, seed = 42L)
@@ -162,7 +167,7 @@ class SyntheticWorkloadSpec extends SparkSpec {
     val train = feats.filter(!col("is_test"))
     val test = feats.filter(col("is_test"))
     assert(train.count() + test.count() === n)
-    assert(test.count() > 100, "test split too small")
+    assert(test.count() > 600, "test split too small vs the reference's 770")
 
     val model = RuntimePrediction.trainRf(train, numFolds = 3,
       trees = Seq(20), depths = Seq(5)).fit(train)
@@ -178,6 +183,10 @@ class SyntheticWorkloadSpec extends SparkSpec {
     assert(qe.getDouble(0) >= 1.0 && !qe.getDouble(0).isNaN,
       s"P50 q-error ${qe.getDouble(0)}")
     assert(qe.getDouble(1) >= qe.getDouble(0), "P99 >= P50")
+    // the BASELINE.md comparison row vs the reference's Local_TPCDS
+    // results (MAE 17.40 s / P50 5.64 / P99 223.6 at cluster scale)
+    info(f"synthetic-corpus RF @n=$n: text-embed MAE=${maeV}%.4f s " +
+      f"P50 q-error=${qe.getDouble(0)}%.3f P99 q-error=${qe.getDouble(1)}%.3f")
 
     // -- plan-feature twin on REAL tables: unlike the empty-table
     //    corpus study, the fixture tables are registered with data, so
@@ -200,6 +209,7 @@ class SyntheticWorkloadSpec extends SparkSpec {
       .head().getDouble(0)
     assert(!pMae.isNaN && pMae >= 0 && pMae < 2.0,
       s"plan-feature held-out MAE $pMae")
+    info(f"synthetic-corpus RF @n=$n: plan-feature MAE=${pMae}%.4f s")
     pf.unpersist()
     feats.unpersist()
   }
