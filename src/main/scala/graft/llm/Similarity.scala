@@ -362,6 +362,44 @@ object Similarity {
         col("n_hit").cast("double") / col("n_exact"))
       .select("query_id", "n_hit", "n_exact", "recall")
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space, then drop
+    * near-duplicates WITHIN each cluster only — the cluster assignment
+    * is the candidate-generation step that makes embedding dedup
+    * tractable at corpus scale. Keep rule: a vector is dropped iff a
+    * LOWER-id member of its cluster is cosine-similar above
+    * `threshold` (keep-first — content/id-addressed like every other
+    * selection in this library, so the survivor set is reproducible on
+    * any engine or cluster size; the paper keeps the member closest to
+    * the centroid, an equally arbitrary representative).
+    *
+    * Scale shape (100 TB of vectors): one broadcast centroid
+    * assignment pass over the corpus, then an equi-join on
+    * `centroid_id` — pair work is Σ_c |cluster_c|², not |corpus|²,
+    * and k is chosen to bound E[|cluster|] (SemDeDup uses k ≈ √n).
+    * A pathologically popular cluster is the skew case: raise k or
+    * re-cluster that cluster's members (the assignment is itself a
+    * DataFrame — the operator composes with itself). Returns every
+    * corpus row as (id, centroid_id, kept). */
+  def semanticDedup(corpus: DataFrame, centroids: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids, idCol, embCol)
+      .withColumn("v_norm", sqrt(dotN(col(embCol), col(embCol))))
+    val a = assigned.select(col("centroid_id"), col(idCol).as("id_a"),
+      col(embCol).as("emb_a"), col("v_norm").as("norm_a"))
+    val b = assigned.select(col("centroid_id"), col(idCol).as("id_b"),
+      col(embCol).as("emb_b"), col("v_norm").as("norm_b"))
+    val dups = a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        dotN(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    assigned.join(dups.withColumn("dup", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("centroid_id"), col("dup").isNull.as("kept"))
+  }
+
   /** Recall@3 of the nprobe=2 IVF path vs exact brute force — composes
     * the two oracle-gated searches above, so the DuckDB twin is their
     * oracle texts re-joined. (The coarse-bucket LSH fixture was
@@ -372,11 +410,66 @@ object Similarity {
     recallAtK(annIvf(s, dir),
       annBruteForce(s, dir).filter(col("rank") <= 3)).orderBy("query_id")
 
+  /** [[semanticDedup]] in exact micro-int arithmetic (the oracle-gated
+    * twin of the float path): corpus = base vectors plus the planted
+    * near-dup variants of [[Dedup]]'s cosine fixture (id%5 vectors
+    * perturbed by ±0.01 per dim, shipped as id+10000); centroids are
+    * the id%50==1 base vectors. Every variant that lands in its base's
+    * cluster and clears cosine ≥ 0.9 against a lower-id member is
+    * dropped; all 250 rows come back with their assignment and fate. */
+  private val dedupSemantic: Q = (s, dir) => {
+    val base = microElems(s, dir)
+    val variants = base.filter(col("id") % 5 === 0)
+      .select((col("id") + 10000).as("id"), col("i"),
+        (col("e_micro") + lit(10000L) * ((col("i") % 3) - 1)).as("e_micro"))
+    val elems = base.unionByName(variants)
+    val norms = elems.groupBy("id")
+      .agg(sum(col("e_micro") * col("e_micro")).as("norm2"))
+    val cents = elems.filter(col("id") % 50 === 1)
+      .select(col("id").as("centroid_id"), col("i"), col("e_micro").as("ce"))
+    val vcs = elems.select(col("id"), col("i"), col("e_micro").as("ve"))
+      .join(cents, Seq("i"))
+      .groupBy("id", "centroid_id")
+      .agg(sum(col("ve") * col("ce")).as("dot"))
+      .join(norms.select(col("id"), col("norm2").as("nv")), "id")
+      .join(norms.select(col("id").as("centroid_id"),
+        col("norm2").as("nc")), "centroid_id")
+      .withColumn("csim", col("dot").cast("double") /
+        (sqrt(col("nv").cast("double")) * sqrt(col("nc").cast("double"))))
+    val assigned = vcs
+      .withColumn("arank", row_number().over(
+        Window.partitionBy("id").orderBy(col("csim").desc, col("centroid_id"))))
+      .filter(col("arank") === 1)
+      .select("id", "centroid_id")
+    val cand = assigned.as("a").join(assigned.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val dots = cand
+      .join(elems.select(col("id").as("id_a"), col("i"),
+        col("e_micro").as("ea")), "id_a")
+      .join(elems.select(col("id").as("id_b"), col("i"),
+        col("e_micro").as("eb")), Seq("id_b", "i"))
+      .groupBy("id_a", "id_b").agg(sum(col("ea") * col("eb")).as("dot"))
+    val dups = dots
+      .join(norms.select(col("id").as("id_a"), col("norm2").as("na")), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("norm2").as("nb")), "id_b")
+      .withColumn("cosine", col("dot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cosine") >= 0.9)
+      .select(col("id_b").as("id")).distinct()
+    assigned.join(dups.withColumn("dup", lit(true)), Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("centroid_id"),
+        col("dup").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "ann_brute_force"  -> annBruteForce,
     "ann_lsh_bucketed" -> annLshBucketed,
     "ann_ivf"          -> annIvf,
     "ann_recall_ivf"   -> annRecallIvf,
+    "dedup_semantic"   -> dedupSemantic,
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -508,6 +601,63 @@ object Similarity {
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
   )
 
+  /** Semantic-dedup oracle: the ann_ivf assignment CTE chain over the
+    * variant-extended corpus, a within-cluster ordered pair join, and
+    * a NOT-EXISTS keep rule — the declarative statement of the
+    * keep-first drop the Spark side computes with an anti-ish left
+    * join. */
+  private val semanticOracle: (String, String) = "dedup_semantic" ->
+    s"""WITH base AS ($elemsSql),
+       |elems AS (
+       |  SELECT id, i, e_micro FROM base
+       |  UNION ALL
+       |  SELECT id + 10000, i, e_micro + 10000 * ((i % 3) - 1)
+       |  FROM base WHERE id % 5 = 0),
+       |norms AS (SELECT id, SUM(e_micro * e_micro) AS norm2
+       |          FROM elems GROUP BY id),
+       |cents AS (SELECT id AS centroid_id, i, e_micro AS ce
+       |          FROM elems WHERE id % 50 = 1),
+       |vc AS (
+       |  SELECT v.id, c.centroid_id, SUM(v.e_micro * c.ce) AS dot
+       |  FROM elems v JOIN cents c ON v.i = c.i
+       |  GROUP BY v.id, c.centroid_id),
+       |vcs AS (
+       |  SELECT vc.id, vc.centroid_id,
+       |    CAST(vc.dot AS DOUBLE)
+       |      / (SQRT(CAST(nv.norm2 AS DOUBLE)) * SQRT(CAST(nc.norm2 AS DOUBLE)))
+       |      AS csim
+       |  FROM vc
+       |  JOIN norms nv ON vc.id = nv.id
+       |  JOIN norms nc ON vc.centroid_id = nc.id),
+       |assigned AS (
+       |  SELECT id, centroid_id FROM (
+       |    SELECT id, centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY id
+       |        ORDER BY csim DESC, centroid_id) AS arank
+       |    FROM vcs) WHERE arank = 1),
+       |cand AS (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM assigned a JOIN assigned b
+       |    ON a.centroid_id = b.centroid_id AND a.id < b.id),
+       |dots AS (
+       |  SELECT cd.id_a, cd.id_b, SUM(ea.e_micro * eb.e_micro) AS dot
+       |  FROM cand cd
+       |  JOIN elems ea ON cd.id_a = ea.id
+       |  JOIN elems eb ON cd.id_b = eb.id AND ea.i = eb.i
+       |  GROUP BY cd.id_a, cd.id_b),
+       |dups AS (
+       |  SELECT DISTINCT d.id_b AS id
+       |  FROM dots d
+       |  JOIN norms na ON d.id_a = na.id
+       |  JOIN norms nb ON d.id_b = nb.id
+       |  WHERE CAST(d.dot AS DOUBLE)
+       |    / (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE)))
+       |    >= 0.9)
+       |SELECT a.id AS vec_id, a.centroid_id,
+       |  (u.id IS NULL) AS kept
+       |FROM assigned a LEFT JOIN dups u ON a.id = u.id
+       |ORDER BY vec_id""".stripMargin
+
   /** The recall oracle composes the two gated search oracles VERBATIM
     * as derived tables, so it can never drift from them. */
   private val recallOracle: (String, String) = "ann_recall_ivf" ->
@@ -522,5 +672,6 @@ object Similarity {
        |GROUP BY e.query_id
        |ORDER BY e.query_id""".stripMargin
 
-  val oracles: Map[String, String] = searchOracles + recallOracle
+  val oracles: Map[String, String] =
+    searchOracles + recallOracle + semanticOracle
 }

@@ -340,6 +340,80 @@ object TextAnalysis {
   private val textRepetition: Q = (s, dir) =>
     repetitionMetrics(docs(s, dir)).orderBy("doc_id")
 
+  /** Sliding-window document chunking — the context-length prep step of
+    * a training/RAG pipeline: each document becomes overlapping windows
+    * of `chunkTokens` whitespace tokens advancing by `strideTokens`.
+    * Entirely row-local (tokenize → start sequence → posexplode →
+    * slice): no shuffle at any scale, chunks inherit the document's
+    * partition. Window starts run 0, stride, … while < n_tokens, so the
+    * final window may be short (kept — the tail tokens must land in
+    * some chunk); documents with zero tokens produce no chunks.
+    * `chunk_id` is the window ordinal, `token_start` its 0-based token
+    * offset — enough to reassemble or de-overlap downstream. */
+  def chunkDocs(df: DataFrame, chunkTokens: Int, strideTokens: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0 && strideTokens > 0,
+      s"chunkDocs: sizes must be positive, got ($chunkTokens, $strideTokens)")
+    df.select(col(idCol), tokensWs(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col(idCol), col("toks"),
+        posexplode(sequence(lit(0), size(col("toks")) - 1,
+          lit(strideTokens))).as(Seq("chunk_id", "token_start")))
+      .withColumn("chunk",
+        slice(col("toks"), col("token_start") + 1, lit(chunkTokens)))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        col("token_start").cast("long").as("token_start"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+  }
+
+  private val textChunkOverlap: Q = (s, dir) =>
+    chunkDocs(docs(s, dir), 32, 24).orderBy("doc_id", "chunk_id")
+
+  /** In-corpus bigram language-model scoring — the perplexity-filter
+    * quality facet (CCNet scores documents with a KenLM n-gram model;
+    * this operator trains the MLE bigram table from the corpus ITSELF
+    * and scores each document by its mean bigram probability, so "does
+    * this doc look like the corpus" needs no external model; to score
+    * against a reference corpus instead, train the `lm` frame there —
+    * the scoring join is identical). Probabilities stay in exact
+    * integer arithmetic (p_micro = ⌊10⁶·c(w1,w2)/c(w1·)⌋, summed as
+    * BIGINT) so the per-doc mean is partition-order-free and
+    * hash-matches the oracle; the final score divides two exact ints
+    * once. 100 TB shape: the bigram count groupBy has map-side combine
+    * (the skewed "of the" key collapses per-partition); the LM frame
+    * is distinct-bigrams-sized (sublinear in corpus volume) and
+    * BROADCAST back onto the occurrence stream, so — like [[idfScore]]
+    * — the corpus side never shuffles on a Zipf-skewed key; the final
+    * per-doc groupBy is on the unskewed doc id. */
+  def lmScore(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val words = df.select(col(idCol), tokensWs(lower(col(textCol))).as("ws"))
+    val bg = words.filter(size(col("ws")) >= 2)
+      .select(col(idCol), explode(
+        transform(sequence(lit(1), size(col("ws")) - 1),
+          i => concat_ws(" ", element_at(col("ws"), i),
+            element_at(col("ws"), i + 1)))).as("b"))
+    val bgCounts = bg.groupBy("b").agg(count(lit(1)).as("c12"))
+      .withColumn("w1", split(col("b"), " ").getItem(0))
+    val ctxCounts = bgCounts.groupBy("w1").agg(sum("c12").as("c1"))
+    val lm = bgCounts.join(ctxCounts, "w1")
+      .select(col("b"), expr("c12 * 1000000 DIV c1").as("p_micro"))
+    val scored = bg.join(broadcast(lm), "b")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("p_micro").as("sum_p_micro"))
+    words.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_p_micro"), lit(0L)).as("sum_p_micro"),
+        ((col("sum_p_micro").cast("double") / col("n_bigrams")) / 1e6)
+          .as("lm_score"))
+  }
+
+  private val textLmScore: Q = (s, dir) =>
+    lmScore(docs(s, dir)).orderBy("doc_id")
+
   /** Fixture with deterministically PLANTED PII (the word-soup corpus
     * contains none): every 5th doc gains an email, every 7th a phone,
     * every 11th a 32-hex token (md5 of the id) — built identically in
@@ -380,6 +454,8 @@ object TextAnalysis {
 
   val queries: Map[String, Q] = Map(
     "text_top_tokens"     -> textTopTokens,
+    "text_chunk_overlap"  -> textChunkOverlap,
+    "text_lm_score"       -> textLmScore,
     "text_tokenize"       -> textTokenize,
     "text_langid"         -> textLangId,
     "text_quality"        -> textQuality,
@@ -419,6 +495,60 @@ object TextAnalysis {
        |            AS DOUBLE) / NULLIF($sqlTokWs, 0), 0.0) * 5.0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // chunk_id = token_start // stride exactly because starts are the
+    // stride multiples 0, 24, 48, … (Spark reads it off posexplode's
+    // position instead). DuckDB's list_slice clamps past the list end
+    // like Spark's slice, so the short tail window matches.
+    "text_chunk_overlap" ->
+      """WITH toked AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'),
+        |      t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |starts AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0, len(toks) - 1, 24)) AS token_start
+        |  FROM toked WHERE len(toks) > 0)
+        |SELECT doc_id,
+        |  token_start // 24 AS chunk_id,
+        |  CAST(token_start AS BIGINT) AS token_start,
+        |  len(list_slice(toks, token_start + 1, token_start + 32))
+        |    AS n_chunk_tokens,
+        |  array_to_string(list_slice(toks, token_start + 1, token_start + 32),
+        |    ' ') AS chunk_text
+        |FROM starts
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "text_lm_score" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0) AS l
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(l) - 1),
+        |      i -> l[i] || ' ' || l[i + 1])) AS b
+        |  FROM w WHERE len(l) >= 2),
+        |bgc AS (
+        |  SELECT b, COUNT(*) AS c12, string_split(b, ' ')[1] AS w1
+        |  FROM bg GROUP BY b),
+        |ctx AS (SELECT w1, SUM(c12) AS c1 FROM bgc GROUP BY w1),
+        |lm AS (
+        |  SELECT bgc.b, (bgc.c12 * 1000000) // ctx.c1 AS p_micro
+        |  FROM bgc JOIN ctx ON bgc.w1 = ctx.w1),
+        |scored AS (
+        |  SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(lm.p_micro) AS BIGINT) AS sum_p_micro
+        |  FROM bg JOIN lm ON bg.b = lm.b
+        |  GROUP BY bg.doc_id)
+        |SELECT w.doc_id,
+        |  COALESCE(s.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(s.sum_p_micro, 0) AS sum_p_micro,
+        |  (CAST(s.sum_p_micro AS DOUBLE) / s.n_bigrams) / 1e6 AS lm_score
+        |FROM w LEFT JOIN scored s ON w.doc_id = s.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
+
     "text_top_tokens" ->
       s"""WITH counts AS (
          |  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n FROM (

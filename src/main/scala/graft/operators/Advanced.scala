@@ -92,6 +92,48 @@ object Advanced {
       .orderBy("l_returnflag")
   }
 
+  /** Approximate-quantile sketch beside exact rank statistics — the
+    * distribution-profiling twin of [[aggApproxDistinct]]: at 100 TB a
+    * per-group exact quantile needs a full sort, while
+    * `percentile_approx` (Greenwald-Khanna family) is one mergeable
+    * sketch pass with rank error ≤ n/accuracy. The sketch VALUE is
+    * engine-specific, so the gated columns are the exact rank-selected
+    * quantiles (value at rank ⌈q·n⌉, identical on any engine) plus
+    * `*_within_tol` booleans asserting the sketch lands between the
+    * values at ranks ⌈q·n⌉±4 (accuracy=10000, group n≈20k → rank error
+    * ≤ 2, margin ×2); the DuckDB oracle computes the exact side and
+    * expects TRUE. The fixture's rank pass is a per-group window —
+    * at scale the exact side would route through
+    * [[graft.operators.Scale.rowNumberDistributed]]; the sketch is the
+    * production path. */
+  private val aggApproxQuantile: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = t(s, dir)("lineitem")
+      .select(col("l_returnflag").as("flag"), col("l_quantity").as("v"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("flag").orderBy("v")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("flag")))
+    val quantiles = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+    def target(q: Double) = ceil(col("n") * q).cast("long")
+    val aggs = quantiles.flatMap { case (l, q) =>
+      Seq(
+        max(when(col("rn") === target(q), col("v"))).as(s"exact_$l"),
+        max(when(col("rn") === greatest(lit(1L), target(q) - 4), col("v")))
+          .as(s"lo_$l"),
+        max(when(col("rn") === least(col("n"), target(q) + 4), col("v")))
+          .as(s"hi_$l"),
+        percentile_approx(col("v"), lit(q), lit(10000)).as(s"approx_$l"))
+    }
+    ranked.groupBy("flag").agg(aggs.head, aggs.tail: _*)
+      .select(col("flag").as("l_returnflag") +:
+        quantiles.map { case (l, _) => col(s"exact_$l") } ++:
+        quantiles.map { case (l, _) =>
+          (col(s"approx_$l") >= col(s"lo_$l") &&
+            col(s"approx_$l") <= col(s"hi_$l")).as(s"${l}_within_tol")
+        }: _*)
+      .orderBy("l_returnflag")
+  }
+
   // ------------------------------------------------------- aggregates
   /** Row 16: multiple COUNT(DISTINCT) in one aggregate (q28 shape —
     * planned via Expand + two-phase aggregation). */
@@ -299,6 +341,7 @@ object Advanced {
     "agg_grouping_fn"               -> aggGroupingFn,
     "agg_count_distinct"            -> aggCountDistinct,
     "agg_approx_distinct"           -> aggApproxDistinct,
+    "agg_approx_quantile"           -> aggApproxQuantile,
     "agg_stats_stddev"              -> aggStatsStddev,
     "window_rank"                   -> windowRank,
     "window_avg_over_agg"           -> windowAvgOverAgg,
@@ -341,6 +384,27 @@ object Advanced {
 
     // The sketch values are engine-specific; the gate checks the exact
     // side plus the within-10%-relative-error contract (TRUE expected).
+    // Exact rank-selected quantiles gate the values; the sketch is
+    // asserted inside its rank-error contract via the booleans.
+    "agg_approx_quantile" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag AS flag, l_quantity AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT flag AS l_returnflag,
+        |  MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS BIGINT) THEN v END)
+        |    AS exact_p50,
+        |  MAX(CASE WHEN rn = CAST(CEIL(n * 0.9) AS BIGINT) THEN v END)
+        |    AS exact_p90,
+        |  MAX(CASE WHEN rn = CAST(CEIL(n * 0.99) AS BIGINT) THEN v END)
+        |    AS exact_p99,
+        |  TRUE AS p50_within_tol,
+        |  TRUE AS p90_within_tol,
+        |  TRUE AS p99_within_tol
+        |FROM ranked GROUP BY flag ORDER BY flag""".stripMargin,
+
     "agg_approx_distinct" ->
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_partkey) AS exact_parts,

@@ -488,4 +488,70 @@ class LlmSpec extends SparkSpec {
     val all = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
     assert((all -- clustered).subsetOf(keptIds), "unpaired docs pass through")
   }
+
+  // ------------------------------------------------- chunking / LM / semdedup
+
+  test("chunkDocs: overlap windows cover every token, tail kept, empty dropped") {
+    val df = textDf(
+      (0L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+      (1L, "a b"),
+      (2L, "   "))
+    val rows = TextAnalysis.chunkDocs(df, 4, 3)
+      .orderBy("doc_id", "chunk_id").collect()
+    val d0 = rows.filter(_.getLong(0) == 0L)
+    // starts 0,3,6,9 → windows of 4,4,4,1 tokens
+    assert(d0.map(_.getLong(1)).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(d0.map(_.getLong(2)).toSeq === Seq(0L, 3L, 6L, 9L))
+    assert(d0.map(_.getLong(3)).toSeq === Seq(4L, 4L, 4L, 1L))
+    assert(d0.map(_.getString(4)).toSeq === Seq(
+      "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9", "t9"))
+    // consecutive windows overlap by chunk − stride = 1 token
+    d0.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getString(4).split(" ").last === b.getString(4).split(" ").head)
+    }
+    // short doc → one window; whitespace-only doc → no window
+    assert(rows.filter(_.getLong(0) == 1L).map(_.getString(4)).toSeq === Seq("a b"))
+    assert(!rows.exists(_.getLong(0) == 2L))
+  }
+
+  test("lmScore: mean MLE bigram probability in exact micro-int arithmetic") {
+    val df = textDf((0L, "a b a b"), (1L, "a c"), (2L, "solo"))
+    val got = TextAnalysis.lmScore(df).orderBy("doc_id").collect()
+    // corpus bigrams: "a b"×2, "b a"×1, "a c"×1 → c(a·)=3, c(b·)=1
+    // p_micro: "a b" = 2000000 div 3 = 666666; "b a" = 1000000; "a c" = 333333
+    assert(got(0).getLong(1) === 3L)
+    assert(got(0).getLong(2) === 2 * 666666L + 1000000L)
+    assert(math.abs(got(0).getDouble(3) - (2333332.0 / 3 / 1e6)) < 1e-12)
+    assert(got(1).getLong(1) === 1L)
+    assert(got(1).getLong(2) === 333333L)
+    // a doc with no bigram has zero counts and a null score
+    assert(got(2).getLong(1) === 0L && got(2).getLong(2) === 0L)
+    assert(got(2).isNullAt(3))
+  }
+
+  test("semanticDedup: within-cluster near-dups drop keep-first; distinct vectors survive") {
+    import spark.implicits._
+    def axis(i: Int, eps: Double = 0.0): Array[Float] = {
+      val a = Array.fill(4)(0.0f); a(i) = 1.0f
+      if (eps != 0.0) a((i + 1) % 4) = eps.toFloat
+      a
+    }
+    val corpus = Seq(
+      (1L, axis(0)), (2L, axis(1)),          // cluster seeds
+      (3L, axis(0, 0.05)), (4L, axis(1, 0.05)), // near-dups of 1 and 2
+      (5L, axis(2))                           // far from everything
+    ).toDF("vec_id", "embedding")
+    val centroids = Seq((0L, axis(0)), (1L, axis(1)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(corpus, centroids, 0.95)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got === Map(1L -> true, 2L -> true, 3L -> false, 4L -> false,
+      5L -> true))
+    // candidate generation is an equi-join on centroid_id — never a
+    // cartesian pair enumeration
+    val plan = Similarity.semanticDedup(corpus, centroids, 0.95)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "no all-pairs plan")
+  }
 }

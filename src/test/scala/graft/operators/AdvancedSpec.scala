@@ -71,4 +71,18 @@ class AdvancedSpec extends SparkSpec {
       assert(r.getBoolean(4), s"supps sketch off >10%: $r")
     }
   }
+
+  test("approx quantile sketch lands within the rank-error band per group") {
+    val df = Advanced.queries("agg_approx_quantile")(spark, sfCorrect)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // exact quantiles are monotone and present
+      assert(!r.isNullAt(1) && !r.isNullAt(2) && !r.isNullAt(3), s"null exact: $r")
+      assert(r.getDouble(1) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(3),
+        s"quantiles not monotone: $r")
+      assert(r.getBoolean(4) && r.getBoolean(5) && r.getBoolean(6),
+        s"sketch outside rank band: $r")
+    }
+  }
 }
