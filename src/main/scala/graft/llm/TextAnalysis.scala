@@ -386,24 +386,46 @@ object TextAnalysis {
     * BROADCAST back onto the occurrence stream, so — like [[idfScore]]
     * — the corpus side never shuffles on a Zipf-skewed key; the final
     * per-doc groupBy is on the unskewed doc id. */
-  def lmScore(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val words = df.select(col(idCol), tokensWs(lower(col(textCol))).as("ws"))
-    val bg = words.filter(size(col("ws")) >= 2)
-      .select(col(idCol), explode(
-        transform(sequence(lit(1), size(col("ws")) - 1),
-          i => concat_ws(" ", element_at(col("ws"), i),
-            element_at(col("ws"), i + 1)))).as("b"))
-    val bgCounts = bg.groupBy("b").agg(count(lit(1)).as("c12"))
+  /** Row-local array of a document's word bigrams as "w1 w2" strings —
+    * tokens contain no whitespace, so the joined string is an
+    * injective bigram key. Empty for docs with fewer than two words. */
+  private def bigramArr(textCol: Column): Column = {
+    val ws = tokensWs(lower(textCol))
+    when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Train the MLE bigram table: (bigram, p_micro) with
+    * p_micro = ⌊10⁶·c(w1,w2)/c(w1·)⌋. One map-side-combined (w1,w2)
+    * count groupBy + a vocabulary-sized context aggregation — the
+    * train-once half of the [[lmScore]] pipeline, run over a reference
+    * corpus and reused across scoring runs (including streams). */
+  def trainBigramLm(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val bgCounts = df.select(explode(bigramArr(col(textCol))).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c12"))
       .withColumn("w1", split(col("b"), " ").getItem(0))
     val ctxCounts = bgCounts.groupBy("w1").agg(sum("c12").as("c1"))
-    val lm = bgCounts.join(ctxCounts, "w1")
+    bgCounts.join(ctxCounts, "w1")
       .select(col("b"), expr("c12 * 1000000 DIV c1").as("p_micro"))
+  }
+
+  /** Score documents against a trained `lm` frame (from
+    * [[trainBigramLm]] — or any (b, p_micro) table): per-doc mean
+    * bigram probability in exact BIGINT micro-units. Stateless per
+    * document, so it runs unchanged inside a streaming foreachBatch
+    * against a static broadcast LM — the ingest-time quality-filter
+    * shape (StreamsSpec pins batch equivalence). */
+  def scoreBigrams(df: DataFrame, lm: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val bg = df.select(col(idCol),
+      explode(bigramArr(col(textCol))).as("b"))
     val scored = bg.join(broadcast(lm), "b")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_bigrams"),
         sum("p_micro").as("sum_p_micro"))
-    words.select(col(idCol)).join(scored, Seq(idCol), "left")
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("sum_p_micro"), lit(0L)).as("sum_p_micro"),
@@ -411,8 +433,129 @@ object TextAnalysis {
           .as("lm_score"))
   }
 
+  def lmScore(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    scoreBigrams(df, trainBigramLm(df, textCol), idCol, textCol)
+
   private val textLmScore: Q = (s, dir) =>
     lmScore(docs(s, dir)).orderBy("doc_id")
+
+  // --------------------------------------------- BPE merge induction
+
+  /** Corpus-wide adjacent-symbol pair counts over a symbolized word
+    * frequency table — ONE round of the BPE training loop. `wc` is
+    * (s: array of current symbols, c: word frequency); pair counts are
+    * weighted by c. The frame is vocabulary-sized (distinct words),
+    * NOT corpus-sized — the standard BPE-trainer shape: corpus volume
+    * is paid once in the word-count groupBy, every merge round after
+    * that is sublinear. */
+  def bpeSymbolPairs(wc: DataFrame): DataFrame =
+    wc.select(col("c"), explode(
+        when(size(col("s")) >= 2,
+          transform(sequence(lit(1), size(col("s")) - 1),
+            i => concat_ws(" ", element_at(col("s"), i),
+              element_at(col("s"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("pair"))
+      .groupBy("pair").agg(sum("c").as("n"))
+
+  /** Char-symbolized word-frequency table of a corpus: one groupBy on
+    * the (unskewed after map-side combine) word key. */
+  def bpeWordCounts(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(explode(tokensWs(lower(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(split(col("w"), "").as("s"), col("c"))
+
+  /** Apply one BPE merge (a, b) → "ab" to a symbol array, greedy
+    * left-to-right non-overlapping (the standard rule), as a row-local
+    * fold: the freshly merged symbol never re-merges with the next
+    * element in the same pass. */
+  def applyBpeMerge(s: Column, a: String, b: String): Column =
+    aggregate(s, array().cast("array<string>"),
+      (acc, x) => when(size(acc) > 0 && element_at(acc, -1) === a &&
+          x === b,
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** BPE vocabulary induction: the first `nMerges` merge rules of a
+    * byte-pair-encoding tokenizer trained on the corpus — count
+    * adjacent symbol pairs (weighted by word frequency), merge the
+    * most frequent (ties to the lexicographically smallest pair, so
+    * training is deterministic), repeat. The merge DECISION is one
+    * collected row per round (driver-side index build, like
+    * [[Similarity.trainCentroids]]); the counting and the merge
+    * application stay distributed over the vocabulary-sized frame,
+    * localCheckpointed per round so lineage stays flat. Returns the
+    * ordered merge table — the artifact a BPE tokenizer ships. */
+  def trainBpeMerges(df: DataFrame, nMerges: Int,
+      textCol: String = "text"): Seq[(String, String, Long)] = {
+    var wc = bpeWordCounts(df, textCol).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      val top = bpeSymbolPairs(wc)
+        .orderBy(col("n").desc, col("pair")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val Array(a, b) = top.head.getString(0).split(" ", 2)
+        merges += ((a, b, top.head.getLong(1)))
+        wc = wc.withColumn("s", applyBpeMerge(col("s"), a, b))
+          .localCheckpoint(true)
+      }
+      round += 1
+    }
+    merges.toSeq
+  }
+
+  /** Top-10 symbol pairs of merge round 1 — the oracle-gated slice of
+    * the trainer (later rounds depend on the collected merge decision
+    * and are spec-pinned against a driver reference instead). */
+  private val textBpeTopPairs: Q = (s, dir) =>
+    bpeSymbolPairs(bpeWordCounts(docs(s, dir)))
+      .orderBy(col("n").desc, col("pair")).limit(10)
+
+  // ------------------------------------------- count-min heavy hitters
+
+  /** One-pass count-min sketch over a column plus the stream length:
+    * the frequency member of the sketch trio (HLL distinct counts,
+    * GK quantiles, CMS frequencies). The sketch is a mergeable
+    * aggregate (map-side partials merge like any other buffer), so at
+    * 100 TB this is one scan with no shuffle beyond the single merged
+    * buffer; the seed makes it deterministic. */
+  def countMinSketchOf(df: DataFrame, colName: String, eps: Double = 0.001,
+      confidence: Double = 0.99, seed: Int = 42)
+      : (org.apache.spark.util.sketch.CountMinSketch, Long) = {
+    val row = df.agg(
+      expr(s"count_min_sketch($colName, cast($eps as double), " +
+        s"cast($confidence as double), $seed)").as("cms"),
+      count(lit(1)).as("total")).head()
+    (org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0))),
+      row.getLong(1))
+  }
+
+  /** Heavy-hitter report: top-20 tokens by EXACT count (the gate-able
+    * side) beside the count-min estimate's error contract — CMS only
+    * ever over-counts, by at most ε·N with the configured confidence —
+    * as a `within_tol` boolean the oracle expects TRUE (the
+    * [[graft.operators.Advanced]] sketch-gate pattern). Exact counts
+    * come from one token groupBy; the sketch pass is scan-only, so the
+    * two sides cost one shuffle total. */
+  private val textHeavyHitters: Q = (s, dir) => {
+    val tok = docs(s, dir)
+      .select(explode(tokensWs(lower(col("text")))).as("token"))
+    val (cms, totalN) = countMinSketchOf(tok, "token")
+    val bound = math.ceil(0.001 * totalN).toLong
+    val top = tok.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(20).collect()
+    val rows = top.toSeq.map { r =>
+      val (t, n) = (r.getString(0), r.getLong(1))
+      val e = cms.estimateCount(t)
+      (t, n, e >= n && e <= n + bound)
+    }
+    import s.implicits._
+    rows.toDF("token", "n", "within_tol")
+  }
 
   /** Fixture with deterministically PLANTED PII (the word-soup corpus
     * contains none): every 5th doc gains an email, every 7th a phone,
@@ -456,6 +599,8 @@ object TextAnalysis {
     "text_top_tokens"     -> textTopTokens,
     "text_chunk_overlap"  -> textChunkOverlap,
     "text_lm_score"       -> textLmScore,
+    "text_bpe_top_pairs"  -> textBpeTopPairs,
+    "text_heavy_hitters"  -> textHeavyHitters,
     "text_tokenize"       -> textTokenize,
     "text_langid"         -> textLangId,
     "text_quality"        -> textQuality,
@@ -548,6 +693,34 @@ object TextAnalysis {
         |  (CAST(s.sum_p_micro AS DOUBLE) / s.n_bigrams) / 1e6 AS lm_score
         |FROM w LEFT JOIN scored s ON w.doc_id = s.doc_id
         |ORDER BY w.doc_id""".stripMargin,
+
+    // The sketch estimate is engine-specific; the gate carries the
+    // exact top-20 counts plus the CMS over-count contract as TRUE.
+    "text_heavy_hitters" ->
+      """SELECT token, n, TRUE AS within_tol FROM (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0)) AS token
+        |    FROM documents)
+        |  GROUP BY token)
+        |ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "text_bpe_top_pairs" ->
+      """WITH wc AS (
+        |  SELECT w, COUNT(*) AS c FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0)) AS w
+        |    FROM documents)
+        |  GROUP BY w),
+        |sym AS (SELECT string_split(w, '') AS s, c FROM wc),
+        |pairs AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(s) - 1),
+        |    i -> s[i] || ' ' || s[i + 1])) AS pair, c
+        |  FROM sym WHERE len(s) >= 2),
+        |counts AS (SELECT pair, CAST(SUM(c) AS BIGINT) AS n
+        |           FROM pairs GROUP BY pair)
+        |SELECT pair, n FROM counts
+        |ORDER BY n DESC, pair LIMIT 10""".stripMargin,
 
     "text_top_tokens" ->
       s"""WITH counts AS (

@@ -529,6 +529,73 @@ class LlmSpec extends SparkSpec {
     assert(got(2).isNullAt(3))
   }
 
+  test("trainBpeMerges matches a driver-side reference BPE trainer") {
+    // reference implementation: greedy left-to-right merge application
+    // over an in-memory word-count map, most-frequent pair first, ties
+    // to the lexicographically smallest pair
+    def refMerge(s: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.result()
+    }
+    val corpus = Seq((0L, "low lower lowest low low"),
+      (1L, "new newer newest new"), (2L, "low new low"))
+    var refWc: Map[Vector[String], Long] = corpus
+      .flatMap(_._2.split("\\s+")).groupBy(identity)
+      .map { case (w, ws) => w.split("").toVector -> ws.size.toLong }
+    val refMerges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    for (_ <- 1 to 5) {
+      val pairs = refWc.toSeq.flatMap { case (s, c) =>
+        s.zip(s.tail).map(p => (p._1, p._2) -> c)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      if (pairs.nonEmpty) {
+        val ((a, b), n) = pairs.toSeq
+          .minBy { case ((a, b), n) => (-n, a + " " + b) }
+        refMerges += ((a, b, n))
+        refWc = refWc.toSeq.map { case (s, c) => refMerge(s, a, b) -> c }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      }
+    }
+    val got = TextAnalysis.trainBpeMerges(textDf(corpus: _*), 5)
+    assert(got === refMerges.toSeq)
+    assert(got.nonEmpty && got.head._3 >= got.last._3,
+      "merge counts are non-increasing on this fixture")
+  }
+
+  test("applyBpeMerge is greedy left-to-right non-overlapping") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq("a", "a", "a")), Tuple1(Seq("a", "b", "b")),
+      Tuple1(Seq("b", "a", "b", "a", "b"))).toDF("s")
+    val aa = df.select(TextAnalysis.applyBpeMerge(col("s"), "a", "a"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(aa.toList === List(List("aa", "a"), List("a", "b", "b"),
+      List("b", "a", "b", "a", "b")))
+    val ab = df.select(TextAnalysis.applyBpeMerge(col("s"), "a", "b"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(ab.toList === List(List("a", "a", "a"), List("ab", "b"),
+      List("b", "ab", "ab")))
+  }
+
+  test("count-min heavy hitters: sketch over-counts by at most eps*N") {
+    val df = textDf((0L, "x x x y y z"), (1L, "x y q r s t u v w"))
+    val tok = df.select(explode(
+      TextAnalysis.tokensWs(lower(col("text")))).as("token"))
+    val (cms, total) = TextAnalysis.countMinSketchOf(tok, "token")
+    assert(total === 15L)
+    val exact = tok.groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, n) =>
+      val e = cms.estimateCount(t)
+      assert(e >= n && e <= n + math.ceil(0.001 * total).toLong,
+        s"estimate $e outside [${n}, n+eps*N] for '$t'")
+    }
+  }
+
   test("semanticDedup: within-cluster near-dups drop keep-first; distinct vectors survive") {
     import spark.implicits._
     def axis(i: Int, eps: Double = 0.0): Array[Float] = {

@@ -148,6 +148,42 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("per-batch streaming LM scoring against a static trained LM equals batch") {
+    // the production shape of the perplexity-style filter: the bigram
+    // LM is trained ONCE (here on the full fixture corpus), then the
+    // ingest stream is scored per micro-batch against that static
+    // broadcast table — each doc's score depends only on its own
+    // bigrams, so per-batch equals batch exactly.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    val base = graft.Tables.load(spark, sfSmoke, "documents")
+      .select("doc_id", "text")
+    val lm = TextAnalysis.trainBigramLm(base).cache()
+    lm.count() // materialize the static LM before streaming starts
+    val docs = base.as[(Long, String)].collect().toSeq
+    val scores = scala.collection.mutable.Map[Long, (Long, Long)]()
+    val input = MemoryStream[(Long, String)]
+    val query = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        TextAnalysis.scoreBigrams(batch, lm).collect().foreach { r =>
+          scores.synchronized {
+            scores(r.getLong(0)) = (r.getLong(1), r.getLong(2))
+          }
+        }
+      }.start()
+    try {
+      val (a, b) = docs.splitAt(docs.size / 2)
+      input.addData(a: _*); query.processAllAvailable()
+      input.addData(b: _*); query.processAllAvailable()
+      val batchScores = TextAnalysis.scoreBigrams(base, lm).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(scores.toMap == batchScores,
+        "per-batch scores must equal the batch result exactly")
+      assert(batchScores.values.exists(_._1 > 0), "non-trivial scores")
+    } finally { query.stop(); lm.unpersist() }
+  }
+
   test("dedupStream drops replayed ids") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
