@@ -477,6 +477,37 @@ object Curation {
   private val curateFunnel: Q = (s, dir) =>
     filterFunnel(docs(s, dir)).orderBy("stage_idx")
 
+  /** Data-card mixture report — the composition table every released
+    * training corpus ships: per (source, lang) document/char/token
+    * counts with ROLLUP subtotals (per-source and grand total, the
+    * §2.A rollup machinery) plus each cell's share of total corpus
+    * chars. 100 TB shape: one rollup aggregation over the scan (map-
+    * side combined) and ONE one-row total aggregate cross-broadcast
+    * back onto the tiny report frame — the same "tiny aggregate
+    * broadcast" pattern as the mixing operators; the share division is
+    * two exact ints on both engines. */
+  def mixReport(df: DataFrame, sourceCol: String = "source",
+      langCol: String = "lang", textCol: String = "text"): DataFrame = {
+    val base = df.select(col(sourceCol).as("source"), col(langCol).as("lang"),
+      length(col(textCol)).as("nc"),
+      TextAnalysis.tokenCountWs(col(textCol)).cast("long").as("nt"))
+    val rpt = base.rollup("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nc").as("n_chars"), sum("nt").as("n_tokens"),
+        grouping(col("source")).cast("int").as("g_source"),
+        grouping(col("lang")).cast("int").as("g_lang"))
+    val tot = base.agg(sum("nc").as("total_chars"))
+    rpt.crossJoin(broadcast(tot))
+      .withColumn("char_share",
+        col("n_chars").cast("double") / col("total_chars"))
+      .drop("total_chars")
+  }
+
+  private val curateMixReport: Q = (s, dir) =>
+    mixReport(docs(s, dir))
+      .orderBy(col("g_source"), col("g_lang"),
+        col("source").asc_nulls_first, col("lang").asc_nulls_first)
+
   /** Fixture paragraph-dedup corpus: the word-soup docs carry no line
     * structure, so boilerplate is PLANTED — every doc becomes
     * header(lang) \n body(first 80 chars) \n footer(source). The
@@ -506,6 +537,7 @@ object Curation {
     "curate_decontaminate"     -> curateDecontaminate,
     "curate_filter_funnel"     -> curateFunnel,
     "curate_paragraph_dedup"   -> curateParagraphDedup,
+    "curate_mix_report"        -> curateMixReport,
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -523,6 +555,24 @@ object Curation {
     "len(list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0))"
 
   val oracles: Map[String, String] = Map(
+    "curate_mix_report" ->
+      s"""WITH base AS (
+         |  SELECT source, lang, length(text) AS nc,
+         |    CAST($sqlTokWs AS BIGINT) AS nt
+         |  FROM documents),
+         |tot AS (SELECT CAST(SUM(nc) AS BIGINT) AS total_chars FROM base)
+         |SELECT source, lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(nc) AS BIGINT) AS n_chars,
+         |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+         |  CAST(GROUPING(source) AS INT) AS g_source,
+         |  CAST(GROUPING(lang) AS INT) AS g_lang,
+         |  CAST(SUM(nc) AS DOUBLE) / (SELECT total_chars FROM tot)
+         |    AS char_share
+         |FROM base
+         |GROUP BY ROLLUP(source, lang)
+         |ORDER BY g_source, g_lang,
+         |  source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin,
+
     "curate_sample_stratified" -> {
       val cases = FixtureRates.map { case (l, r) => s"WHEN '$l' THEN $r" }
         .mkString(" ")

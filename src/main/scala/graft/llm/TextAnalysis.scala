@@ -514,6 +514,59 @@ object TextAnalysis {
     bpeSymbolPairs(bpeWordCounts(docs(s, dir)))
       .orderBy(col("n").desc, col("pair")).limit(10)
 
+  /** Pairwise corpus-drift report: total-variation distance between
+    * the unigram token distributions of every source pair —
+    * TV(p,q) = ½·Σ_t |p(t) − q(t)|, the divergence that needs NO
+    * transcendentals (a KL would pull in engine-specific log()):
+    * with integer counts, Σ|c₁/N₁ − c₂/N₂| = Σ|c₁N₂ − c₂N₁|/(N₁N₂),
+    * exact until one final division. Tokens present in only one source
+    * are folded in WITHOUT an outer join:
+    * Σ_both |c₁N₂ − c₂N₁| + (N₁ − Σ_both c₁)·N₂ + (N₂ − Σ_both c₂)·N₁
+    * — so the pair pass is one INNER self-join of the
+    * vocabulary×sources-sized count frame (sublinear in corpus volume;
+    * the corpus is paid once in the count groupBy). At extreme N the
+    * c·N products would need DECIMAL(38,0) sums; BIGINT holds to
+    * N ≈ 3·10⁹ tokens per source. */
+  def sourceDivergence(df: DataFrame, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val c = df.select(col(sourceCol).as("source"),
+        explode(tokensWs(lower(col(textCol)))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val n = c.groupBy("source").agg(sum("c").as("n"))
+    // The source list is config-scale (dozens), so the pair seeding is
+    // a driver-side product over collected totals — like the
+    // hyperplane/centroid tables, bounded metadata, not data. Seeding
+    // guarantees a row for pairs with NO shared token (TV = 1), which
+    // the inner join alone would drop.
+    val srcN = n.collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val pairSeed = (for {
+      (s1, n1) <- srcN; (s2, n2) <- srcN if s1 < s2
+    } yield (s1, s2, n1, n2)).toSeq.toDF("s1", "s2", "n1", "n2")
+    val ca = c.join(broadcast(n), "source")
+    val shared = ca.as("a").join(ca.as("b"),
+        col("a.token") === col("b.token") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(
+        sum(abs(col("a.c") * col("b.n") - col("b.c") * col("a.n")))
+          .as("both_abs"),
+        sum(col("a.c")).as("c1_both"), sum(col("b.c")).as("c2_both"))
+    broadcast(pairSeed).join(shared, Seq("s1", "s2"), "left")
+      .select(col("s1"), col("s2"), col("n1"), col("n2"),
+        (coalesce(col("both_abs"), lit(0L)) +
+          (col("n1") - coalesce(col("c1_both"), lit(0L))) * col("n2") +
+          (col("n2") - coalesce(col("c2_both"), lit(0L))) * col("n1"))
+          .as("num"))
+      .select(col("s1"), col("s2"), col("n1"), col("n2"),
+        (lit(0.5) * col("num").cast("double") /
+          (col("n1") * col("n2")).cast("double")).as("tv_distance"))
+  }
+
+  private val textSourceDivergence: Q = (s, dir) =>
+    sourceDivergence(docs(s, dir)).orderBy("s1", "s2")
+
   // ------------------------------------------- count-min heavy hitters
 
   /** One-pass count-min sketch over a column plus the stream length:
@@ -601,6 +654,7 @@ object TextAnalysis {
     "text_lm_score"       -> textLmScore,
     "text_bpe_top_pairs"  -> textBpeTopPairs,
     "text_heavy_hitters"  -> textHeavyHitters,
+    "text_source_divergence" -> textSourceDivergence,
     "text_tokenize"       -> textTokenize,
     "text_langid"         -> textLangId,
     "text_quality"        -> textQuality,
@@ -693,6 +747,37 @@ object TextAnalysis {
         |  (CAST(s.sum_p_micro AS DOUBLE) / s.n_bigrams) / 1e6 AS lm_score
         |FROM w LEFT JOIN scored s ON w.doc_id = s.doc_id
         |ORDER BY w.doc_id""".stripMargin,
+
+    "text_source_divergence" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0)) AS token
+        |  FROM documents),
+        |c AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM tok GROUP BY source, token),
+        |n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+        |      FROM c GROUP BY source),
+        |pairs AS (
+        |  SELECT x.source AS s1, x.n AS n1, y.source AS s2, y.n AS n2
+        |  FROM n x JOIN n y ON x.source < y.source),
+        |ca AS (SELECT c.source, c.token, c.c, n.n
+        |       FROM c JOIN n ON c.source = n.source),
+        |shared AS (
+        |  SELECT a.source AS s1, b.source AS s2,
+        |    CAST(SUM(ABS(a.c * b.n - b.c * a.n)) AS BIGINT) AS both_abs,
+        |    CAST(SUM(a.c) AS BIGINT) AS c1_both,
+        |    CAST(SUM(b.c) AS BIGINT) AS c2_both
+        |  FROM ca a JOIN ca b
+        |    ON a.token = b.token AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT p.s1, p.s2, p.n1, p.n2,
+        |  0.5 * CAST(COALESCE(sh.both_abs, 0)
+        |      + (p.n1 - COALESCE(sh.c1_both, 0)) * p.n2
+        |      + (p.n2 - COALESCE(sh.c2_both, 0)) * p.n1 AS DOUBLE)
+        |    / CAST(p.n1 * p.n2 AS DOUBLE) AS tv_distance
+        |FROM pairs p LEFT JOIN shared sh ON p.s1 = sh.s1 AND p.s2 = sh.s2
+        |ORDER BY p.s1, p.s2""".stripMargin,
 
     // The sketch estimate is engine-specific; the gate carries the
     // exact top-20 counts plus the CMS over-count contract as TRUE.

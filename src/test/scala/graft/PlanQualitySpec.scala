@@ -24,7 +24,8 @@ class PlanQualitySpec extends SparkSpec {
     "tpcds_q88_band_counts", // 8-way cross of one-row COUNT aggregates
     "tpcds_q28_band_probes", // 6 one-row band probes cross-joined
     "tpcds_q61_promo_ratio", // promo/total: two one-row aggregates crossed
-    "curate_mix_temperature" // one-row pow-sum normalizer crossed onto per-domain counts
+    "curate_mix_temperature", // one-row pow-sum normalizer crossed onto per-domain counts
+    "curate_mix_report"      // one-row total-chars aggregate crossed onto the rollup report
   )
 
   test("no oracle query plans a cartesian/nested-loop join unintentionally") {

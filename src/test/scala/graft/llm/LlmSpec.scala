@@ -581,6 +581,19 @@ class LlmSpec extends SparkSpec {
       List("b", "ab", "ab")))
   }
 
+  test("sourceDivergence: TV is 0 for identical, 1 for disjoint distributions") {
+    import spark.implicits._
+    val df = Seq(
+      ("s1", "a b c a"), ("s2", "a b c a"),    // identical distributions
+      ("s3", "x y z")                           // disjoint from both
+    ).toDF("source", "text")
+    val got = TextAnalysis.sourceDivergence(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(got(("s1", "s2")) === 0.0)
+    assert(got(("s1", "s3")) === 1.0)
+    assert(got(("s2", "s3")) === 1.0)
+  }
+
   test("count-min heavy hitters: sketch over-counts by at most eps*N") {
     val df = textDf((0L, "x x x y y z"), (1L, "x y q r s t u v w"))
     val tok = df.select(explode(
