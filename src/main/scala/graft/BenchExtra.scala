@@ -93,6 +93,34 @@ object BenchExtra {
       // exact dedup → eval holdout → ratio decontamination → split →
       // shuffle-shard, measured as one dataflow
       graft.llm.Curation.pipelineE2e(docs(s, dir))),
+    "bench_semantic_dedup_full" -> ((s, dir) => {
+      // SemDeDup float path over the UNclamped embedding corpus:
+      // k-means codebook (k ≈ √n) + cluster-scoped cosine pair pruning
+      // — the measured scaling curve for the cluster-bounded pair work
+      // (the oracle key runs the micro-int twin on the clamped corpus)
+      val e = embs(s, dir)
+      val k = math.max(4, math.sqrt(e.count().toDouble).toInt)
+      Similarity.semanticDedup(e, Similarity.trainCentroids(e, k), 0.95)
+    }),
+    "bench_lm_score_full" -> ((s, dir) =>
+      // train + score the bigram LM over the full corpus at bench SF:
+      // two token-key groupBys (map-side combined) + one broadcast
+      // scoring join — the shape that must stay flat per-row at 100 TB
+      graft.llm.TextAnalysis.lmScore(docs(s, dir))),
+    "bench_chunk_full" -> ((s, dir) =>
+      // row-local sliding-window chunking of the full corpus — the
+      // map-only path whose cost is pure codegen throughput
+      graft.llm.TextAnalysis.chunkDocs(docs(s, dir), 32, 24)),
+    "bench_paragraph_dedup_full" -> ((s, dir) =>
+      // corpus-wide paragraph dedup over the full corpus with planted
+      // per-lang/source boilerplate (the oracle key's fixture shape at
+      // bench SF): posexplode → md5-key keeper election → semi-join →
+      // ordered reassembly
+      graft.llm.Curation.paragraphDedup(
+        docs(s, dir).select(col("doc_id"),
+          concat(lit("HDR "), col("lang"), lit("\n"),
+            substring(col("text"), 1, 80), lit("\n"),
+            lit("FTR "), col("source")).as("text")))),
     "bench_synth_runner" -> ((s, dir) => {
       // Sequential workload-runner throughput on 48 reference-shaped
       // synthetic queries (join chains / IN-lists / CAST-LIKE) at the

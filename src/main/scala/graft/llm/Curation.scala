@@ -474,6 +474,47 @@ object Curation {
     decontaminate(train, evalSet).orderBy("doc_id")
   }
 
+  /** The transpose of [[decontaminate]] — the audit run on the EVAL
+    * set before a release: for every eval document, what fraction of
+    * its distinct char-9-gram shingles appears ANYWHERE in the train
+    * corpus (a high-coverage eval doc is answerable from training data
+    * and measures memorization, not ability). 100 TB shape: the huge
+    * train side is first PRUNED map-only by a semi-join against the
+    * broadcast eval shingle set (its survivors are at most eval-sized,
+    * so the following distinct shuffles almost nothing), then the eval
+    * rows left-join that tiny hit set broadcast — the corpus is
+    * scanned once and never shuffled. */
+  def evalCoverage(train: DataFrame, evalSet: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val evalSh = evalSet.select(col(idCol),
+      explode(Dedup.shingleSetCol(col(textCol))).as("shingle"))
+    val evalDistinct = evalSh.select("shingle").distinct()
+    val hitShingles = train
+      .select(explode(Dedup.shingleSetCol(col(textCol))).as("shingle"))
+      .join(broadcast(evalDistinct), Seq("shingle"), "left_semi")
+      .distinct()
+      .withColumn("hit", lit(1))
+    evalSh.join(broadcast(hitShingles), Seq("shingle"), "left")
+      .groupBy(idCol)
+      .agg(count(col("hit")).as("n_covered"),
+        count(lit(1)).as("n_shingles"))
+      .withColumn("coverage_frac",
+        col("n_covered").cast("double") / col("n_shingles"))
+  }
+
+  /** Same split as the decontamination fixture: eval = doc_id % 41,
+    * train = the rest plus re-id'd verbatim COPIES of the eval docs —
+    * so every eval doc must report coverage 1.0 on top of whatever
+    * organic shingle overlap the shared vocabulary produces. */
+  private val curateEvalCoverage: Q = (s, dir) => {
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    val evalSet = base.filter(col("doc_id") % 41 === 0)
+    val train = base.filter(col("doc_id") % 41 =!= 0)
+      .unionByName(evalSet.select((col("doc_id") + lit(30000L)).as("doc_id"),
+        col("text")))
+    evalCoverage(train, evalSet).orderBy("doc_id")
+  }
+
   private val curateFunnel: Q = (s, dir) =>
     filterFunnel(docs(s, dir)).orderBy("stage_idx")
 
@@ -538,6 +579,7 @@ object Curation {
     "curate_filter_funnel"     -> curateFunnel,
     "curate_paragraph_dedup"   -> curateParagraphDedup,
     "curate_mix_report"        -> curateMixReport,
+    "curate_eval_coverage"     -> curateEvalCoverage,
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -729,6 +771,25 @@ object Curation {
          |FROM offs
          |GROUP BY source, shard, CAST(floor(start_off / 2000.0) AS BIGINT)
          |ORDER BY source, shard, seq_id""".stripMargin,
+
+    "curate_eval_coverage" ->
+      s"""WITH eval_docs AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 41 = 0),
+         |train AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 41 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 30000, text FROM eval_docs),
+         |eval_sh AS (
+         |  SELECT doc_id, unnest($sqlShingles) AS shingle FROM eval_docs),
+         |train_sh AS (
+         |  SELECT DISTINCT shingle FROM (
+         |    SELECT unnest($sqlShingles) AS shingle FROM train))
+         |SELECT e.doc_id, CAST(COUNT(t.shingle) AS BIGINT) AS n_covered,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |  CAST(COUNT(t.shingle) AS DOUBLE) / COUNT(*) AS coverage_frac
+         |FROM eval_sh e LEFT JOIN train_sh t ON e.shingle = t.shingle
+         |GROUP BY e.doc_id
+         |ORDER BY e.doc_id""".stripMargin,
 
     "curate_decontaminate" ->
       s"""WITH eval_docs AS (

@@ -228,6 +228,25 @@ class CurationSpec extends SparkSpec {
     assert(missed.isEmpty, s"leaked copies not flagged: $missed")
   }
 
+  test("eval coverage: leaked eval docs report 1.0, all eval docs reported") {
+    val base = docs.select(col("doc_id"), col("text"))
+    val evalSet = base.filter(col("doc_id") % 41 === 0)
+    val train = base.filter(col("doc_id") % 41 =!= 0)
+      .unionByName(evalSet.select((col("doc_id") + lit(30000L)).as("doc_id"),
+        col("text")))
+    val cov = Curation.evalCoverage(train, evalSet).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val evalIds = evalSet.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cov.keySet === evalIds, "every eval doc gets a coverage row")
+    // every eval doc has a verbatim copy in train → full coverage
+    cov.foreach { case (id, f) => assert(f === 1.0, s"doc $id coverage $f") }
+    // without the planted copies, coverage drops below 1.0 somewhere
+    val organic = Curation.evalCoverage(
+        base.filter(col("doc_id") % 41 =!= 0), evalSet).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(organic.values.exists(_ < 1.0), "organic overlap must not saturate")
+  }
+
   test("decontamination shuffle-hash fallback: same result, no broadcast of the eval side") {
     // eval sets too large to broadcast take the broadcastEval=false
     // path: a SHUFFLE_HASH equi-join on the shingle key instead of a

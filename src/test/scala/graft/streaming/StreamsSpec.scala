@@ -148,6 +148,36 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("chunkDocs is stream-transparent: streaming chunks equal batch") {
+    // chunking is a row-local transform (no shuffle, no state), so the
+    // SAME library function runs unchanged on a streaming DataFrame in
+    // append mode and must emit exactly the batch chunk set.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    val base = graft.Tables.load(spark, sfSmoke, "documents")
+      .select("doc_id", "text")
+    val docs = base.as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    val out = TextAnalysis.chunkDocs(input.toDF().toDF("doc_id", "text"), 32, 24)
+      .writeStream.format("memory").queryName("chunkstream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (a, b) = docs.splitAt(docs.size / 2)
+      input.addData(a: _*); out.processAllAvailable()
+      input.addData(b: _*); out.processAllAvailable()
+      val streamed = spark.table("chunkstream")
+        .select("doc_id", "chunk_id", "chunk_text").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+      val batch = TextAnalysis.chunkDocs(base, 32, 24)
+        .select("doc_id", "chunk_id", "chunk_text").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+      assert(streamed == batch,
+        "streaming chunking must emit exactly the batch chunks")
+      assert(batch.nonEmpty)
+    } finally out.stop()
+  }
+
   test("per-batch streaming LM scoring against a static trained LM equals batch") {
     // the production shape of the perplexity-style filter: the bigram
     // LM is trained ONCE (here on the full fixture corpus), then the
