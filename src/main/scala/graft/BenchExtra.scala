@@ -121,6 +121,34 @@ object BenchExtra {
           concat(lit("HDR "), col("lang"), lit("\n"),
             substring(col("text"), 1, 80), lit("\n"),
             lit("FTR "), col("source")).as("text")))),
+    "bench_ann_pq_full" -> ((s, dir) => {
+      // trained PQ end-to-end over the UNclamped embedding corpus:
+      // per-subspace k-means + one-broadcast-join encode + ADC search
+      // for every 50th vector as query — the compressed-index path
+      // whose corpus side is touched once per stage
+      val e = embs(s, dir)
+      Similarity.pqSearch(e, e.filter(col("vec_id") % 50 === 0), 5,
+        kCodes = 16)
+    }),
+    "bench_substring_spans_full" -> ((s, dir) =>
+      // Lee et al. exact-substring spans over the UNclamped fixture
+      // corpus at bench SF: the corpus×n gram explode + gram-hash
+      // election + per-doc island merge — the dominant cost is the
+      // map-side gram projection, which must scale linearly
+      Dedup.substringSpanStats(Dedup.fixtureCorpus(docs(s, dir)))),
+    "bench_substring_clean_full" -> ((s, dir) =>
+      // the corpus REWRITE on top of the same spans: collected per-doc
+      // ranges applied as a row-local indexed array filter
+      Dedup.removeDuplicatedSpans(Dedup.fixtureCorpus(docs(s, dir)))),
+    "bench_incremental_full" -> ((s, dir) => {
+      // batch-vs-corpus dedup at bench SF: the full corpus is the
+      // standing side, every 10th doc re-ingested (+50000) as the
+      // batch — candidate work must track the BATCH size
+      val corpus = docs(s, dir).select(col("doc_id"), col("text"))
+      val batch = corpus.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 50000).as("doc_id"), col("text"))
+      Dedup.incrementalLshPairs(corpus, batch, 0.5)
+    }),
     "bench_synth_runner" -> ((s, dir) => {
       // Sequential workload-runner throughput on 48 reference-shaped
       // synthetic queries (join chains / IN-lists / CAST-LIKE) at the

@@ -563,7 +563,41 @@ object Curation {
     paragraphDedup(corpus).orderBy("doc_id")
   }
 
+  /** Corpus snapshot diff — the data-versioning report between two
+    * corpus versions: per-doc status added/removed/changed/unchanged
+    * by content hash. One full-outer equi-join on the id key; content
+    * is compared by md5, so the join carries 32-char digests, never
+    * text — at 100 TB the exchange is id+hash-sized. Feeds release
+    * notes ("v2 added N docs, changed M") and incremental reprocessing
+    * (only `added`/`changed` docs re-enter the pipeline). */
+  def corpusDiff(v1: DataFrame, v2: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    v1.select(col(idCol).as("id"), md5(col(textCol)).as("h1"))
+      .join(v2.select(col(idCol).as("id"), md5(col(textCol)).as("h2")),
+        Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("h1").isNull, lit("added"))
+          .when(col("h2").isNull, lit("removed"))
+          .when(col("h1") === col("h2"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+
+  /** Fixture versions: v2 drops every 11th doc, rewrites every 13th,
+    * and gains docs 300–329. */
+  private val curateCorpusDiff: Q = (s, dir) => {
+    val base = docs(s, dir)
+    val v1 = base.filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("text"))
+    val v2 = base.filter(col("doc_id") < 300 && col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(base.filter(col("doc_id") >= 300 && col("doc_id") < 330)
+        .select(col("doc_id"), col("text")))
+    corpusDiff(v1, v2).orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "curate_corpus_diff"       -> curateCorpusDiff,
     "curate_sample_stratified" -> curateSample,
     "curate_split_assign"      -> curateSplit,
     "curate_mix_uniform"       -> curateMix,
@@ -597,6 +631,25 @@ object Curation {
     "len(list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0))"
 
   val oracles: Map[String, String] = Map(
+    "curate_corpus_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id < 300),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END)
+        |      AS h
+        |  FROM documents WHERE doc_id < 300 AND doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, md5(text) FROM documents
+        |  WHERE doc_id >= 300 AND doc_id < 330)
+        |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v1.h IS NULL THEN 'added'
+        |       WHEN v2.h IS NULL THEN 'removed'
+        |       WHEN v1.h = v2.h THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     "curate_mix_report" ->
       s"""WITH base AS (
          |  SELECT source, lang, length(text) AS nc,

@@ -633,6 +633,143 @@ object Dedup {
     verifyCosine(candidates, elems, threshold)
   }
 
+  // ------------------------------- incremental (batch-vs-corpus) dedup
+
+  /** Incremental MinHash-LSH near-dup detection — the production dedup
+    * shape once a corpus is live: an existing corpus is signed/banded
+    * once, and each new ingest batch is signed and joined against the
+    * corpus buckets ONLY (old×new band equi-join, never old×old), so
+    * per-batch candidate work scales with the BATCH, not the corpus —
+    * at 100 TB the corpus-side bucket frame is a standing table the
+    * batch probes. Exact re-ingests always collide (identical shingle
+    * sets ⇒ identical signatures in every band), so recall on verbatim
+    * copies is 1; near-dups carry the usual LSH banding recall. Doc
+    * ids must be disjoint across the two frames. Output:
+    * (id_a = existing doc, id_b = new doc, jaccard ≥ threshold).
+    * Reference twin: none (batch reruns from scratch per study);
+    * north-star §2.E. */
+  def incrementalLshPairs(oldDf: DataFrame, newDf: DataFrame,
+      threshold: Double, numHashes: Int = 16, rowsPerBand: Int = 4,
+      k: Int = 9, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val oldSh = charShingles(oldDf, k, idCol, textCol)
+    val newSh = charShingles(newDf, k, idCol, textCol)
+    val oldBuckets = lshBucketsWide(
+      minHashSignaturesWide(oldSh, numHashes), numHashes, rowsPerBand)
+    val newBuckets = lshBucketsWide(
+      minHashSignaturesWide(newSh, numHashes), numHashes, rowsPerBand)
+    val candidates = oldBuckets.as("a").join(newBuckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    verifyJaccard(candidates, hashShingles(oldSh.unionByName(newSh)),
+      threshold)
+  }
+
+  // ----------------------- exact duplicated-substring spans (Lee et al.)
+
+  /** Case-sensitive whitespace token arrays: (id, toks). Substring
+    * dedup must not merge spans that differ in case, so no lower(). */
+  private def tokenArrays(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("toks"))
+
+  /** One row per length-`n` token window: (id, start [1-based], gh =
+    * md5 of the space-joined window). Row-local (map-only): the
+    * corpus×n blowup every exact-substring-dedup algorithm pays
+    * happens inside a projection and is immediately reduced by the
+    * gram election — the shuffle carries (id, start, 32-char hash)
+    * rows, never the window text. Docs shorter than `n` tokens emit
+    * nothing. */
+  def tokenGramOccurrences(df: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = when(size(col("toks")) >= n,
+        transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => md5(concat_ws(" ", slice(col("toks"), i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+    tokenArrays(df, idCol, textCol)
+      .select(col("id"), posexplode(grams).as(Seq("p", "gh")))
+      .select(col("id"), (col("p") + 1).as("start"), col("gh"))
+  }
+
+  /** Duplicated-substring spans, the relational re-expression of Lee
+    * et al., "Deduplicating Training Data Makes Language Models
+    * Better" (arXiv:2107.06499): every length-`n` whitespace-token
+    * window occurring more than once ANYWHERE in the corpus is a
+    * duplicated span at all but its first site; the first site —
+    * lexicographic minimum (doc_id, start), packed into one BIGINT so
+    * the election is a single map-side-combining min() per gram hash —
+    * survives, exactly one copy of every repeated passage. Overlapping
+    * or adjacent span occurrences are coalesced per doc
+    * (gaps-and-islands over the (id)-partitioned window — per-doc
+    * partitions, bounded by tokens-per-doc, never corpus-wide).
+    * Replaces the reference algorithm's suffix array with two
+    * key-partitioned shuffles: gram-hash election + per-doc merge.
+    * Output: (id, s, e) merged token ranges, 1-based inclusive.
+    * Packing bound: token starts must be < 1,000,000 (any real doc). */
+  def duplicatedSpans(df: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val occ = tokenGramOccurrences(df, n, idCol, textCol)
+    val packed = occ.withColumn("packed",
+      col("id") * lit(1000000L) + col("start"))
+    val dups = packed
+      .withColumn("min_packed", min("packed").over(Window.partitionBy("gh")))
+      .filter(col("packed") =!= col("min_packed"))
+      .select(col("id"), col("start").as("s"),
+        (col("start") + (n - 1)).as("e"))
+    val ord = Window.partitionBy("id").orderBy("s", "e")
+    val prevMax = max("e").over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    dups
+      .withColumn("ni",
+        when(col("s") > coalesce(prevMax, lit(-1000000L)) + 1, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum("ni").over(ord))
+      .groupBy(col("id"), col("island"))
+      .agg(min("s").as("s"), max("e").as("e"))
+      .select("id", "s", "e")
+  }
+
+  /** Per-doc duplicated-substring report: merged span count, tokens
+    * covered, and the doc's token count. Docs with no duplicated span
+    * are absent (the report is the curation FLAG list, not a corpus
+    * rewrite — join it back for a fraction filter). */
+  def substringSpanStats(df: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sizes = tokenArrays(df, idCol, textCol)
+      .select(col("id"), size(col("toks")).cast("long").as("n_tokens"))
+    duplicatedSpans(df, n, idCol, textCol)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("e") - col("s") + 1).as("n_dup_tokens"))
+      .join(sizes, "id")
+      .select(col("id").as("doc_id"), col("n_dup_spans"),
+        col("n_dup_tokens"), col("n_tokens"))
+  }
+
+  /** Corpus rewrite dropping every token covered by a merged
+    * duplicated span — all but the first occurrence of every repeated
+    * ≥`n`-token passage is physically removed, the Lee et al. ExactSubstr
+    * outcome. Span application is ROW-LOCAL: merged spans are collected
+    * per doc (bounded by tokens/n), equi-joined back, and applied with
+    * an indexed array filter — no per-token shuffle. Whitespace is
+    * normalized to single spaces (tokens rejoined); docs whose every
+    * token is covered (verbatim full copies) are dropped entirely. */
+  def removeDuplicatedSpans(df: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spans = duplicatedSpans(df, n, idCol, textCol)
+      .groupBy("id").agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+    tokenArrays(df, idCol, textCol)
+      .join(spans, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        when(col("spans").isNull, concat_ws(" ", col("toks")))
+          .otherwise(concat_ws(" ",
+            filter(col("toks"), (t, i) =>
+              !exists(col("spans"), sp =>
+                (i + 1) >= sp.getField("s") && (i + 1) <= sp.getField("e")))))
+          .as("cleaned"))
+      .filter(length(col("cleaned")) > 0)
+  }
+
   // --------------------------------------------------- fixture corpus
 
   /** Deterministic dedup corpus: base docs ∪ near-dup variants
@@ -732,9 +869,40 @@ object Dedup {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** Incremental split: the existing corpus is the base docs; the new
+    * batch is the near/copy variants plus 50 genuinely fresh docs
+    * (ids +30000) that should match nothing. */
+  private def incrSplit(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val base = docsSmall(s, dir).select(col("doc_id"), col("text"))
+    val near = base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" graft near dup tail")).as("text"))
+    val copies = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 20000).as("doc_id"), col("text"))
+    val fresh = docs(s, dir)
+      .filter(col("doc_id") >= 200 && col("doc_id") < 250)
+      .select((col("doc_id") + 30000).as("doc_id"), col("text"))
+    (base, near.unionByName(copies).unionByName(fresh))
+  }
+
+  private val dedupIncremental: Q = (s, dir) => {
+    val (old, batch) = incrSplit(s, dir)
+    incrementalLshPairs(old, batch, 0.5).orderBy("id_a", "id_b")
+  }
+
+  private val dedupSubstringSpans: Q = (s, dir) =>
+    substringSpanStats(fixtureCorpus(docsSmall(s, dir))).orderBy("doc_id")
+
+  private val dedupSubstringClean: Q = (s, dir) =>
+    removeDuplicatedSpans(fixtureCorpus(docsSmall(s, dir))).orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "dedup_exact"            -> dedupExact,
     "dedup_keep_one"         -> dedupKeepOne,
+    "dedup_incremental"      -> dedupIncremental,
+    "dedup_substring_spans"  -> dedupSubstringSpans,
+    "dedup_substring_clean"  -> dedupSubstringClean,
     "dedup_ngram_jaccard"    -> dedupJaccard,
     "dedup_minhash_lsh"      -> dedupMinHashLsh,
     "dedup_minhash_rowlocal" -> dedupMinHashRowLocal,
@@ -806,11 +974,14 @@ object Dedup {
         newFinal, newOrder, recursive || makeRecursive)
   }
 
-  /** The md5-family MinHash oracle — bound to BOTH `dedup_minhash_lsh`
-    * (grouped signatures) and `dedup_minhash_rowlocal` (zero-shuffle
-    * signatures): the two plans must hash-match the same answer. */
-  private val minHashPairParts: OracleParts = OracleParts(
-    ctes = s"""corpus AS ($corpusSmallSql),
+  /** The md5-family MinHash pair oracle, parametrized by the corpus
+    * CTE and the candidate-pair predicate so the self-join
+    * (`a.id < b.id`) and incremental (`old × new`) keys share ONE
+    * oracle text — the banding/verify pipeline can never drift
+    * between them. */
+  private def minHashPairPartsFor(corpus: String,
+      candPred: String): OracleParts = OracleParts(
+    ctes = s"""corpus AS ($corpus),
          |shingles AS ($shinglesSql),
          |sigs AS (
          |  SELECT id, 4 * g + j AS seed,
@@ -827,7 +998,7 @@ object Dedup {
          |candidates AS (
          |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
          |  FROM buckets a JOIN buckets b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+         |    ON a.band = b.band AND a.bucket = b.bucket AND $candPred),
          |pairshingles AS (
          |  SELECT c.id_a, c.id_b, sa.shingle
          |  FROM candidates c
@@ -848,7 +1019,94 @@ object Dedup {
         |  / (sa.set_size + sb.set_size - i.n_common) >= 0.5""".stripMargin,
     orderBy = "id_a, id_b")
 
+  /** Bound to BOTH `dedup_minhash_lsh` (grouped signatures) and
+    * `dedup_minhash_rowlocal` (zero-shuffle signatures): the two plans
+    * must hash-match the same answer. */
+  private val minHashPairParts: OracleParts =
+    minHashPairPartsFor(corpusSmallSql, "a.id < b.id")
+
   private val minHashOracleSql: String = minHashPairParts.sql
+
+  /** Incremental-dedup corpus: base (existing, ids < 200) ∪ the new
+    * batch (near +10000, copies +20000, fresh +30000). Cross-side
+    * candidates only: existing ids < 10000 ≤ batch ids. */
+  private val incrCorpusSql =
+    """SELECT doc_id, text FROM documents WHERE doc_id < 200
+      |UNION ALL
+      |SELECT doc_id + 10000, text || ' graft near dup tail'
+      |FROM documents WHERE doc_id < 200 AND doc_id % 5 = 0
+      |UNION ALL
+      |SELECT doc_id + 20000, text
+      |FROM documents WHERE doc_id < 200 AND doc_id % 7 = 0
+      |UNION ALL
+      |SELECT doc_id + 30000, text
+      |FROM documents WHERE doc_id >= 200 AND doc_id < 250""".stripMargin
+
+  private val incrementalOracleSql: String =
+    minHashPairPartsFor(incrCorpusSql,
+      "a.id < 10000 AND b.id >= 10000").sql
+
+  /** Shared CTE chain for the duplicated-substring keys: token arrays
+    * → 8-token gram occurrences → non-first occurrences (packed-min
+    * election) → gaps-and-islands merge. Mirrors [[duplicatedSpans]]
+    * term by term (n = 8 ⇒ slice l[i:i+7], start bound len-7). */
+  private val substringMergedCtes =
+    s"""corpus AS ($corpusSmallSql),
+       |toksarr AS (
+       |  SELECT doc_id AS id,
+       |    list_filter(string_split_regex(text, '\\s+'),
+       |      t -> len(t) > 0) AS l
+       |  FROM corpus),
+       |occ0 AS (
+       |  SELECT id, l, unnest(range(1, len(l) - 6)) AS s
+       |  FROM toksarr),
+       |occ AS (
+       |  SELECT id, s, s + 7 AS e,
+       |    md5(array_to_string(l[s:s+7], ' ')) AS gh
+       |  FROM occ0),
+       |dups AS (
+       |  SELECT id, s, e FROM (
+       |    SELECT id, s, e, id * 1000000 + s AS packed,
+       |      MIN(id * 1000000 + s) OVER (PARTITION BY gh) AS min_packed
+       |    FROM occ) x
+       |  WHERE packed <> min_packed),
+       |marked AS (
+       |  SELECT id, s, e,
+       |    CASE WHEN s > COALESCE(MAX(e) OVER (
+       |        PARTITION BY id ORDER BY s, e
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |        -1000000) + 1
+       |      THEN 1 ELSE 0 END AS ni
+       |  FROM dups),
+       |islands AS (
+       |  SELECT id, s, e,
+       |    SUM(ni) OVER (PARTITION BY id ORDER BY s, e) AS island
+       |  FROM marked),
+       |merged AS (
+       |  SELECT id, island, MIN(s) AS s, MAX(e) AS e
+       |  FROM islands GROUP BY id, island)""".stripMargin
+
+  private val substringSpansOracleSql =
+    s"""WITH $substringMergedCtes,
+       |sizes AS (SELECT id, len(l) AS n_tokens FROM toksarr)
+       |SELECT m.id AS doc_id, COUNT(*) AS n_dup_spans,
+       |  CAST(SUM(m.e - m.s + 1) AS BIGINT) AS n_dup_tokens,
+       |  MAX(sz.n_tokens) AS n_tokens
+       |FROM merged m JOIN sizes sz ON m.id = sz.id
+       |GROUP BY m.id ORDER BY doc_id""".stripMargin
+
+  private val substringCleanOracleSql =
+    s"""WITH $substringMergedCtes,
+       |toks0 AS (
+       |  SELECT id, l, unnest(range(1, len(l) + 1)) AS i
+       |  FROM toksarr),
+       |toks AS (SELECT id, i, l[i] AS tok FROM toks0)
+       |SELECT t.id AS doc_id, string_agg(t.tok, ' ' ORDER BY t.i) AS cleaned
+       |FROM toks t
+       |WHERE NOT EXISTS (SELECT 1 FROM merged m
+       |  WHERE m.id = t.id AND t.i BETWEEN m.s AND m.e)
+       |GROUP BY t.id
+       |ORDER BY doc_id""".stripMargin
 
   /** Refold ANY pair oracle into the recursive-components query — the
     * single definition behind every `dedup_*_clusters` oracle, so a
@@ -921,6 +1179,12 @@ object Dedup {
     "dedup_minhash_lsh" -> minHashOracleSql,
 
     "dedup_minhash_rowlocal" -> minHashOracleSql,
+
+    "dedup_incremental" -> incrementalOracleSql,
+
+    "dedup_substring_spans" -> substringSpansOracleSql,
+
+    "dedup_substring_clean" -> substringCleanOracleSql,
 
     "dedup_clusters" -> clustersOracleSql,
 

@@ -207,6 +207,97 @@ object Similarity {
         col("rank"), col("cosine"))
   }
 
+  // ------------------------------------- product quantization (PQ/ADC)
+
+  /** Slice each embedding into `m` contiguous subvectors:
+    * (id, sub, sub_emb). Row-local (transform + posexplode). */
+  def pqSubVectors(df: DataFrame, m: Int, dims: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val sd = dims / m
+    df.select(col(idCol).as("id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> slice($embCol, s * $sd + 1, $sd))"))
+        .as(Seq("sub", "sub_emb")))
+  }
+
+  /** Per-subspace PQ codebooks (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011): an independent
+    * deterministic k-means ([[trainCentroids]]) per contiguous
+    * subspace. Output: (sub, code, cb_emb) — m·k rows, broadcast-size
+    * model metadata like the IVF centroid frame. */
+  def trainPqCodebooks(corpus: DataFrame, m: Int = 4, k: Int = 8,
+      dims: Int = 64, seed: Long = 42L, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val sd = dims / m
+    (0 until m).map { sIdx =>
+      val sub = corpus.select(col(idCol),
+        slice(col(embCol), sIdx * sd + 1, sd).as(embCol))
+      trainCentroids(sub, k, seed, idCol = idCol, embCol = embCol)
+        .select(lit(sIdx).as("sub"), col(idCol).as("code"),
+          col(embCol).as("cb_emb"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** PQ encode: nearest codeword per (vector, subspace) by squared L2.
+    * One broadcast join against the m·k-row codebook, then a
+    * map-side-combining min(struct(dist, code)) — no window, no
+    * per-group sort; the corpus is stored as m small codes per vector
+    * (the PQ compression that makes 100 TB of embeddings searchable).
+    * Distances are summed in double — exact for micro-int magnitudes
+    * (every partial stays below 2^53), so the oracle twin can compare
+    * as BIGINT. Inputs: sv = (id, sub, sub_emb) from
+    * [[pqSubVectors]]; codebooks = (sub, code, cb_emb). */
+  def pqEncode(sv: DataFrame, codebooks: DataFrame): DataFrame = {
+    val dist = aggregate(
+      zip_with(col("sub_emb"), col("cb_emb"), (a, b) =>
+        (a.cast("double") - b.cast("double")) *
+          (a.cast("double") - b.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    sv.join(broadcast(codebooks), "sub")
+      .withColumn("dist", dist)
+      .groupBy("id", "sub")
+      .agg(min(struct(col("dist"), col("code"))).as("best"))
+      .select(col("id"), col("sub"), col("best.code").as("code"))
+  }
+
+  /** ADC (asymmetric distance) top-k: each query's exact distance to
+    * every codeword is a tiny m·k-row table computed once; a corpus
+    * vector's approximate distance is then m lookups summed. The
+    * corpus side is touched ONCE — codes equi-join the broadcast
+    * query table on (sub, code), then one map-side-combined sum per
+    * (query, vector). Ties break on (adist, id). */
+  def pqTopK(encoded: DataFrame, codebooks: DataFrame, queriesSv: DataFrame,
+      k: Int): DataFrame = {
+    val qdist = aggregate(
+      zip_with(col("sub_emb"), col("cb_emb"), (a, b) =>
+        (a.cast("double") - b.cast("double")) *
+          (a.cast("double") - b.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    val tbl = queriesSv.join(broadcast(codebooks), "sub")
+      .withColumn("qdist", qdist)
+      .select("query_id", "sub", "code", "qdist")
+    encoded.join(broadcast(tbl), Seq("sub", "code"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum("qdist").as("adist"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adist"), col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        col("rank"), col("adist"))
+  }
+
+  /** Trained-codebook PQ search end to end: train → encode → ADC. */
+  def pqSearch(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
+      kCodes: Int = 8, dims: Int = 64, seed: Long = 42L,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val cb = trainPqCodebooks(corpus, m, kCodes, dims, seed, idCol, embCol)
+    val sv = pqSubVectors(corpus, m, dims, idCol, embCol)
+    val qsv = pqSubVectors(queries, m, dims, idCol, embCol)
+      .withColumnRenamed("id", "query_id")
+    pqTopK(pqEncode(sv, cb), cb, qsv, k)
+  }
+
   // --------------------------------------------------- fixture queries
 
   type Q = (SparkSession, String) => DataFrame
@@ -464,10 +555,37 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** PQ in exact micro-int arithmetic (the oracle-gated twin of the
+    * [[pqSearch]] float path, the same supplied-model split as
+    * `ann_ivf`): codebook = the subvector slices of vec_id 0..7
+    * (deterministic data-sampled codewords; [[trainPqCodebooks]] is
+    * the trained path, spec-pinned); every corpus vector is encoded to
+    * 4 codes; queries (vec_id % 50 = 0) rank by ADC. Distances are
+    * integer-valued throughout (double partials stay below 2^53), so
+    * adist is cast to BIGINT for the hash gate. */
+  private val annPq: Q = (s, dir) => {
+    val arrays = Tables.load(s, dir, "embeddings")
+      .filter(col("vec_id") < 200)
+      .select(col("vec_id").as("id"),
+        expr("transform(embedding, e -> cast(round(cast(e as double) * 1e6) as long))")
+          .as("emb"))
+    val sv = pqSubVectors(arrays, m = 4, dims = 64, idCol = "id",
+      embCol = "emb")
+    val cb = sv.filter(col("id") < 8)
+      .select(col("sub"), col("id").as("code"),
+        col("sub_emb").as("cb_emb"))
+    val qsv = sv.filter(col("id") % 50 === 0)
+      .select(col("id").as("query_id"), col("sub"), col("sub_emb"))
+    pqTopK(pqEncode(sv, cb), cb, qsv, 5)
+      .withColumn("adist", col("adist").cast("long"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "ann_brute_force"  -> annBruteForce,
     "ann_lsh_bucketed" -> annLshBucketed,
     "ann_ivf"          -> annIvf,
+    "ann_pq"           -> annPq,
     "ann_recall_ivf"   -> annRecallIvf,
     "dedup_semantic"   -> dedupSemantic,
   )
@@ -672,6 +790,45 @@ object Similarity {
        |GROUP BY e.query_id
        |ORDER BY e.query_id""".stripMargin
 
+  private val pqOracle: (String, String) = "ann_pq" ->
+    """WITH micro AS (
+      |  SELECT vec_id AS id,
+      |    list_transform(embedding,
+      |      e -> CAST(ROUND(CAST(e AS DOUBLE) * 1e6) AS BIGINT)) AS emb
+      |  FROM embeddings WHERE vec_id < 200),
+      |sv AS (
+      |  SELECT id, s.sub,
+      |    emb[s.sub * 16 + 1 : s.sub * 16 + 16] AS sub_emb
+      |  FROM micro, (SELECT unnest(range(0, 4)) AS sub) s),
+      |cb AS (
+      |  SELECT sub, id AS code, sub_emb AS cb_emb FROM sv WHERE id < 8),
+      |dists AS (
+      |  SELECT v.id, v.sub, c.code,
+      |    CAST(list_sum(list_transform(range(1, 17),
+      |      i -> (v.sub_emb[i] - c.cb_emb[i]) * (v.sub_emb[i] - c.cb_emb[i])))
+      |      AS BIGINT) AS dist
+      |  FROM sv v JOIN cb c ON v.sub = c.sub),
+      |enc AS (
+      |  SELECT id, sub, code FROM (
+      |    SELECT id, sub, code,
+      |      ROW_NUMBER() OVER (PARTITION BY id, sub ORDER BY dist, code)
+      |        AS rk
+      |    FROM dists) x WHERE rk = 1),
+      |qd AS (
+      |  SELECT id AS query_id, sub, code, dist AS qdist
+      |  FROM dists WHERE id % 50 = 0),
+      |adc AS (
+      |  SELECT q.query_id, e.id, CAST(SUM(q.qdist) AS BIGINT) AS adist
+      |  FROM enc e JOIN qd q ON e.sub = q.sub AND e.code = q.code
+      |  GROUP BY q.query_id, e.id),
+      |ranked AS (
+      |  SELECT query_id, id AS neighbor_id, adist,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY adist, id) AS INT) AS rank
+      |  FROM adc WHERE query_id <> id)
+      |SELECT query_id, neighbor_id, rank, adist FROM ranked
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   val oracles: Map[String, String] =
-    searchOracles + recallOracle + semanticOracle
+    searchOracles + recallOracle + semanticOracle + pqOracle
 }

@@ -253,6 +253,52 @@ object TextAnalysis {
     counted.withColumn("redacted", redacted)
   }
 
+  // --------------------------------------------- URL / domain analysis
+
+  /** URL pattern in the Java-regex ∩ RE2 dialect (no lookaround, like
+    * [[PiiPatterns]]) so the DuckDB twin matches identical spans:
+    * scheme + host + optional path. */
+  val UrlPattern = "https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9._/-]*)?"
+
+  /** Host-capture pattern for the domain of a matched URL. */
+  val UrlHostPattern = "https?://([A-Za-z0-9.-]+)"
+
+  /** Per-doc URL inventory: one row per URL occurrence, in occurrence
+    * order, with its host. Map-only (regexp_extract_all + posexplode)
+    * — no shuffle at any scale. The inventory feeds [[domainStats]]
+    * (crawl-mix reporting) and [[domainFilter]] (blocklists). */
+  def urlExtract(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    df.select(col(idCol),
+        posexplode(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0)))
+          .as(Seq("p", "url")))
+      .select(col(idCol), (col("p") + 1).as("url_pos"), col("url"),
+        regexp_extract(col("url"), UrlHostPattern, 1).as("domain"))
+
+  /** Per-domain corpus report: URL occurrences and distinct docs —
+    * the crawl-provenance mix a curation data card wants. One
+    * domain-key groupBy (domains are far fewer than docs). */
+  def domainStats(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    urlExtract(df, idCol, textCol)
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"),
+        count_distinct(col(idCol)).as("n_docs"))
+
+  /** Domain-blocklist filter: drop every doc containing ANY URL whose
+    * host is blocked (the C4/RefinedWeb bad-domain rule). The blocked
+    * doc-id set is built with one map-only extract + distinct and
+    * anti-joined back — for blocklists beyond literal-list size, swap
+    * `isin` for a broadcast join against a blocklist frame; the
+    * corpus side is never shuffled either way. */
+  def domainFilter(df: DataFrame, blocked: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bad = urlExtract(df, idCol, textCol)
+      .filter(col("domain").isin(blocked: _*))
+      .select(col(idCol)).distinct()
+    df.join(bad, Seq(idCol), "left_anti")
+  }
+
   /** Corpus-statistics rarity scoring (TF-IDF family, the CCNet-style
     * "does this doc look like the corpus" quality facet, computed from
     * the corpus itself — no external LM): document frequency per
@@ -388,14 +434,18 @@ object TextAnalysis {
     * per-doc groupBy is on the unskewed doc id. */
   /** Row-local array of a document's word bigrams as "w1 w2" strings —
     * tokens contain no whitespace, so the joined string is an
-    * injective bigram key. Empty for docs with fewer than two words. */
-  private def bigramArr(textCol: Column): Column = {
-    val ws = tokensWs(lower(textCol))
-    when(size(ws) >= 2,
-      transform(sequence(lit(1), size(ws) - 1),
-        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+    * injective bigram key. Empty for docs with fewer than two words.
+    * Takes a PROJECTED token-array column: naming the tokenization
+    * expression itself here would re-evaluate it per lambda element
+    * (element_at(tokensWs(text), i) re-tokenizes the whole doc for
+    * every bigram — O(len²)/doc, measured 21.5 s vs 1.8 s for
+    * text_lm_score on the sf0.1 corpus; the multi-reference keeps
+    * CollapseProject from re-inlining the projection). */
+  private def bigramArrFromToks(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Train the MLE bigram table: (bigram, p_micro) with
     * p_micro = ⌊10⁶·c(w1,w2)/c(w1·)⌋. One map-side-combined (w1,w2)
@@ -403,7 +453,9 @@ object TextAnalysis {
     * train-once half of the [[lmScore]] pipeline, run over a reference
     * corpus and reused across scoring runs (including streams). */
   def trainBigramLm(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val bgCounts = df.select(explode(bigramArr(col(textCol))).as("b"))
+    val bgCounts = df
+      .select(tokensWs(lower(col(textCol))).as("toks"))
+      .select(explode(bigramArrFromToks(col("toks"))).as("b"))
       .groupBy("b").agg(count(lit(1)).as("c12"))
       .withColumn("w1", split(col("b"), " ").getItem(0))
     val ctxCounts = bgCounts.groupBy("w1").agg(sum("c12").as("c1"))
@@ -419,8 +471,9 @@ object TextAnalysis {
     * shape (StreamsSpec pins batch equivalence). */
   def scoreBigrams(df: DataFrame, lm: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val bg = df.select(col(idCol),
-      explode(bigramArr(col(textCol))).as("b"))
+    val bg = df
+      .select(col(idCol), tokensWs(lower(col(textCol))).as("toks"))
+      .select(col(idCol), explode(bigramArrFromToks(col("toks"))).as("b"))
     val scored = bg.join(broadcast(lm), "b")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_bigrams"),
@@ -631,6 +684,31 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Fixture with deterministically PLANTED URLs (the word-soup corpus
+    * contains none): every 9th doc gains a site URL whose host cycles
+    * over 7 domains; every 18th also gains a blocked-domain URL —
+    * built identically in the oracle so spans hash-match. */
+  private def plantedUrls(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 9 === 0,
+          concat(lit(" see https://site"),
+            (col("doc_id") % 7).cast("string"),
+            lit(".example.com/p"), col("doc_id").cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 18 === 0,
+          lit(" and http://blocked.example.net/x")).otherwise(lit(""))))
+
+  private val textUrlExtract: Q = (s, dir) =>
+    urlExtract(plantedUrls(s, dir)).orderBy("doc_id", "url_pos")
+
+  private val textDomainStats: Q = (s, dir) =>
+    domainStats(plantedUrls(s, dir)).orderBy("domain")
+
+  private val curateDomainFilter: Q = (s, dir) =>
+    domainFilter(plantedUrls(s, dir), Seq("blocked.example.net"))
+      .select("doc_id").orderBy("doc_id")
+
   /** Per-language top-5 tokens by frequency — the corpus vocabulary
     * report, composed over the library's own custom physical operator:
     * token explode → one (lang, token) count groupBy → TopKPerKey
@@ -649,6 +727,9 @@ object TextAnalysis {
   }
 
   val queries: Map[String, Q] = Map(
+    "text_url_extract"    -> textUrlExtract,
+    "text_domain_stats"   -> textDomainStats,
+    "curate_domain_filter" -> curateDomainFilter,
     "text_top_tokens"     -> textTopTokens,
     "text_chunk_overlap"  -> textChunkOverlap,
     "text_lm_score"       -> textLmScore,
@@ -693,7 +774,50 @@ object TextAnalysis {
        |  0.25 * LEAST(1.0, COALESCE(CAST(${sqlStopCount(Stopwords.head._2)}
        |            AS DOUBLE) / NULLIF($sqlTokWs, 0), 0.0) * 5.0)""".stripMargin
 
+  /** Planted-URL corpus CTE shared by the three URL keys. */
+  private val urlPlantedSql =
+    """planted AS (
+      |  SELECT doc_id,
+      |    text ||
+      |    CASE WHEN doc_id % 9 = 0
+      |      THEN ' see https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+      |        '.example.com/p' || CAST(doc_id AS VARCHAR)
+      |      ELSE '' END ||
+      |    CASE WHEN doc_id % 18 = 0
+      |      THEN ' and http://blocked.example.net/x' ELSE '' END AS text
+      |  FROM documents)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "text_url_extract" ->
+      s"""WITH $urlPlantedSql,
+         |u AS (SELECT doc_id,
+         |  regexp_extract_all(text, '$UrlPattern') AS urls FROM planted),
+         |u2 AS (SELECT doc_id, urls,
+         |  unnest(range(1, len(urls) + 1)) AS i FROM u)
+         |SELECT doc_id, CAST(i AS INT) AS url_pos, urls[i] AS url,
+         |  regexp_extract(urls[i], '$UrlHostPattern', 1) AS domain
+         |FROM u2 ORDER BY doc_id, url_pos""".stripMargin,
+
+    "text_domain_stats" ->
+      s"""WITH $urlPlantedSql,
+         |u AS (SELECT doc_id,
+         |  unnest(regexp_extract_all(text, '$UrlPattern')) AS url
+         |  FROM planted)
+         |SELECT regexp_extract(url, '$UrlHostPattern', 1) AS domain,
+         |  COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs
+         |FROM u GROUP BY 1 ORDER BY domain""".stripMargin,
+
+    "curate_domain_filter" ->
+      s"""WITH $urlPlantedSql,
+         |u AS (SELECT doc_id,
+         |  unnest(regexp_extract_all(text, '$UrlPattern')) AS url
+         |  FROM planted)
+         |SELECT doc_id FROM planted
+         |WHERE doc_id NOT IN (
+         |  SELECT DISTINCT doc_id FROM u
+         |  WHERE regexp_extract(url, '$UrlHostPattern', 1)
+         |    = 'blocked.example.net')
+         |ORDER BY doc_id""".stripMargin,
     // chunk_id = token_start // stride exactly because starts are the
     // stride multiples 0, 24, 48, … (Spark reads it off posexplode's
     // position instead). DuckDB's list_slice clamps past the list end

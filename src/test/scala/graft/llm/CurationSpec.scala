@@ -321,6 +321,18 @@ class CurationSpec extends SparkSpec {
     assert(rows.length < full, "pipeline must actually drop something")
   }
 
+  test("corpusDiff classifies added/removed/changed/unchanged") {
+    import spark.implicits._
+    val v1 = Seq((1L, "same text here"), (2L, "will be removed"),
+      (3L, "will be changed")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "same text here"), (3L, "now changed text"),
+      (4L, "brand new doc")).toDF("doc_id", "text")
+    val got = Curation.corpusDiff(v1, v2).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "removed",
+      3L -> "changed", 4L -> "added"))
+  }
+
   test("filter funnel stages chain: rows_in(n) = rows_out(n-1), monotone") {
     val rows = Curation.filterFunnel(docs).orderBy("stage_idx").collect()
     assert(rows.length == 3)

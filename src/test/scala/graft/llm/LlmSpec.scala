@@ -634,4 +634,97 @@ class LlmSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "no all-pairs plan")
   }
+
+  test("pqSearch: trained codebooks are deterministic and find cluster-mates") {
+    import spark.implicits._
+    def vec(c: Int, jit: Double): Array[Float] =
+      Array.tabulate(64)(i =>
+        (if (i % 8 == c) 1.0 else 0.0) +
+          jit * (((i * 7 + c) % 5) - 2) * 0.01).map(_.toFloat)
+    val rows = for (c <- 0 until 3; j <- 0 until 8)
+      yield ((c * 100 + j).toLong, vec(c, j * 0.1))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 100 === 0)
+    def run() = Similarity.pqSearch(corpus, queries, k = 3, m = 4,
+        kCodes = 4).orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val r1 = run()
+    assert(r1.length === 9)
+    // ADC neighbors come from the query's own cluster — quantized
+    // distances must still separate well-separated clusters
+    r1.foreach { case (q, n, _) => assert(q / 100 === n / 100,
+      s"query $q got cross-cluster neighbor $n") }
+    assert(r1.toSeq === run().toSeq, "PQ search must be deterministic")
+  }
+
+  test("urlExtract finds urls in order; domainFilter drops blocked docs") {
+    val df = textDf(
+      (1L, "plain text no links"),
+      (2L, "go to https://a.example.com/x then http://b.example.net"),
+      (3L, "bad http://spam.example.org/y site"))
+    val urls = TextAnalysis.urlExtract(df).orderBy("doc_id", "url_pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3)))
+    assert(urls.toSeq === Seq((2L, 1, "a.example.com"),
+      (2L, 2, "b.example.net"), (3L, 1, "spam.example.org")))
+    val kept = TextAnalysis.domainFilter(df, Seq("spam.example.org"))
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    assert(kept.toSeq === Seq(1L, 2L))
+  }
+
+  // ------------------------------- duplicated-substring spans (Lee et al.)
+
+  test("duplicated substring spans: cross-doc, within-doc, full-copy") {
+    val corpus = textDf(
+      (1L, "a b c d e f"),          // keeper of everything it contains
+      (2L, "x y a b c d q"),        // shares "a b c d" with doc 1
+      (3L, "a b c d e f"),          // verbatim copy of doc 1
+      (4L, "p q r"),                // its single gram occurs once
+      (5L, "m n o z m n o"))        // within-doc repeat of "m n o"
+    val stats = Dedup.substringSpanStats(corpus, n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(stats.toSeq === Seq(
+      (2L, 1L, 4L, 7L),   // tokens 3..6 covered
+      (3L, 1L, 6L, 6L),   // fully covered
+      (5L, 1L, 3L, 7L))) // second "m n o" at tokens 5..7
+    val cleaned = Dedup.removeDuplicatedSpans(corpus, n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // doc 3 (fully covered) is dropped entirely
+    assert(cleaned.toSeq === Seq(
+      (1L, "a b c d e f"), (2L, "x y q"), (4L, "p q r"),
+      (5L, "m n o z")))
+  }
+
+  test("substring spans merge overlapping and adjacent ranges") {
+    // doc 2 repeats doc 1's six tokens twice back to back: occurrences
+    // at every start merge into ONE span covering the whole doc
+    val corpus = textDf(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f a b c d e f"))
+    val stats = Dedup.substringSpanStats(corpus, n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(stats.toSeq === Seq((2L, 1L, 12L)))
+  }
+
+  // --------------------------------- incremental batch-vs-corpus dedup
+
+  test("incrementalLshPairs reports only old×new pairs") {
+    val mk = (s: String) => s + " lorem ipsum dolor sit amet common pad"
+    val old = textDf(
+      (1L, mk("alpha bravo charlie delta echo foxtrot")),
+      (2L, mk("alpha bravo charlie delta echo foxtrot")), // old dup of 1
+      (3L, mk("zulu yankee xray whiskey victor uniform")))
+    val batch = textDf(
+      (10L, mk("alpha bravo charlie delta echo foxtrot")), // copy of 1 and 2
+      (11L, mk("golf hotel india juliett kilo lima")),     // fresh
+      (12L, mk("alpha bravo charlie delta echo foxtrot"))) // copy of 10
+    val got = Dedup.incrementalLshPairs(old, batch, 0.5)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // old-old (1,2) and new-new (10,12) are never reported; exact
+    // copies are found with certainty (identical signatures)
+    assert(got.toSeq === Seq((1L, 10L), (1L, 12L), (2L, 10L), (2L, 12L)))
+  }
 }
