@@ -149,6 +149,26 @@ object BenchExtra {
         .select((col("doc_id") + 50000).as("doc_id"), col("text"))
       Dedup.incrementalLshPairs(corpus, batch, 0.5)
     }),
+    "bench_bpe_encode_full" -> ((s, dir) => {
+      // tokenizer train + apply at bench SF: 8 merge rounds over the
+      // vocabulary-sized word frame, then the corpus re-tokenized via
+      // the broadcast vocabulary encodings
+      val d = docs(s, dir)
+      val merges = graft.llm.TextAnalysis.trainBpeMerges(d, 8)
+        .map(m => (m._1, m._2))
+      graft.llm.TextAnalysis.bpeEncode(d, merges)
+    }),
+    "bench_index_probe_full" -> ((s, dir) => {
+      // standing-index probe at bench SF: the full corpus signed and
+      // STORED once (cost included here), then every 10th doc
+      // re-ingested as the probing batch — the steady-state cost is
+      // the probe side only (see LlmSpec's single-exchange plan pin)
+      val corpus = docs(s, dir).select(col("doc_id"), col("text"))
+      Dedup.writeDedupIndex(corpus, "bench_dedup_idx")
+      val batch = corpus.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 50000).as("doc_id"), col("text"))
+      Dedup.incrementalLshPairsFromIndex("bench_dedup_idx", batch, 0.5)
+    }),
     "bench_synth_runner" -> ((s, dir) => {
       // Sequential workload-runner throughput on 48 reference-shaped
       // synthetic queries (join chains / IN-lists / CAST-LIKE) at the

@@ -367,11 +367,16 @@ object Dedup {
     // per-doc array is O(document length), the same order as the text
     // column itself, so the set frame carries scan-sized rows, never
     // pair-sized blowup.
-    val sets = shingles.groupBy("id")
+    verifyJaccardSets(candidates, shingleSetRows(shingles), threshold)
+  }
+
+  /** Aggregate a (pre-hashed) shingle frame into the verify-side set
+    * rows `(id, sh sorted, set_size)` — one row per doc, the format
+    * [[verifyJaccardSets]] consumes and the standing index stores. */
+  def shingleSetRows(hashedShingles: DataFrame): DataFrame =
+    hashedShingles.groupBy("id")
       .agg(array_sort(collect_list("shingle")).as("sh"),
         count(lit(1)).as("set_size"))
-    verifyJaccardSets(candidates, sets, threshold)
-  }
 
   /** The set-join verify kernel over prebuilt per-doc arrays
     * `(id, sh, set_size)` — consumed directly by the row-local path
@@ -663,6 +668,55 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
     verifyJaccard(candidates, hashShingles(oldSh.unionByName(newSh)),
       threshold)
+  }
+
+  /** Persist the STANDING dedup index of a live corpus — sign once,
+    * store, probe per ingest batch; at 100 TB the corpus is hashed
+    * exactly once in its lifetime:
+    *  - `<prefix>_buckets` (id, band, bucket), bucketed on the
+    *    candidate-join key (band, bucket): a batch probe shuffles only
+    *    the batch side — the stored scan's bucketing satisfies the
+    *    join's distribution (LlmSpec asserts the single exchange);
+    *  - `<prefix>_sets` (id, sh, set_size), the sorted hashed-shingle
+    *    rows the exact-Jaccard verify consumes, bucketed on id.
+    * Bucket count should match `spark.sql.shuffle.partitions` so the
+    * probe-side exchange lands bucket-aligned. */
+  def writeDedupIndex(corpus: DataFrame, prefix: String,
+      numHashes: Int = 16, rowsPerBand: Int = 4, k: Int = 9,
+      numBuckets: Int = 32, idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val sh = charShingles(corpus, k, idCol, textCol)
+    graft.sources.Ingest.writeBucketedTable(
+      lshBucketsWide(minHashSignaturesWide(sh, numHashes),
+        numHashes, rowsPerBand),
+      s"${prefix}_buckets", Seq("band", "bucket"), numBuckets)
+    graft.sources.Ingest.writeBucketedTable(
+      shingleSetRows(hashShingles(sh)),
+      s"${prefix}_sets", Seq("id"), numBuckets)
+  }
+
+  /** Probe the standing index with a new ingest batch: batch shingles
+    * → signatures → banded buckets equi-joined against the STORED
+    * bucket table; exact-Jaccard verify against the STORED set rows ∪
+    * the batch's fresh sets. Output is identical to
+    * [[incrementalLshPairs]] over (indexed corpus, batch) — LlmSpec
+    * pins the equality — but the corpus pays no signature or shingle
+    * work at probe time. */
+  def incrementalLshPairsFromIndex(prefix: String, newDf: DataFrame,
+      threshold: Double, numHashes: Int = 16, rowsPerBand: Int = 4,
+      k: Int = 9, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = newDf.sparkSession
+    val oldBuckets = spark.table(s"${prefix}_buckets")
+    val oldSets = spark.table(s"${prefix}_sets")
+    val newSh = charShingles(newDf, k, idCol, textCol)
+    val newBuckets = lshBucketsWide(
+      minHashSignaturesWide(newSh, numHashes), numHashes, rowsPerBand)
+    val candidates = oldBuckets.as("a").join(newBuckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    verifyJaccardSets(candidates,
+      oldSets.unionByName(shingleSetRows(hashShingles(newSh))), threshold)
   }
 
   // ----------------------- exact duplicated-substring spans (Lee et al.)

@@ -529,6 +529,34 @@ object TextAnalysis {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(x))))
 
+  /** Encode a corpus with a trained BPE merge list — the tokenizer
+    * APPLICATION step. The merge chain is applied to the VOCABULARY
+    * (distinct lowercased words — the frame every BPE tokenizer
+    * encodes against, sublinear in corpus volume), then encodings
+    * broadcast-join back onto word occurrences, so corpus volume
+    * never pays the merge-chain expression and the Zipf-skewed word
+    * key never drives a shuffled join (the [[idfScore]]/[[lmScore]]
+    * broadcast rule). Output: (id, n_words, n_bpe_tokens) — the
+    * token-budget accounting a curation pipeline needs in tokenizer
+    * units rather than whitespace units. Spec-pinned against a
+    * driver-side reference encoder (no DuckDB twin: the merge list is
+    * a trained artifact, not SQL-derivable; round-1 training is the
+    * gated `text_bpe_top_pairs`). */
+  def bpeEncode(df: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val words = df.select(explode(tokensWs(lower(col(textCol)))).as("w"))
+      .distinct()
+    val encoded = words
+      .withColumn("s", merges.foldLeft(split(col("w"), ""): Column) {
+        case (c, (a, b)) => applyBpeMerge(c, a, b)
+      })
+      .select(col("w"), size(col("s")).cast("long").as("n_sym"))
+    df.select(col(idCol), explode(tokensWs(lower(col(textCol)))).as("w"))
+      .join(broadcast(encoded), "w")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"), sum("n_sym").as("n_bpe_tokens"))
+  }
+
   /** BPE vocabulary induction: the first `nMerges` merge rules of a
     * byte-pair-encoding tokenizer trained on the corpus — count
     * adjacent symbol pairs (weighted by word frequency), merge the

@@ -657,6 +657,38 @@ class LlmSpec extends SparkSpec {
     assert(r1.toSeq === run().toSeq, "PQ search must be deterministic")
   }
 
+  test("bpeEncode: corpus token counts match a driver-side reference encoder") {
+    def refMerge(s: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.result()
+    }
+    val corpus = Seq((0L, "low lower lowest low low"),
+      (1L, "new newer newest new"), (2L, "low new low"))
+    val merges = TextAnalysis.trainBpeMerges(textDf(corpus: _*), 4)
+      .map(m => (m._1, m._2))
+    def refEncode(w: String): Int =
+      merges.foldLeft(w.split("").toVector) {
+        case (s, (a, b)) => refMerge(s, a, b)
+      }.length
+    val expected = corpus.map { case (id, text) =>
+      val ws = text.split("\\s+").toSeq
+      (id, ws.length.toLong, ws.map(refEncode(_).toLong).sum)
+    }
+    val got = TextAnalysis.bpeEncode(textDf(corpus: _*), merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === expected)
+    // merges compress: bpe tokens strictly fewer than characters
+    val nChars = corpus.map(_._2.replace(" ", "").length.toLong).sum
+    assert(got.map(_._3).sum < nChars)
+  }
+
   test("urlExtract finds urls in order; domainFilter drops blocked docs") {
     val df = textDf(
       (1L, "plain text no links"),
@@ -669,6 +701,48 @@ class LlmSpec extends SparkSpec {
     val kept = TextAnalysis.domainFilter(df, Seq("spam.example.org"))
       .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
     assert(kept.toSeq === Seq(1L, 2L))
+  }
+
+  test("standing dedup index: probe equals direct incremental; stored side unshuffled") {
+    val mk = (s: String) => s + " lorem ipsum dolor sit amet common pad"
+    val old = textDf(
+      (1L, mk("alpha bravo charlie delta echo foxtrot")),
+      (3L, mk("zulu yankee xray whiskey victor uniform")))
+    val batch = textDf(
+      (10L, mk("alpha bravo charlie delta echo foxtrot")),
+      (11L, mk("golf hotel india juliett kilo lima")))
+    Dedup.writeDedupIndex(old, "dedup_idx_t", numBuckets = 8)
+    val viaIndex = Dedup.incrementalLshPairsFromIndex("dedup_idx_t",
+        batch, 0.5).orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val direct = Dedup.incrementalLshPairs(old, batch, 0.5)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaIndex.toSeq === direct.toSeq)
+    assert(viaIndex.toSeq === Seq((1L, 10L)))
+    // the candidate join must read the stored buckets bucket-aligned:
+    // with broadcast off, the ONLY hash exchange under the join is the
+    // batch side — the stored scan's bucketing satisfies its half of
+    // the join distribution
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val stored = spark.table("dedup_idx_t_buckets")
+      val nb = Dedup.lshBucketsWide(Dedup.minHashSignaturesWide(
+        Dedup.charShingles(batch)))
+      val joined = stored.as("a").join(nb.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // exchanges partitioned on the JOIN key (band, ...): exactly the
+      // batch side's — the batch's internal signature groupBy
+      // exchanges on id and doesn't count
+      val nJoinKeyExchanges = "Exchange hashpartitioning\\(band".r
+        .findAllIn(plan).length
+      assert(nJoinKeyExchanges === 1,
+        s"expected only the batch-side join exchange, got $nJoinKeyExchanges:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"stored side must scan bucketed:\n$plan")
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
   // ------------------------------- duplicated-substring spans (Lee et al.)
