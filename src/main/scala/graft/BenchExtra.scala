@@ -169,6 +169,27 @@ object BenchExtra {
         .select((col("doc_id") + 50000).as("doc_id"), col("text"))
       Dedup.incrementalLshPairsFromIndex("bench_dedup_idx", batch, 0.5)
     }),
+    "bench_containment_full" -> ((s, dir) =>
+      // asymmetric containment pairs over the UNclamped dedup corpus
+      // at bench SF: same capped candidate join as the jaccard row,
+      // verify divides by the smaller set instead of the union
+      Dedup.containmentPairs(
+        Dedup.charShingles(Dedup.fixtureCorpus(docs(s, dir))), 0.9,
+        Dedup.fixtureShingleDfCap)),
+    "bench_gopher_full" -> ((s, dir) => {
+      // the full Gopher rule battery over every doc at bench SF —
+      // map-only row-local string/array expressions, the widest
+      // pure-projection bench row (must stay scan-bound)
+      val cols = graft.llm.TextAnalysis.gopherRuleColumns(col("text"))
+        .map { case (n, c) => c.as(n) }
+      docs(s, dir).select((col("doc_id") +: cols): _*)
+    }),
+    "bench_importance_full" -> ((s, dir) =>
+      // DSIR hashed-bigram importance weights over the full corpus at
+      // bench SF: bigram explode + one bucket groupBy + broadcast
+      // log-ratio join back + per-doc sum
+      graft.llm.Curation.importanceResample(
+        docs(s, dir), col("source") === "src0")),
     "bench_synth_runner" -> ((s, dir) => {
       // Sequential workload-runner throughput on 48 reference-shaped
       // synthetic queries (join chains / IN-lists / CAST-LIKE) at the

@@ -168,6 +168,71 @@ object Curation {
       .filter(hashBucket("tmix:", col(idCol), 10000) < col("keep_bp"))
   }
 
+  // --------------------------- hashed-ngram importance resampling
+
+  /** DSIR-style hashed n-gram importance weighting (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling",
+    * arXiv:2302.03169): score every document by how much more likely
+    * its hashed word-bigram features are under the TARGET distribution
+    * (a small trusted/high-quality subset, `isTarget`) than under the
+    * RAW rest of the corpus — the bag-of-hashed-ngrams importance
+    * weight log w(x) = Σ_grams [log p_target(b) − log p_raw(b)], the
+    * learned-free data-selection stage between heuristic rules and a
+    * trained classifier.
+    *
+    * Relational shape at 100 TB: one map-only bigram explode + md5
+    * bucket ([[hashBucket]], engine-portable); ONE bucket-key groupBy
+    * computes target and raw counts as conditional sums (the bucket
+    * frame has `buckets` rows — fixed and tiny); per-bucket Laplace
+    * (+1)-smoothed log-ratios are rounded to integer 1e-4-nat units
+    * and BROADCAST back onto the occurrence stream — the Zipf-skewed
+    * gram key never drives a shuffled join (the [[TextAnalysis.idfScore]]
+    * discipline) and the per-doc score is an exact BIGINT sum,
+    * partition-order-free and engine-identical. The only float step,
+    * ln() on ratios of small integers, runs once per BUCKET and is
+    * rounded before any per-row math (the [[temperatureMix]]
+    * basis-point discipline; sub-ulp libm divergence could flip a
+    * bucket's last unit only if the product lands within an ulp of a
+    * .5 boundary — residual risk confined to the tiny bucket table).
+    *
+    * Output: (id, n_grams, logw_u, selected) — logw_u in 1e-4-nat
+    * units, selected = logw_u > 0 (more target-like than raw-like).
+    * Docs with < 2 words have no bigrams: n_grams 0, logw_u 0, not
+    * selected. */
+  def importanceResample(df: DataFrame, isTarget: Column,
+      buckets: Int = 256, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val l = TextAnalysis.tokensWs(lower(col(textCol)))
+    val bigrams = when(size(l) >= 2,
+        transform(sequence(lit(1), size(l) - 1),
+          i => concat_ws(" ", element_at(l, i), element_at(l, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val occ = df.select(col(idCol), isTarget.as("is_target"),
+        explode(bigrams).as("gram"))
+      .withColumn("bucket", hashBucket("dsir:", col("gram"), buckets))
+    val counts = occ.groupBy("bucket").agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
+      sum(when(col("is_target"), 0L).otherwise(1L)).as("cr"))
+    val totals = occ.agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("nt"),
+      sum(when(col("is_target"), 0L).otherwise(1L)).as("nr"))
+    val lr = counts.crossJoin(broadcast(totals))
+      .withColumn("lr_u", round(
+        (log((col("ct") + 1).cast("double") / (col("nt") + buckets))
+          - log((col("cr") + 1).cast("double") / (col("nr") + buckets)))
+          * 10000).cast("long"))
+      .select("bucket", "lr_u")
+    val scored = occ.join(broadcast(lr), "bucket")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"), sum("lr_u").as("logw_u"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("logw_u"), lit(0L)).as("logw_u"))
+      .withColumn("selected", col("logw_u") > 0)
+  }
+
   // ------------------------------------------------ epoch upsampling
 
   /** Deterministic epoch upsampling (repetition): each source is seen
@@ -596,7 +661,35 @@ object Curation {
     corpusDiff(v1, v2).orderBy("doc_id")
   }
 
+  /** Deterministic per-source inspection sample: the `n` documents
+    * with the smallest independent id-hash per source — the "show me
+    * five random docs from each source" report every curation review
+    * starts from, made reproducible (the SAME docs on every engine,
+    * run, and cluster size; id-addressed like all selection here) and
+    * executed by the library's own bounded-heap
+    * [[graft.plans.TopKPerKey]] operator: one shuffle on the source
+    * key, per-key heaps of size n, no per-group sort — at 100 TB the
+    * window-ROW_NUMBER alternative sorts every group's full extent. */
+  def inspectionSample(df: DataFrame, n: Int, groupCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val ranked = df.withColumn("rk",
+      hashBucket("inspect:", col(idCol), 1000000))
+    graft.plans.TopKPerKey(ranked, Seq(groupCol),
+      Seq(col("rk").asc, col(idCol).asc), n)
+  }
+
+  private val curateImportance: Q = (s, dir) =>
+    importanceResample(docs(s, dir), col("source") === "src0")
+      .orderBy("doc_id")
+
+  private val curateInspection: Q = (s, dir) =>
+    inspectionSample(docs(s, dir), 5)
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy("source", "rk", "doc_id")
+
   val queries: Map[String, Q] = Map(
+    "curate_importance_resample" -> curateImportance,
+    "curate_inspection_sample" -> curateInspection,
     "curate_corpus_diff"       -> curateCorpusDiff,
     "curate_sample_stratified" -> curateSample,
     "curate_split_assign"      -> curateSplit,
@@ -631,6 +724,61 @@ object Curation {
     "len(list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0))"
 
   val oracles: Map[String, String] = Map(
+    "curate_importance_resample" ->
+      s"""WITH toked AS (
+         |  SELECT doc_id, (source = 'src0') AS is_target,
+         |    list_filter(string_split_regex(lower(text), '\\s+'),
+         |      t -> len(t) > 0) AS l
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, is_target,
+         |    unnest(list_transform(generate_series(1, len(l) - 1),
+         |      i -> l[i] || ' ' || l[i + 1])) AS gram
+         |  FROM toked WHERE len(l) >= 2),
+         |occ AS (
+         |  SELECT doc_id, is_target,
+         |    ${sqlBucket("dsir:", "gram", 256)} AS bucket
+         |  FROM bg),
+         |counts AS (
+         |  SELECT bucket,
+         |    SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+         |    SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS cr
+         |  FROM occ GROUP BY bucket),
+         |tot AS (
+         |  SELECT SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS nt,
+         |    SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS nr
+         |  FROM occ),
+         |lr AS (
+         |  SELECT bucket,
+         |    CAST(ROUND((ln(CAST(ct + 1 AS DOUBLE) / (nt + 256))
+         |      - ln(CAST(cr + 1 AS DOUBLE) / (nr + 256))) * 10000)
+         |      AS BIGINT) AS lr_u
+         |  FROM counts CROSS JOIN tot),
+         |scored AS (
+         |  SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |    CAST(SUM(l.lr_u) AS BIGINT) AS logw_u
+         |  FROM occ o JOIN lr l ON o.bucket = l.bucket
+         |  GROUP BY o.doc_id)
+         |SELECT d.doc_id, COALESCE(s.n_grams, 0) AS n_grams,
+         |  COALESCE(s.logw_u, 0) AS logw_u,
+         |  COALESCE(s.logw_u, 0) > 0 AS selected
+         |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "curate_inspection_sample" ->
+      s"""WITH ranked AS (
+         |  SELECT doc_id, source,
+         |    ${sqlBucket("inspect:", "doc_id", 1000000)} AS rk
+         |  FROM documents),
+         |top AS (
+         |  SELECT doc_id, source, rk,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY rk, doc_id) AS rn
+         |  FROM ranked)
+         |SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+         |FROM top WHERE rn <= 5
+         |ORDER BY source, rk, doc_id""".stripMargin,
+
     "curate_corpus_diff" ->
       """WITH v1 AS (
         |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id < 300),

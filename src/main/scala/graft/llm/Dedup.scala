@@ -154,6 +154,51 @@ object Dedup {
     verifyJaccard(candidates, hashed, threshold)
   }
 
+  /** Containment-similarity near-dup pairs — the ASYMMETRIC member of
+    * the shingle-similarity family (Broder 1997's containment
+    * c(A,B) = |S(A)∩S(B)| / |S(A)|): flags a document whose shingle
+    * set is mostly a SUBSET of another's — a quote, an excerpt, a doc
+    * concatenated into a compilation — even when Jaccard is tiny
+    * because the container dwarfs the contained side (an 80-char quote
+    * of a 500-char doc has containment 1.0 but Jaccard ~0.15, invisible
+    * to [[jaccardPairs]] at any useful threshold). Containment is
+    * measured w.r.t. the SMALLER set of each unordered pair, so one
+    * pass covers both directions of the asymmetric measure.
+    *
+    * Same candidate-then-verify shape as [[jaccardPairs]] (and the
+    * same losslessness argument: a pair at containment ≥ t shares
+    * ≥ t·|smaller| shingles, so only pairs overlapping solely in
+    * super-cap boilerplate shingles can be missed): rare-shingle
+    * equi-join bounded by maxShingleDf² per shingle, exact
+    * sorted-merge intersect ([[graft.functions.SortedIntersectSize]])
+    * on candidates only — never all-pairs. */
+  def containmentPairs(shingles: DataFrame, threshold: Double,
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val hashed = hashShingles(shingles)
+    val frequent = hashed.groupBy("shingle")
+      .agg(count(lit(1)).as("df")).filter(col("df") > maxShingleDf)
+      .select("shingle")
+    val rare = hashed.join(frequent, Seq("shingle"), "left_anti")
+      .select("id", "shingle")
+    val candidates = rare.as("a").join(rare.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val sets = shingleSetRows(hashed)
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        col("set_size").as("size_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"),
+        col("set_size").as("size_b")), "id_b")
+      .withColumn("n_common",
+        graft.functions.SortedIntersectSize.sortedIntersectSize(
+          col("sh_a"), col("sh_b")).cast("long"))
+      .withColumn("containment",
+        col("n_common").cast("double") /
+          least(col("size_a"), col("size_b")))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "n_common", "containment")
+  }
+
   /** 64-bit shingle identities: all candidate/verify set math runs on
     * longs; the shingle text is only needed where its VALUE matters
     * (the md5-ordered MinHash permutations). */
@@ -865,6 +910,23 @@ object Dedup {
         fixtureShingleDfCap)
       .orderBy("id_a", "id_b")
 
+  /** Containment fixture: the dedup corpus plus QUOTE docs (id+40000,
+    * every 13th base doc's first 80 chars) — shingle subsets of their
+    * source, so containment ≈ 1 while Jaccard stays far below any
+    * near-dup threshold. Mirrored literally in the oracle. */
+  private def quoteCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = fixtureCorpus(docsSmall(s, dir))
+    val quotes = docsSmall(s, dir).filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 40000).as("doc_id"),
+        substring(col("text"), 1, 80).as("text"))
+    base.unionByName(quotes)
+  }
+
+  private val dedupContainment: Q = (s, dir) =>
+    containmentPairs(charShingles(quoteCorpus(s, dir)), 0.9,
+        fixtureShingleDfCap)
+      .orderBy("id_a", "id_b")
+
   private val dedupMinHashLsh: Q = (s, dir) =>
     minHashLshPairs(fixtureCorpus(docsSmall(s, dir)), 0.5)
       .orderBy("id_a", "id_b")
@@ -958,6 +1020,7 @@ object Dedup {
     "dedup_substring_spans"  -> dedupSubstringSpans,
     "dedup_substring_clean"  -> dedupSubstringClean,
     "dedup_ngram_jaccard"    -> dedupJaccard,
+    "dedup_containment"      -> dedupContainment,
     "dedup_minhash_lsh"      -> dedupMinHashLsh,
     "dedup_minhash_rowlocal" -> dedupMinHashRowLocal,
     "dedup_clusters"         -> dedupClusters,
@@ -1229,6 +1292,30 @@ object Dedup {
       s"""WITH corpus AS ($corpusSmallSql),
          |shingles AS ($shinglesSql),
          |$jaccardTailSql""".stripMargin,
+
+    // all-pairs exact containment — the gate doubles as the proof that
+    // the frequency-capped candidate stage loses no qualifying pair
+    "dedup_containment" ->
+      s"""WITH corpus AS ($corpusSmallSql
+         |UNION ALL
+         |SELECT doc_id + 40000, substr(text, 1, 80)
+         |FROM documents WHERE doc_id < 200 AND doc_id % 13 = 0),
+         |shingles AS ($shinglesSql),
+         |sizes AS (SELECT id, COUNT(*) AS set_size FROM shingles GROUP BY id),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+         |  FROM shingles a JOIN shingles b
+         |    ON a.shingle = b.shingle AND a.id < b.id
+         |  GROUP BY a.id, b.id)
+         |SELECT i.id_a, i.id_b, CAST(i.n_common AS BIGINT) AS n_common,
+         |  CAST(i.n_common AS DOUBLE) / LEAST(sa.set_size, sb.set_size)
+         |    AS containment
+         |FROM inter i
+         |JOIN sizes sa ON i.id_a = sa.id
+         |JOIN sizes sb ON i.id_b = sb.id
+         |WHERE CAST(i.n_common AS DOUBLE)
+         |  / LEAST(sa.set_size, sb.set_size) >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_minhash_lsh" -> minHashOracleSql,
 

@@ -121,6 +121,54 @@ object TextAnalysis {
       "mean_token_len" -> meanTokLen, "quality_score" -> score)
   }
 
+  /** The Gopher rule-set stopword list (Rae et al. §A1.1: "contains at
+    * least two of the following English words"). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher/MassiveText document-quality rules (Rae et al.,
+    * "Scaling Language Models: ... Gopher", arXiv:2112.11446 §A1.1) as
+    * row-local columns — the standard pre-filter battery a web-scale
+    * curation recipe runs before any model-based scoring. Every rule
+    * is a string/array expression over the row (map-only, no UDFs, no
+    * shuffle at any scale); metrics are emitted beside the per-rule
+    * booleans so a curation report can tune thresholds without
+    * recomputing. Symbol set is the ASCII subset ('#', '...');
+    * bullet markers are '- ' / '* ' line prefixes — both confined to
+    * expressions the DuckDB twin evaluates identically. */
+  def gopherRuleColumns(text: Column): Seq[(String, Column)] = {
+    val toks = tokensWs(text)
+    val nWords = size(toks).cast("long")
+    val nonspace = length(regexp_replace(text, "[\\s]", ""))
+    val meanWordLen = nonspace.cast("double") / nullif(nWords, lit(0))
+    val nSymbols = regexp_count(text, lit("#")) +
+      regexp_count(text, lit("\\.\\.\\."))
+    val symbolRatio = nSymbols.cast("double") / nullif(nWords, lit(0))
+    val lines = split(text, "\n")
+    val nLines = size(lines)
+    val bulletFrac = size(filter(lines, l =>
+        substring(l, 1, 2) === "- " || substring(l, 1, 2) === "* "))
+      .cast("double") / nLines
+    val ellipsisFrac = size(filter(lines, l => l.like("%...")))
+      .cast("double") / nLines
+    val alphaFrac = size(filter(toks, t => t.rlike("[A-Za-z]")))
+      .cast("double") / nullif(nWords, lit(0))
+    val nStop = stopwordCount(text, GopherStopwords).cast("long")
+    val rules = Seq(
+      "rule_word_count" -> nWords.between(50L, 100000L),
+      "rule_mean_word_len" -> meanWordLen.between(3.0, 10.0),
+      "rule_symbol_ratio" -> (symbolRatio <= 0.1),
+      "rule_bullet_lines" -> (bulletFrac <= 0.9),
+      "rule_ellipsis_lines" -> (ellipsisFrac <= 0.3),
+      "rule_alpha_words" -> (alphaFrac >= 0.8),
+      "rule_stopwords" -> (nStop >= 2L))
+    Seq("n_words" -> nWords, "mean_word_len" -> meanWordLen,
+      "symbol_ratio" -> symbolRatio, "bullet_line_frac" -> bulletFrac,
+      "ellipsis_line_frac" -> ellipsisFrac, "alpha_word_frac" -> alphaFrac,
+      "n_stop_hits" -> nStop) ++ rules :+
+      ("pass_gopher" -> rules.map(_._2).reduce(_ && _))
+  }
+
   // ------------------------------------------------- fingerprinting
 
   /** Polynomial rolling hash of the whole document, folded per-char
@@ -712,6 +760,46 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Fixture with deterministically PLANTED structure (the word-soup
+    * corpus has no lines, digits, or symbols, so the line- and
+    * symbol-rules would be degenerate on it): every 4th doc gains
+    * digit words + a '###' symbol run, every 6th three bullet lines,
+    * every 9th a stopword-rich line ending in an ellipsis — every rule
+    * exercised in both directions; built identically in the oracle. */
+  private def gopherPlanted(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          lit(" 123 456 ### 789 101112")).otherwise(lit("")),
+        when(col("doc_id") % 6 === 0,
+          lit("\n- bullet one\n- bullet two\n* bullet three"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 9 === 0,
+          lit("\nto be of and that trailing...")).otherwise(lit(""))))
+
+  private val textGopherRules: Q = (s, dir) => {
+    val cols = gopherRuleColumns(col("text")).map { case (n, c) => c.as(n) }
+    gopherPlanted(s, dir).select((col("doc_id") +: cols): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Per-language tokenizer-fertility report: BPE-ish units per
+    * whitespace word and chars per unit — the "how expensive is this
+    * language to tokenize" data-card row that drives per-language
+    * token budgets. One lang-key groupBy of integer sums (map-side
+    * combine; languages are few); the two divisions happen once per
+    * LANGUAGE on identical integer sums, so the doubles hash-match. */
+  private val textFertility: Q = (s, dir) =>
+    docs(s, dir).groupBy("lang")
+      .agg(sum(tokenCountWs(col("text"))).cast("long").as("n_words"),
+        sum(tokenCountBpe(col("text"))).cast("long").as("n_bpe_units"),
+        sum(length(col("text"))).cast("long").as("n_chars"))
+      .withColumn("fertility",
+        col("n_bpe_units").cast("double") / col("n_words"))
+      .withColumn("chars_per_unit",
+        col("n_chars").cast("double") / col("n_bpe_units"))
+      .orderBy("lang")
+
   /** Fixture with deterministically PLANTED URLs (the word-soup corpus
     * contains none): every 9th doc gains a site URL whose host cycles
     * over 7 domains; every 18th also gains a blocked-domain URL —
@@ -770,6 +858,8 @@ object TextAnalysis {
     "text_idf_score"      -> textIdfScore,
     "text_repetition"     -> textRepetition,
     "text_redact_pii"     -> textRedactPii,
+    "text_gopher_rules"   -> textGopherRules,
+    "text_fertility"      -> textFertility,
     "doc_fingerprint"     -> docFingerprint,
     "text_embed_meanpool" -> textEmbedMeanpool,
   )
@@ -816,6 +906,68 @@ object TextAnalysis {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_fertility" ->
+      s"""SELECT lang, CAST(SUM($sqlTokWs) AS BIGINT) AS n_words,
+         |  CAST(SUM($sqlTokBpe) AS BIGINT) AS n_bpe_units,
+         |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+         |  CAST(SUM($sqlTokBpe) AS DOUBLE) / SUM($sqlTokWs) AS fertility,
+         |  CAST(SUM(length(text)) AS DOUBLE) / SUM($sqlTokBpe)
+         |    AS chars_per_unit
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_gopher_rules" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 4 = 0
+         |      THEN ' 123 456 ### 789 101112' ELSE '' END ||
+         |    CASE WHEN doc_id % 6 = 0
+         |      THEN chr(10) || '- bullet one' || chr(10) || '- bullet two'
+         |        || chr(10) || '* bullet three' ELSE '' END ||
+         |    CASE WHEN doc_id % 9 = 0
+         |      THEN chr(10) || 'to be of and that trailing...'
+         |      ELSE '' END AS text
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST($sqlTokWs AS BIGINT) AS n_words,
+         |    CAST(length(regexp_replace(text, '[\\s]', '', 'g')) AS DOUBLE)
+         |      AS nonspace,
+         |    CAST(len(regexp_extract_all(text, '#'))
+         |      + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+         |      AS n_symbols,
+         |    string_split(text, chr(10)) AS lines,
+         |    list_filter(string_split_regex(text, '\\s+'),
+         |      t -> len(t) > 0) AS toks,
+         |    CAST(${sqlStopCount(GopherStopwords)} AS BIGINT) AS n_stop_hits
+         |  FROM planted),
+         |m2 AS (
+         |  SELECT doc_id, n_words,
+         |    nonspace / NULLIF(n_words, 0) AS mean_word_len,
+         |    n_symbols / NULLIF(n_words, 0) AS symbol_ratio,
+         |    CAST(len(list_filter(lines, l -> substr(l, 1, 2) IN ('- ', '* ')))
+         |      AS DOUBLE) / len(lines) AS bullet_line_frac,
+         |    CAST(len(list_filter(lines, l -> l LIKE '%...'))
+         |      AS DOUBLE) / len(lines) AS ellipsis_line_frac,
+         |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+         |      AS DOUBLE) / NULLIF(n_words, 0) AS alpha_word_frac,
+         |    n_stop_hits
+         |  FROM m)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+         |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac, n_stop_hits,
+         |  n_words BETWEEN 50 AND 100000 AS rule_word_count,
+         |  mean_word_len BETWEEN 3.0 AND 10.0 AS rule_mean_word_len,
+         |  symbol_ratio <= 0.1 AS rule_symbol_ratio,
+         |  bullet_line_frac <= 0.9 AS rule_bullet_lines,
+         |  ellipsis_line_frac <= 0.3 AS rule_ellipsis_lines,
+         |  alpha_word_frac >= 0.8 AS rule_alpha_words,
+         |  n_stop_hits >= 2 AS rule_stopwords,
+         |  (n_words BETWEEN 50 AND 100000)
+         |    AND (mean_word_len BETWEEN 3.0 AND 10.0)
+         |    AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9
+         |    AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+         |    AND n_stop_hits >= 2 AS pass_gopher
+         |FROM m2 ORDER BY doc_id""".stripMargin,
+
     "text_url_extract" ->
       s"""WITH $urlPlantedSql,
          |u AS (SELECT doc_id,

@@ -345,4 +345,55 @@ class CurationSpec extends SparkSpec {
         b.getLong(b.fieldIndex("rows_in")))
     }
   }
+
+  test("importance resampling separates target-like from raw-like docs") {
+    import spark.implicits._
+    // Target docs share a distinctive bigram vocabulary; raw docs use
+    // a disjoint one; probe docs written in each dialect but NOT in
+    // the target set must be scored by content, not membership.
+    val corpus = (
+      (0L until 20L).map(i => (i, "alpha beta gamma delta alpha beta", true)) ++
+      (20L until 40L).map(i => (i, "omega psi chi phi omega psi", false)) ++
+      Seq((100L, "alpha beta gamma delta", false),   // target-dialect probe
+        (101L, "omega psi chi phi", false),          // raw-dialect probe
+        (102L, "solo", false))                       // < 2 words: no grams
+    ).toDF("doc_id", "text", "is_t")
+    val got = Curation.importanceResample(corpus, col("is_t"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got(100L)._3, "target-dialect probe must be selected")
+    assert(got(100L)._2 > 0)
+    assert(!got(101L)._3, "raw-dialect probe must not be selected")
+    assert(got(101L)._2 < 0)
+    assert(got(102L) === ((0L, 0L, false)), "gram-less doc scores 0, unselected")
+    // determinism: the exact same frame on a second run
+    val again = Curation.importanceResample(corpus, col("is_t"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got === again)
+  }
+
+  test("inspection sample: exactly n per source, deterministic, matches the window form") {
+    val n = 5
+    val got = Curation.inspectionSample(docs, n)
+      .select("doc_id", "source", "rk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val perSource = got.groupBy(_._2).view.mapValues(_.length).toMap
+    val sourceSizes = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sourceSizes.foreach { case (src, total) =>
+      assert(perSource.getOrElse(src, 0) == math.min(n.toLong, total),
+        s"source $src expected min($n, $total) sampled docs")
+    }
+    // value-equal to the window ROW_NUMBER form it replaces
+    val ranked = docs.withColumn("rk",
+      Curation.hashBucket("inspect:", col("doc_id"), 1000000))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("rk"), col("doc_id"))
+    val windowForm = ranked
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+      .select("doc_id", "source", "rk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSet === windowForm.toSet)
+  }
 }

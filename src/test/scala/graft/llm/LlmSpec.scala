@@ -1,6 +1,6 @@
 package graft.llm
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -800,5 +800,65 @@ class LlmSpec extends SparkSpec {
     // old-old (1,2) and new-new (10,12) are never reported; exact
     // copies are found with certainty (identical signatures)
     assert(got.toSeq === Seq((1L, 10L), (1L, 12L), (2L, 10L), (2L, 12L)))
+  }
+
+  // ------------------------------------------- containment similarity
+
+  test("containmentPairs finds a quote invisible to Jaccard") {
+    val long = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen librarians catalogue ancient manuscripts under " +
+      "flickering gaslight in the basement archive of the old city"
+    val quote = long.take(40) // shingle subset of `long`
+    val other = "completely unrelated text about submarine navigation " +
+      "through arctic waters and the crews long winter routines"
+    val df = textDf((1L, long), (2L, quote), (3L, other))
+    val cont = Dedup.containmentPairs(Dedup.charShingles(df), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(cont.map(t => (t._1, t._2)).toSeq === Seq((1L, 2L)))
+    assert(cont.head._3 === 1.0, "a verbatim prefix is fully contained")
+    // the same pair is invisible to symmetric Jaccard at any near-dup
+    // threshold: |quote shingles| / |long shingles| ~ 0.2
+    val jac = Dedup.jaccardPairs(Dedup.charShingles(df), 0.5)
+      .collect()
+    assert(jac.isEmpty, "Jaccard must miss the asymmetric pair")
+  }
+
+  // ------------------------------------------------------ Gopher rules
+
+  test("gopher rules flag each planted defect independently") {
+    val goodWords = (1 to 60).map(i => s"word$i").mkString(" ") +
+      " the and of that be" // 65 words, stopwords present
+    val df = textDf(
+      (0L, goodWords),
+      (1L, "too short to pass the word count rule and that is that"),
+      (2L, goodWords + " ### ### ### ### ### ### ###"), // symbol-heavy
+      (3L, "the and\n- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j"),
+      (4L, goodWords.split(" ").map(_ + "...").mkString("\n")))
+    val cols = TextAnalysis.gopherRuleColumns(col("text"))
+      .map { case (n, c) => c.as(n) }
+    val got = df.select((col("doc_id") +: cols): _*).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def b(id: Long, name: String): Boolean =
+      got(id).getBoolean(got(id).fieldIndex(name))
+    assert(b(0L, "pass_gopher"), "clean doc passes every rule")
+    assert(!b(1L, "rule_word_count") && !b(1L, "pass_gopher"))
+    assert(b(0L, "rule_symbol_ratio") && !b(2L, "rule_symbol_ratio"))
+    assert(!b(3L, "rule_bullet_lines"), "10/11 bullet lines exceeds 0.9")
+    assert(!b(4L, "rule_ellipsis_lines"), "every line ends in ellipsis")
+    assert(b(0L, "rule_stopwords") && b(0L, "rule_alpha_words"))
+  }
+
+  test("fertility: BPE-ish units never undercount whitespace words") {
+    val df = Tables.load(spark, sfCorrect, "documents")
+    val r = df.groupBy("lang")
+      .agg(sum(TextAnalysis.tokenCountWs(col("text"))).as("ws"),
+        sum(TextAnalysis.tokenCountBpe(col("text"))).as("bpe"))
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getLong(row.fieldIndex("bpe")) >=
+        row.getLong(row.fieldIndex("ws")),
+        "a BPE-ish pre-tokenization splits at least every whitespace word")
+    }
   }
 }

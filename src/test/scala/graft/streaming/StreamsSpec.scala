@@ -510,4 +510,39 @@ class StreamsSpec extends SparkSpec {
       assert(fin.toSeq === Seq((1, 1L, 9.0), (2, 2L, 4.0)), s"got ${fin.toSeq}")
     } finally query.stop()
   }
+
+  test("gopher rule battery is stream-transparent: streaming filter equals batch") {
+    // gopherRuleColumns is a pure row-local projection, so the SAME
+    // rule battery runs unchanged on the ingest stream (append mode,
+    // no state) — the pre-filter shape a production pipeline applies
+    // before anything stateful touches the data.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.load(spark, sfSmoke, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val cols = TextAnalysis.gopherRuleColumns(col("text"))
+      .map { case (n, c) => c.as(n) }
+    val out = stream.select((col("doc_id") +: cols): _*)
+      .writeStream.format("memory").queryName("gopherstream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (a, b) = docs.splitAt(docs.size / 2)
+      input.addData(a: _*); out.processAllAvailable()
+      input.addData(b: _*); out.processAllAvailable()
+      val streamed = spark.table("gopherstream")
+        .select("doc_id", "pass_gopher", "n_words").collect()
+        .map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+      val batchDf = graft.Tables.load(spark, sfSmoke, "documents")
+      val batch = batchDf.select((col("doc_id") +: TextAnalysis
+          .gopherRuleColumns(col("text")).map { case (n, c) => c.as(n) }): _*)
+        .select("doc_id", "pass_gopher", "n_words").collect()
+        .map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+      assert(streamed == batch,
+        "streaming gopher rules must score exactly the batch values")
+    } finally out.stop()
+  }
 }
