@@ -26,7 +26,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Advanced.queries ++ AsOf.queries ++
-      TopKPerKey.queries ++
+      TopKPerKey.queries ++ graft.operators.Scale.queries ++
       TraceAnalytics.queries ++
       Metrics.queries ++ PlanFeaturizer.queries ++
       SchedulingQueries.queries ++ Ingest.queries ++ TpcdsPromoted.queries ++
@@ -38,7 +38,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Advanced.oracles ++ AsOf.oracles ++
-      TopKPerKey.oracles ++
+      TopKPerKey.oracles ++ graft.operators.Scale.oracles ++
       TraceAnalytics.oracles ++
       Metrics.oracles ++ SchedulingQueries.oracles ++ Ingest.oracles ++
       TpcdsPromoted.oracles ++ SyntheticWorkload.oracles ++

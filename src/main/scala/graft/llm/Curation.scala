@@ -168,6 +168,42 @@ object Curation {
       .filter(hashBucket("tmix:", col(idCol), 10000) < col("keep_bp"))
   }
 
+  // ------------------------------- quality-threshold calibration
+
+  /** Per-source quality-threshold calibration: the quality-score
+    * cutoff that keeps the top `keepFrac` of each source's documents —
+    * the number a rate-targeted quality filter needs BEFORE it can be
+    * written as a map-only pushed-down predicate. The exact cutoff
+    * (the (1−keepFrac)-quantile, rank-selected so ties cannot make it
+    * engine-dependent: the value at a rank is determined by the sorted
+    * multiset alone) is the oracle-gated twin; the percentile_approx
+    * sketch — one mergeable pass, the 100 TB path where the exact
+    * window must sort each source's full extent — is asserted inside a
+    * ±4-rank value band ([[graft.operators.Advanced]]'s
+    * agg_approx_quantile discipline). */
+  def qualityThreshold(df: DataFrame, keepFrac: Double = 0.2,
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    val q = 1.0 - keepFrac
+    val score = TextAnalysis.qualityColumns(col(textCol))
+      .toMap.apply("quality_score")
+    val ranked = df.select(col(sourceCol).as("src"), score.as("v"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("src").orderBy("v")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("src")))
+    val target = ceil(col("n") * q).cast("long")
+    ranked.groupBy("src")
+      .agg(max("n").as("n_docs"),
+        max(when(col("rn") === target, col("v"))).as("exact_cutoff"),
+        max(when(col("rn") === greatest(lit(1L), target - 4), col("v")))
+          .as("lo"),
+        max(when(col("rn") === least(col("n"), target + 4), col("v")))
+          .as("hi"),
+        percentile_approx(col("v"), lit(q), lit(10000)).as("approx"))
+      .select(col("src").as(sourceCol), col("n_docs"), col("exact_cutoff"),
+        (col("approx") >= col("lo") && col("approx") <= col("hi"))
+          .as("cutoff_within_tol"))
+  }
+
   // --------------------------- hashed-ngram importance resampling
 
   /** DSIR-style hashed n-gram importance weighting (Xie et al., "Data
@@ -201,30 +237,61 @@ object Curation {
     * selected. */
   def importanceResample(df: DataFrame, isTarget: Column,
       buckets: Int = 256, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    scoreImportance(df, importanceTable(df, isTarget, buckets, textCol),
+      buckets, idCol, textCol)
+
+  /** Lowercased word-bigram occurrences of `df` hashed into `buckets`
+    * — the shared feature extraction of [[importanceTable]] (training)
+    * and [[scoreImportance]] (scoring). Map-only. */
+  private def dsirOccurrences(df: DataFrame, extra: Seq[Column],
+      buckets: Int, textCol: String): DataFrame = {
     val l = TextAnalysis.tokensWs(lower(col(textCol)))
     val bigrams = when(size(l) >= 2,
         transform(sequence(lit(1), size(l) - 1),
           i => concat_ws(" ", element_at(l, i), element_at(l, i + 1))))
       .otherwise(array().cast("array<string>"))
-    val occ = df.select(col(idCol), isTarget.as("is_target"),
-        explode(bigrams).as("gram"))
+    df.select(extra :+ explode(bigrams).as("gram"): _*)
       .withColumn("bucket", hashBucket("dsir:", col("gram"), buckets))
+  }
+
+  /** The TRAINING half of [[importanceResample]]: the per-bucket
+    * log-ratio table (bucket, lr_u) from one pass over a labeled
+    * corpus. Build it once on the reference corpus, persist/broadcast
+    * it, then [[scoreImportance]] scores any frame — including an
+    * ingest STREAM per micro-batch (each doc's score depends only on
+    * its own bigrams and the static table, so per-batch equals batch;
+    * the [[TextAnalysis.scoreBigrams]] production shape). */
+  def importanceTable(df: DataFrame, isTarget: Column,
+      buckets: Int = 256, textCol: String = "text"): DataFrame = {
+    val occ = dsirOccurrences(df, Seq(isTarget.as("is_target")),
+      buckets, textCol)
     val counts = occ.groupBy("bucket").agg(
       sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
       sum(when(col("is_target"), 0L).otherwise(1L)).as("cr"))
     val totals = occ.agg(
       sum(when(col("is_target"), 1L).otherwise(0L)).as("nt"),
       sum(when(col("is_target"), 0L).otherwise(1L)).as("nr"))
-    val lr = counts.crossJoin(broadcast(totals))
+    counts.crossJoin(broadcast(totals))
       .withColumn("lr_u", round(
         (log((col("ct") + 1).cast("double") / (col("nt") + buckets))
           - log((col("cr") + 1).cast("double") / (col("nr") + buckets)))
           * 10000).cast("long"))
       .select("bucket", "lr_u")
-    val scored = occ.join(broadcast(lr), "bucket")
+  }
+
+  /** The SCORING half of [[importanceResample]]: per-doc importance
+    * weight of `df` against a static [[importanceTable]]. One map-only
+    * bigram explode, one broadcast bucket join, one per-doc BIGINT
+    * sum; buckets absent from the table (possible when scoring a NEW
+    * corpus against a previously trained table) contribute 0. */
+  def scoreImportance(df: DataFrame, lr: DataFrame, buckets: Int = 256,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val occ = dsirOccurrences(df, Seq(col(idCol)), buckets, textCol)
+    val scored = occ.join(broadcast(lr), Seq("bucket"), "left")
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_grams"), sum("lr_u").as("logw_u"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("lr_u"), lit(0L))).as("logw_u"))
     df.select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),
@@ -687,9 +754,13 @@ object Curation {
       .select(col("doc_id"), col("source"), col("rk"))
       .orderBy("source", "rk", "doc_id")
 
+  private val curateQualityThreshold: Q = (s, dir) =>
+    qualityThreshold(docs(s, dir)).orderBy("source")
+
   val queries: Map[String, Q] = Map(
     "curate_importance_resample" -> curateImportance,
     "curate_inspection_sample" -> curateInspection,
+    "curate_quality_threshold" -> curateQualityThreshold,
     "curate_corpus_diff"       -> curateCorpusDiff,
     "curate_sample_stratified" -> curateSample,
     "curate_split_assign"      -> curateSplit,
@@ -778,6 +849,23 @@ object Curation {
          |SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
          |FROM top WHERE rn <= 5
          |ORDER BY source, rk, doc_id""".stripMargin,
+
+    // exact rank-selected cutoffs gate the values; the sketch is
+    // asserted inside its ±4-rank value band via the boolean
+    "curate_quality_threshold" ->
+      s"""WITH scored AS (
+         |  SELECT source AS src, (${TextAnalysis.sqlQualityScore}) AS v
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT src, v,
+         |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY v) AS rn,
+         |    COUNT(*) OVER (PARTITION BY src) AS n
+         |  FROM scored)
+         |SELECT src AS source, CAST(MAX(n) AS BIGINT) AS n_docs,
+         |  MAX(CASE WHEN rn = CAST(CEIL(n * 0.8) AS BIGINT) THEN v END)
+         |    AS exact_cutoff,
+         |  TRUE AS cutoff_within_tol
+         |FROM ranked GROUP BY src ORDER BY source""".stripMargin,
 
     "curate_corpus_diff" ->
       """WITH v1 AS (

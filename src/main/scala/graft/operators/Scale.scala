@@ -135,4 +135,48 @@ object Scale {
       .withColumn(outCol, col("__offset") + row_number().over(withinW))
       .drop("__bucket", "__offset")
   }
+
+  /** Shuffle-key skew report — the diagnostic that decides WHEN the
+    * salting utilities above are needed: the k heaviest values of a
+    * prospective join/group key, each with its row count, share of
+    * all rows, and skew factor (count ÷ mean-per-key; ~1 is uniform,
+    * ≫1 is a hot key that will pin a reducer). One key-groupBy (the
+    * count frame is key-cardinality-sized; map-side combine absorbs
+    * the very skew being measured) + the TopKPerKey bounded heap —
+    * never a global sort of the counts. */
+  def keySkewReport(df: DataFrame, keyCol: String, k: Int = 10)
+      : DataFrame = {
+    val counts = df.groupBy(keyCol).agg(count(lit(1)).as("n"))
+    val stats = counts.agg(count(lit(1)).as("n_keys"),
+      sum("n").cast("long").as("total"))
+    val top = graft.plans.TopKPerKey(counts.withColumn("__g", lit(1)),
+      Seq("__g"), Seq(col("n").desc, col(keyCol).asc), k).drop("__g")
+    top.crossJoin(broadcast(stats))
+      .select(col(keyCol), col("n"),
+        (col("n").cast("double") / col("total")).as("share"),
+        (col("n").cast("double") * col("n_keys") / col("total"))
+          .as("skew_x"))
+  }
+
+  type Q = (org.apache.spark.sql.SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "diag_key_skew" -> ((s, dir) =>
+      keySkewReport(graft.Tables.load(s, dir, "lineitem"), "l_suppkey")
+        .orderBy(col("n").desc, col("l_suppkey"))),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "diag_key_skew" ->
+      """WITH counts AS (
+        |  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY l_suppkey),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(n) AS BIGINT) AS total FROM counts)
+        |SELECT l_suppkey, n,
+        |  CAST(n AS DOUBLE) / total AS share,
+        |  CAST(n AS DOUBLE) * n_keys / total AS skew_x
+        |FROM counts CROSS JOIN s
+        |ORDER BY n DESC, l_suppkey LIMIT 10""".stripMargin,
+  )
 }

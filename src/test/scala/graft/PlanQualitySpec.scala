@@ -25,7 +25,9 @@ class PlanQualitySpec extends SparkSpec {
     "tpcds_q28_band_probes", // 6 one-row band probes cross-joined
     "tpcds_q61_promo_ratio", // promo/total: two one-row aggregates crossed
     "curate_mix_temperature", // one-row pow-sum normalizer crossed onto per-domain counts
-    "curate_mix_report"      // one-row total-chars aggregate crossed onto the rollup report
+    "curate_mix_report",     // one-row total-chars aggregate crossed onto the rollup report
+    "curate_importance_resample", // one-row target/raw totals crossed onto the bucket table
+    "diag_key_skew"          // one-row (n_keys, total) stats crossed onto the top-k keys
   )
 
   test("no oracle query plans a cartesian/nested-loop join unintentionally") {

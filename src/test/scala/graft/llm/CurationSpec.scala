@@ -346,6 +346,26 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("quality threshold: sketch inside band, cutoff keeps at least the target fraction") {
+    val th = Curation.qualityThreshold(docs, keepFrac = 0.2).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(th.nonEmpty)
+    th.values.foreach { case (_, _, tol) => assert(tol, "sketch out of band") }
+    val score = TextAnalysis.qualityColumns(col("text"))
+      .toMap.apply("quality_score")
+    val scored = docs.select(col("source"), score.as("v")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    th.foreach { case (src, (n, cutoff, _)) =>
+      val vs = scored.filter(_._1 == src).map(_._2)
+      assert(n == vs.length)
+      val kept = vs.count(_ >= cutoff).toDouble / vs.length
+      // ties can only push the kept set ABOVE the target
+      assert(kept >= 0.2 - 1.0 / vs.length,
+        s"$src keeps $kept, target 0.2 (cutoff $cutoff)")
+    }
+  }
+
   test("importance resampling separates target-like from raw-like docs") {
     import spark.implicits._
     // Target docs share a distinctive bigram vocabulary; raw docs use

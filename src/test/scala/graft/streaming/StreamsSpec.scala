@@ -511,6 +511,46 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("per-batch streaming importance scoring against a static DSIR table equals batch") {
+    // the production DSIR shape: the log-ratio table is trained ONCE
+    // on a labeled reference corpus, then the ingest stream is scored
+    // per micro-batch against the static broadcast table — a doc's
+    // weight depends only on its own bigrams, so per-batch == batch.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.llm.Curation
+    import org.apache.spark.sql.functions.col
+    val base = graft.Tables.load(spark, sfSmoke, "documents")
+      .select("doc_id", "text", "source")
+    val lr = Curation.importanceTable(base, col("source") === "src0").cache()
+    lr.count() // materialize the static table before streaming starts
+    val docs = base.select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val weights = scala.collection.mutable.Map[Long, (Long, Long, Boolean)]()
+    val input = MemoryStream[(Long, String)]
+    val query = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Curation.scoreImportance(batch, lr).collect().foreach { r =>
+          weights.synchronized {
+            weights(r.getLong(0)) =
+              (r.getLong(1), r.getLong(2), r.getBoolean(3))
+          }
+        }
+      }.start()
+    try {
+      val (a, b) = docs.splitAt(docs.size / 2)
+      input.addData(a: _*); query.processAllAvailable()
+      input.addData(b: _*); query.processAllAvailable()
+      val batchW = Curation.scoreImportance(base, lr).collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+      assert(weights.toMap == batchW,
+        "per-batch weights must equal the batch result exactly")
+      assert(batchW.values.exists(_._3), "some docs select")
+      assert(batchW.values.exists(!_._3), "some docs do not select")
+    } finally { query.stop(); lr.unpersist() }
+  }
+
   test("gopher rule battery is stream-transparent: streaming filter equals batch") {
     // gopherRuleColumns is a pure row-local projection, so the SAME
     // rule battery runs unchanged on the ingest stream (append mode,
