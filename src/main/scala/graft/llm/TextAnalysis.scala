@@ -760,6 +760,39 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** C4-style text normalization — the canonical first rewrite of any
+    * curation pipeline, BEFORE hashing/dedup (a decomposed e+U+0301
+    * and the precomposed é must fingerprint alike): Unicode NFC via
+    * the native [[graft.functions.NfcNormalize]] expression (ASCII
+    * passes through allocation-free), control characters → space
+    * (ASCII range, shared by the Java and RE2 dialects), whitespace
+    * runs collapsed, ends trimmed. Map-only; the control-strip runs
+    * FIRST so the later `\s+` collapse never sees a char the two
+    * engines class differently (RE2's \s excludes \x0B, Java's
+    * includes it). */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(
+      graft.functions.NfcNormalize.nfcNormalize(text),
+      "[\\x00-\\x1f\\x7f]", " "), "\\s+", " "))
+
+  /** Fixture with deterministically PLANTED combining marks and
+    * control characters (the word-soup corpus is pure ASCII): every
+    * 5th doc gains a decomposed `cafe`+U+0301, every 8th a tab/VT
+    * run — built identically in the oracle (chr(769)/chr(9)/chr(11)),
+    * so the normalized strings and code-point counts hash-match. */
+  private val textNormalize: Q = (s, dir) => {
+    val planted = docs(s, dir).withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit(" cafe\u0301")).otherwise(lit("")),
+        when(col("doc_id") % 8 === 0,
+          lit(" x\ty\u000bz")).otherwise(lit(""))))
+    planted.select(col("doc_id"),
+      normalizeText(col("text")).as("normalized"),
+      length(col("text")).cast("long").as("n_chars_raw"),
+      length(normalizeText(col("text"))).cast("long").as("n_chars_norm"))
+      .orderBy("doc_id")
+  }
+
   /** Fixture with deterministically PLANTED structure (the word-soup
     * corpus has no lines, digits, or symbols, so the line- and
     * symbol-rules would be degenerate on it): every 4th doc gains
@@ -860,6 +893,7 @@ object TextAnalysis {
     "text_redact_pii"     -> textRedactPii,
     "text_gopher_rules"   -> textGopherRules,
     "text_fertility"      -> textFertility,
+    "text_normalize"      -> textNormalize,
     "doc_fingerprint"     -> docFingerprint,
     "text_embed_meanpool" -> textEmbedMeanpool,
   )
@@ -906,6 +940,25 @@ object TextAnalysis {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_normalize" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN ' cafe' || chr(769) ELSE '' END ||
+        |    CASE WHEN doc_id % 8 = 0
+        |      THEN ' x' || chr(9) || 'y' || chr(11) || 'z'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |norm AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |      '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS normalized
+        |  FROM planted)
+        |SELECT doc_id, normalized,
+        |  CAST(length(text) AS BIGINT) AS n_chars_raw,
+        |  CAST(length(normalized) AS BIGINT) AS n_chars_norm
+        |FROM norm ORDER BY doc_id""".stripMargin,
+
     "text_fertility" ->
       s"""SELECT lang, CAST(SUM($sqlTokWs) AS BIGINT) AS n_words,
          |  CAST(SUM($sqlTokBpe) AS BIGINT) AS n_bpe_units,

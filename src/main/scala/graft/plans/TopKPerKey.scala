@@ -113,8 +113,8 @@ object TopKPerKeyStrategy extends SparkStrategy {
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-  import graft.functions.{DotProduct, ParseDuration, RollingHash,
-    SortedIntersectSize}
+  import graft.functions.{DotProduct, NfcNormalize, ParseDuration,
+    RollingHash, SortedIntersectSize}
 
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
@@ -132,6 +132,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[SortedIntersectSize].getName,
         "sorted_intersect_size"),
       exprs => SortedIntersectSize(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("nfc_normalize_native"),
+      new ExpressionInfo(classOf[NfcNormalize].getName,
+        "nfc_normalize_native"),
+      exprs => NfcNormalize(exprs.head)))
   }
 }
 
