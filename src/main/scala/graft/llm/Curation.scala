@@ -168,6 +168,26 @@ object Curation {
       .filter(hashBucket("tmix:", col(idCol), 10000) < col("keep_bp"))
   }
 
+  // ----------------------------------------- length histogram
+
+  /** Data-card length histogram: doc counts and char volume per
+    * (source, power-of-two length bucket). The bucket is
+    * floor(log2 n) computed EXACTLY as length(bin(n)) − 1 — integer
+    * arithmetic only, so a boundary length like 1024 can never land in
+    * different buckets on different engines the way a float log2
+    * could. One (source, bucket) groupBy; the frame is
+    * sources × log(max-doc-length) rows — report-sized at any corpus
+    * scale, map-side combine does the volume work. */
+  def lengthHistogram(df: DataFrame, sourceCol: String = "source",
+      sizeCol: String = "n_chars"): DataFrame =
+    df.groupBy(col(sourceCol),
+        (length(bin(col(sizeCol))) - 1).cast("long").as("log2_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(sizeCol)).cast("long").as("total_chars"))
+      .withColumn("bucket_lo",
+        expr("CAST(shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(log2_bucket AS INT)) AS BIGINT)"))
+
   // ------------------------------- quality-threshold calibration
 
   /** Per-source quality-threshold calibration: the quality-score
@@ -588,6 +608,21 @@ object Curation {
         min(col("doc_id")).as("first_doc"))
       .orderBy("source", "shard", "seq_id")
 
+  /** Token-unit packing — the production contract (context windows
+    * are sized in TOKENS, not chars): the same running-offset packer,
+    * sizes = BPE-ish pre-tokenizer counts computed once in a map-only
+    * projection. Budget 512 units ≈ a small context window at fixture
+    * doc sizes, so sequences hold a handful of docs. */
+  private val curatePackTokens: Q = (s, dir) =>
+    packSequences(docs(s, dir).withColumn("n_toks",
+        TextAnalysis.tokenCountBpe(col("text")).cast("long")),
+      budgetChars = 512L, sizeCol = "n_toks")
+      .groupBy(col("source"), col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("source", "shard", "seq_id")
+
   private val curateQualitySample: Q = (s, dir) =>
     qualityWeightedSample(docs(s, dir))
       .select(col("doc_id"), col("keep_bp"))
@@ -765,10 +800,14 @@ object Curation {
   private val curateQualityThreshold: Q = (s, dir) =>
     qualityThreshold(docs(s, dir)).orderBy("source")
 
+  private val curateLengthHistogram: Q = (s, dir) =>
+    lengthHistogram(docs(s, dir)).orderBy("source", "log2_bucket")
+
   val queries: Map[String, Q] = Map(
     "curate_importance_resample" -> curateImportance,
     "curate_inspection_sample" -> curateInspection,
     "curate_quality_threshold" -> curateQualityThreshold,
+    "curate_length_histogram"  -> curateLengthHistogram,
     "curate_corpus_diff"       -> curateCorpusDiff,
     "curate_sample_stratified" -> curateSample,
     "curate_split_assign"      -> curateSplit,
@@ -781,6 +820,7 @@ object Curation {
     "curate_sample_quality"    -> curateQualitySample,
     "curate_pipeline_e2e"      -> curatePipeline,
     "curate_pack_sequences"    -> curatePack,
+    "curate_pack_by_tokens"    -> curatePackTokens,
     "curate_decontaminate"     -> curateDecontaminate,
     "curate_filter_funnel"     -> curateFunnel,
     "curate_paragraph_dedup"   -> curateParagraphDedup,
@@ -1067,6 +1107,40 @@ object Curation {
          |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
          |FROM offs
          |GROUP BY source, shard, CAST(floor(start_off / 2000.0) AS BIGINT)
+         |ORDER BY source, shard, seq_id""".stripMargin,
+
+    "curate_length_histogram" ->
+      """SELECT source,
+        |  CAST(length(bin(n_chars)) - 1 AS BIGINT) AS log2_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(CAST(1 AS BIGINT) << (length(bin(n_chars)) - 1) AS BIGINT)
+        |    AS bucket_lo
+        |FROM documents
+        |GROUP BY source, length(bin(n_chars)) - 1
+        |ORDER BY source, log2_bucket""".stripMargin,
+
+    "curate_pack_by_tokens" ->
+      s"""WITH sized AS (
+         |  SELECT doc_id, source,
+         |    CAST(${TextAnalysis.sqlTokBpe} AS BIGINT) AS n_toks
+         |  FROM documents),
+         |offs AS (
+         |  SELECT doc_id, source, n_toks,
+         |    ${sqlBucket("shard:", "doc_id", 4)} AS shard,
+         |    COALESCE(SUM(n_toks) OVER (
+         |      PARTITION BY source, ${sqlBucket("shard:", "doc_id", 4)}
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS start_off
+         |  FROM sized)
+         |SELECT source, shard,
+         |  CAST(floor(start_off / 512.0) AS BIGINT) AS seq_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_toks) AS BIGINT) AS seq_tokens,
+         |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+         |FROM offs
+         |GROUP BY source, shard, CAST(floor(start_off / 512.0) AS BIGINT)
          |ORDER BY source, shard, seq_id""".stripMargin,
 
     "curate_eval_coverage" ->

@@ -907,7 +907,9 @@ object TextAnalysis {
 
   private val sqlTokWs =
     "len(list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0))"
-  private val sqlTokBpe =
+  /** DuckDB twin of [[tokenCountBpe]] — public like [[sqlQualityScore]]
+    * so curation oracles can size in the same tokenizer units. */
+  val sqlTokBpe =
     "len(regexp_extract_all(text, '[\\p{L}]+|[\\p{N}]+|[^\\s\\p{L}\\p{N}]'))"
 
   /** DuckDB twin of the [[qualityColumns]] composite score — factored
