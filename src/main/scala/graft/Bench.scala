@@ -130,6 +130,15 @@ object Bench {
     // comparable to the r1-r4 anchor runs.
     val curateTotal = results
       .filter { case (k, v) => k.startsWith("curate_") && v >= 0 }.map(_._2).sum
+    // llm_total: the text_/dedup_/ann_/doc_/multimodal_ oracle keys —
+    // the bucket that GROWS as the north-star layer widens (r5 late
+    // batch pushed core 69→98 s purely through new llm keys); reported
+    // separately so the SQL-operator core stays anchor-diffable.
+    def isLlm(k: String) = !k.startsWith("bench_") &&
+      Seq("text_", "dedup_", "ann_", "doc_", "multimodal_")
+        .exists(k.startsWith)
+    val llmTotal = results
+      .filter { case (k, v) => isLlm(k) && v >= 0 }.map(_._2).sum
     val coreTotal = oracleTotal - tpcdsTotal - curateTotal
     // Full per-query breakdown on its own (long) line FIRST — the
     // driver records only a ~2 KB tail of stdout, and in r2 the ~2.3 KB
@@ -139,14 +148,14 @@ object Bench {
     // 20 slowest queries only.
     println(s"""{"metric":"per_query_full","queries":${dict(results)},"sf":"$sfDir"}""")
     val slowest = results.sortBy(-_._2).take(20).sortBy(_._1)
-    val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","oracle_total":${r3(oracleTotal)},"core_total":${r3(coreTotal)},"tpcds_total":${r3(tpcdsTotal)},"curate_total":${r3(curateTotal)},"extra_total":${r3(total - oracleTotal)},"n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"calibration_s":${r3(calibrationS)},"calibration_end_s":${r3(calibrationEndS)},"calibration_max_s":${r3(calibrationMaxS)},"n_probes":${probes.size},"host_load_factor":${r3(hostLoadFactor2)},"queries":${dict(slowest)},"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","oracle_total":${r3(oracleTotal)},"core_total":${r3(coreTotal)},"tpcds_total":${r3(tpcdsTotal)},"curate_total":${r3(curateTotal)},"llm_total":${r3(llmTotal)},"extra_total":${r3(total - oracleTotal)},"n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"calibration_s":${r3(calibrationS)},"calibration_end_s":${r3(calibrationEndS)},"calibration_max_s":${r3(calibrationMaxS)},"n_probes":${probes.size},"host_load_factor":${r3(hostLoadFactor2)},"queries":${dict(slowest)},"sf":"$sfDir"}"""
     println(summary)
     // Machine-diffable artifact: the FULL summary (totals, every probe,
     // the complete per-query map — not just the 20 slowest) at a stable
     // path. The stdout tail protocol above caps what the driver's
     // BENCH_r{N}.json can carry; this file is the round-over-round
     // per-query diff source (r4's "parsed": null verdict finding).
-    val fileJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","oracle_total":${r3(oracleTotal)},"core_total":${r3(coreTotal)},"tpcds_total":${r3(tpcdsTotal)},"curate_total":${r3(curateTotal)},"extra_total":${r3(total - oracleTotal)},"n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"calibration_s":${r3(calibrationS)},"calibration_end_s":${r3(calibrationEndS)},"calibration_max_s":${r3(calibrationMaxS)},"n_probes":${probes.size},"probes":[${probes.map(r3).mkString(",")}],"host_load_factor":${r3(hostLoadFactor2)},"queries":${dict(results)},"sf":"$sfDir"}"""
+    val fileJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","oracle_total":${r3(oracleTotal)},"core_total":${r3(coreTotal)},"tpcds_total":${r3(tpcdsTotal)},"curate_total":${r3(curateTotal)},"llm_total":${r3(llmTotal)},"extra_total":${r3(total - oracleTotal)},"n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"calibration_s":${r3(calibrationS)},"calibration_end_s":${r3(calibrationEndS)},"calibration_max_s":${r3(calibrationMaxS)},"n_probes":${probes.size},"probes":[${probes.map(r3).mkString(",")}],"host_load_factor":${r3(hostLoadFactor2)},"queries":${dict(results)},"sf":"$sfDir"}"""
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
     Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
