@@ -899,6 +899,38 @@ object Dedup {
     exactGroups(fixtureCorpus(docs(s, dir)))
       .orderBy("keep_id")
 
+  /** Normalization-aware exact dedup: group on the md5 of the
+    * NFC-normalized, whitespace-collapsed text
+    * ([[TextAnalysis.normalizeText]]) so copies that differ only in
+    * Unicode form or whitespace run length — invisible to byte-exact
+    * [[exactGroups]], endemic in web-crawled corpora — collapse into
+    * one group. Fixture plants both variant classes (a decomposed
+    * combining-mark twin and a double-spaced twin of every 6th doc);
+    * the oracle normalizes with DuckDB's nfc_normalize + the same
+    * dialect-safe regex chain. Same one-groupBy scale shape as the
+    * byte-exact form. */
+  private val dedupExactNormalized: Q = (s, dir) => {
+    val base = docsSmall(s, dir).select(col("doc_id"), col("text"))
+    val nfcTwins = base.filter(col("doc_id") % 6 === 0)
+      .select((col("doc_id") + 40000).as("doc_id"),
+        regexp_replace(col("text"), "e", "e\u0301").as("text"))
+    val spaceTwins = base.filter(col("doc_id") % 6 === 3)
+      .select((col("doc_id") + 50000).as("doc_id"),
+        regexp_replace(col("text"), " ", "  ").as("text"))
+    val corpus = base.unionByName(nfcTwins).unionByName(spaceTwins)
+    // the NFC twin is NOT a normalized-duplicate of its base (é ≠ e);
+    // it IS a normalized-duplicate of itself in precomposed form — so
+    // plant the precomposed twin too and the pair must collapse
+    val nfcPre = base.filter(col("doc_id") % 6 === 0)
+      .select((col("doc_id") + 60000).as("doc_id"),
+        regexp_replace(col("text"), "e", "\u00e9").as("text"))
+    corpus.unionByName(nfcPre)
+      .groupBy(md5(TextAnalysis.normalizeText(col("text")))
+        .as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+  }
+
   /** Fixture shingle-frequency cap: candidate generation drops shingles
     * appearing in more than this many docs (the oracle's all-pairs
     * answer is unchanged as long as every qualifying pair also shares a
@@ -1015,6 +1047,7 @@ object Dedup {
 
   val queries: Map[String, Q] = Map(
     "dedup_exact"            -> dedupExact,
+    "dedup_exact_normalized" -> dedupExactNormalized,
     "dedup_keep_one"         -> dedupKeepOne,
     "dedup_incremental"      -> dedupIncremental,
     "dedup_substring_spans"  -> dedupSubstringSpans,
@@ -1292,6 +1325,30 @@ object Dedup {
       s"""WITH corpus AS ($corpusSmallSql),
          |shingles AS ($shinglesSql),
          |$jaccardTailSql""".stripMargin,
+
+    "dedup_exact_normalized" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 40000,
+        |    regexp_replace(text, 'e', 'e' || chr(769), 'g')
+        |  FROM base WHERE doc_id % 6 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 50000, regexp_replace(text, ' ', '  ', 'g')
+        |  FROM base WHERE doc_id % 6 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 60000, regexp_replace(text, 'e', chr(233), 'g')
+        |  FROM base WHERE doc_id % 6 = 0),
+        |norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |      '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS n
+        |  FROM corpus)
+        |SELECT md5(n) AS content_hash, MIN(doc_id) AS keep_id,
+        |  COUNT(*) AS n_copies
+        |FROM norm GROUP BY md5(n) ORDER BY keep_id""".stripMargin,
 
     // all-pairs exact containment — the gate doubles as the proof that
     // the frequency-capped candidate stage loses no qualifying pair
