@@ -511,6 +511,66 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming ingest pipeline (normalize -> gopher -> DSIR -> decontaminate) equals batch") {
+    // the full production ingest path composed in ONE foreachBatch:
+    // normalize text, drop docs failing quality rules, score against a
+    // static DSIR table, flag eval-set contamination — every stage is
+    // stateless per document given the two static frames (the DSIR
+    // log-ratio table and the eval shingle set), so per-batch results
+    // must equal the one-shot batch pipeline exactly.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.llm.{Curation, TextAnalysis}
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.DataFrame
+    val base = graft.Tables.load(spark, sfSmoke, "documents")
+      .select("doc_id", "text", "source")
+    val lr = Curation.importanceTable(base, col("source") === "src0").cache()
+    lr.count()
+    val evalDf = base.filter(col("doc_id") % 41 === 0)
+      .select("doc_id", "text").cache()
+    evalDf.count()
+    def pipeline(df: DataFrame): DataFrame = {
+      val rules = TextAnalysis.gopherRuleColumns(col("text")).toMap
+      val kept = df
+        .withColumn("text", TextAnalysis.normalizeText(col("text")))
+        .filter(rules("rule_stopwords") && rules("rule_alpha_words"))
+      Curation.scoreImportance(kept, lr)
+        .join(Curation.decontaminate(kept, evalDf)
+          .select(col("doc_id"), col("contaminated")), "doc_id")
+    }
+    val docs = base.select("doc_id", "text", "source")
+      .as[(Long, String, String)].collect().toSeq
+    val got = scala.collection.mutable.Map[Long, (Long, Boolean, Boolean)]()
+    val input = MemoryStream[(Long, String, String)]
+    val query = input.toDF().toDF("doc_id", "text", "source").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        pipeline(batch).collect().foreach { r =>
+          got.synchronized {
+            got(r.getLong(0)) =
+              (r.getLong(2), r.getBoolean(3), r.getBoolean(4))
+          }
+        }
+      }.start()
+    try {
+      val (a, b) = docs.splitAt(docs.size / 2)
+      input.addData(a: _*); query.processAllAvailable()
+      input.addData(b: _*); query.processAllAvailable()
+      val batchOut = pipeline(base).collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(2), r.getBoolean(3), r.getBoolean(4))).toMap
+      assert(got.toMap == batchOut,
+        "per-batch pipeline must equal the batch pipeline exactly")
+      assert(batchOut.nonEmpty)
+      // an eval doc that survives the quality gate shares ALL its
+      // shingles with itself in the eval set → must flag contaminated
+      val survivingEval = batchOut.keySet.filter(_ % 41 == 0)
+      survivingEval.foreach { id =>
+        assert(batchOut(id)._3, s"surviving eval doc $id must flag")
+      }
+    } finally { query.stop(); lr.unpersist(); evalDf.unpersist() }
+  }
+
   test("per-batch streaming importance scoring against a static DSIR table equals batch") {
     // the production DSIR shape: the log-ratio table is trained ONCE
     // on a labeled reference corpus, then the ingest stream is scored
