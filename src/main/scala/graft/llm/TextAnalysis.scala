@@ -201,6 +201,36 @@ object TextAnalysis {
         sequence(lit(1), length(text) - (k - 1)),
         i => md5(substring(text, i, lit(k))))))
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the
+    * MOSS family): the set of window-minimum k-gram hashes, one per
+    * sliding window of `w` consecutive k-gram positions. Guarantees
+    * every shared substring of length ≥ w+k−1 contributes at least one
+    * COMMON fingerprint between two documents, at ~2/(w+1) the density
+    * of full k-gram shingling — the sampling-with-recall-bound that
+    * plain min-shingle ([[minShingleFingerprint]], one global min)
+    * lacks. Entirely row-local: the k-gram hash array is materialized
+    * FIRST (one projection — the HOF-capture discipline, see the
+    * verify-skill gotcha), then window minima are a transform over
+    * slices (O(len·w) per row, w is small). Set semantics make the
+    * tie-break irrelevant (value-based winnowing). md5-derived 60-bit
+    * hashes so the DuckDB twin is bit-identical; docs shorter than k
+    * fingerprint as their whole-text hash. */
+  def winnowedFingerprints(df: DataFrame, k: Int = 9, w: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val hashes = when(length(text) >= k,
+        transform(sequence(lit(1), length(text) - (k - 1)),
+          i => graft.llm.Dedup.md5Long(substring(text, i, lit(k)))))
+      .otherwise(array(graft.llm.Dedup.md5Long(text)))
+    val hashed = df.select(col(idCol), hashes.as("hs"))
+    val nWin = greatest(lit(1), size(col("hs")) - (w - 1))
+    val mins = transform(sequence(lit(1), nWin),
+      j => array_min(slice(col("hs"), j, lit(w))))
+    hashed.select(col(idCol),
+      explode(array_distinct(mins)).as("fp"))
+  }
+
   /** Production twin of [[minShingleFingerprint]] on the xxhash64
     * family: one codegen'd 64-bit hash per shingle instead of an md5
     * hex string — the value differs (it's a different fingerprint
@@ -238,6 +268,9 @@ object TextAnalysis {
     val cols = qualityColumns(col("text")).map { case (n, c) => c.as(n) }
     docs(s, dir).select((col("doc_id") +: cols): _*).orderBy("doc_id")
   }
+
+  private val docWinnowFingerprint: Q = (s, dir) =>
+    winnowedFingerprints(docs(s, dir)).orderBy("doc_id", "fp")
 
   private val docFingerprint: Q = (s, dir) =>
     docs(s, dir).select(col("doc_id"),
@@ -895,6 +928,7 @@ object TextAnalysis {
     "text_fertility"      -> textFertility,
     "text_normalize"      -> textNormalize,
     "doc_fingerprint"     -> docFingerprint,
+    "doc_winnow_fingerprint" -> docWinnowFingerprint,
     "text_embed_meanpool" -> textEmbedMeanpool,
   )
 
@@ -942,6 +976,25 @@ object TextAnalysis {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "doc_winnow_fingerprint" ->
+      """WITH hs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) >= 9 THEN
+        |      list_transform(range(1, length(text) - 7),
+        |        i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), 9)),
+        |          1, 15)) AS BIGINT))
+        |    ELSE [CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)]
+        |    END AS hs
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(1, len(hs) - 7)),
+        |      j -> list_min(hs[j:j+7]))) AS fps
+        |  FROM hs)
+        |SELECT doc_id, unnest(fps) AS fp FROM wins
+        |ORDER BY doc_id, fp""".stripMargin,
+
     "text_normalize" ->
       """WITH planted AS (
         |  SELECT doc_id, text ||

@@ -41,7 +41,8 @@ class SparkEntrySpec extends SparkSpec {
     import graft.plans.TopKPerKey
     val modules = Seq(
       Relational.queries, Advanced.queries, AsOf.queries,
-      TopKPerKey.queries, TraceAnalytics.queries, Metrics.queries,
+      TopKPerKey.queries, Scale.queries,
+      TraceAnalytics.queries, Metrics.queries,
       PlanFeaturizer.queries, SchedulingQueries.queries, Ingest.queries,
       TpcdsPromoted.queries, SyntheticWorkload.queries,
       TextAnalysis.queries, Dedup.queries,

@@ -823,6 +823,26 @@ class LlmSpec extends SparkSpec {
     assert(jac.isEmpty, "Jaccard must miss the asymmetric pair")
   }
 
+  // ---------------------------------------------- winnowing guarantee
+
+  test("winnowing: shared substrings >= w+k-1 chars produce a common fingerprint") {
+    val shared = "this exact passage is quoted verbatim by both documents"
+    val a = "first document leading content " + shared + " and a first tail"
+    val b = "second doc other prefix text -- " + shared + " -- second tail"
+    val c = "zero overlap here: submarine arctic navigation routines"
+    val fps = TextAnalysis.winnowedFingerprints(textDf(
+        (1L, a), (2L, b), (3L, c)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // the SIGMOD 2003 guarantee: any match of length >= w+k-1 (16
+    // chars here) is caught — `shared` is 50+ chars
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared passage must be caught")
+    assert((fps(1L) & fps(3L)).isEmpty, "no 9-gram overlap -> no common fp")
+    // density: winnowing samples far fewer fingerprints than one per
+    // position, but more than the single global min
+    assert(fps(1L).size > 1 && fps(1L).size < a.length - 8)
+  }
+
   // ------------------------------------------------------ Gopher rules
 
   test("gopher rules flag each planted defect independently") {
