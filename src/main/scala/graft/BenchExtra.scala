@@ -190,6 +190,10 @@ object BenchExtra {
       // log-ratio join back + per-doc sum
       graft.llm.Curation.importanceResample(
         docs(s, dir), col("source") === "src0")),
+    "bench_winnow_xx_full" -> ((s, dir) =>
+      // the xxhash64 production winnowing family beside the md5-gated
+      // doc_winnow_fingerprint key — the usual portability-cost split
+      graft.llm.TextAnalysis.winnowedFingerprintsXx(docs(s, dir))),
     "bench_synth_runner" -> ((s, dir) => {
       // Sequential workload-runner throughput on 48 reference-shaped
       // synthetic queries (join chains / IN-lists / CAST-LIKE) at the

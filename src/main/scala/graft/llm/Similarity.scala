@@ -501,6 +501,15 @@ object Similarity {
     recallAtK(annIvf(s, dir),
       annBruteForce(s, dir).filter(col("rank") <= 3)).orderBy("query_id")
 
+  /** Recall@3 of the supplied-codebook PQ/ADC path vs exact brute
+    * force — the index-quality report for the compressed-domain
+    * search (the gate spans 0..0.67 across fixture queries, so it
+    * discriminates; the LSH fixture stays excluded — its recall is
+    * uniformly 0.0, see [[annRecallIvf]]'s note). */
+  private val annRecallPq: Q = (s, dir) =>
+    recallAtK(annPq(s, dir),
+      annBruteForce(s, dir).filter(col("rank") <= 3)).orderBy("query_id")
+
   /** [[semanticDedup]] in exact micro-int arithmetic (the oracle-gated
     * twin of the float path): corpus = base vectors plus the planted
     * near-dup variants of [[Dedup]]'s cosine fixture (id%5 vectors
@@ -587,6 +596,7 @@ object Similarity {
     "ann_ivf"          -> annIvf,
     "ann_pq"           -> annPq,
     "ann_recall_ivf"   -> annRecallIvf,
+    "ann_recall_pq"    -> annRecallPq,
     "dedup_semantic"   -> dedupSemantic,
   )
 
@@ -829,6 +839,18 @@ object Similarity {
       |SELECT query_id, neighbor_id, rank, adist FROM ranked
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  private val recallPqOracle: (String, String) = "ann_recall_pq" ->
+    s"""SELECT e.query_id,
+       |  CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+       |  CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |  CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
+       |FROM (SELECT * FROM (${searchOracles("ann_brute_force")})
+       |      WHERE rank <= 3) e
+       |LEFT JOIN (${pqOracle._2}) a
+       |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |GROUP BY e.query_id
+       |ORDER BY e.query_id""".stripMargin
+
   val oracles: Map[String, String] =
-    searchOracles + recallOracle + semanticOracle + pqOracle
+    searchOracles + recallOracle + recallPqOracle + semanticOracle + pqOracle
 }

@@ -231,6 +231,27 @@ object TextAnalysis {
       explode(array_distinct(mins)).as("fp"))
   }
 
+  /** Production twin of [[winnowedFingerprints]] on the xxhash64
+    * family (one codegen'd 64-bit hash per k-gram instead of an md5
+    * hex string — the [[minShingleFingerprintXx]] split): same
+    * window-min sampling, different fingerprint family, DuckDB can't
+    * replicate it so the md5 form stays the gated twin. Measured
+    * beside the md5 form in BenchExtra. */
+  def winnowedFingerprintsXx(df: DataFrame, k: Int = 9, w: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val hashes = when(length(text) >= k,
+        transform(sequence(lit(1), length(text) - (k - 1)),
+          i => xxhash64(substring(text, i, lit(k)))))
+      .otherwise(array(xxhash64(text)))
+    val hashed = df.select(col(idCol), hashes.as("hs"))
+    val nWin = greatest(lit(1), size(col("hs")) - (w - 1))
+    val mins = transform(sequence(lit(1), nWin),
+      j => array_min(slice(col("hs"), j, lit(w))))
+    hashed.select(col(idCol),
+      explode(array_distinct(mins)).as("fp"))
+  }
+
   /** Production twin of [[minShingleFingerprint]] on the xxhash64
     * family: one codegen'd 64-bit hash per shingle instead of an md5
     * hex string — the value differs (it's a different fingerprint
