@@ -355,6 +355,100 @@ object TextAnalysis {
     counted.withColumn("redacted", redacted)
   }
 
+  // --------------------------------------------------- HTML extraction
+
+  /** Tag-strip patterns in the Java∩RE2 dialect ((?is) inline flags,
+    * non-greedy .*?, NO backreferences — RE2 has none, so a closing
+    * tag is matched by alternation, not a capture of the opener: a
+    * mismatched `<script>x</style>` closes at the first member of the
+    * set; well-formed markup nests these blocks properly and any
+    * residue is swallowed by the any-tag pass. */
+  val HtmlBlockDropRe =
+    "(?is)<(?:script|style|head)[^>]*>.*?</(?:script|style|head)\\s*>"
+  val HtmlCommentRe = "(?s)<!--.*?-->"
+  val HtmlBlockBreakRe = "(?i)</?(?:p|div|br|li|ul|ol|tr|table|h[1-6])[^>]*>"
+  val HtmlAnyTagRe = "(?s)<[^>]*>"
+
+  /** The XML core entities + nbsp, decoded in order with `&amp;` LAST
+    * (single-pass decoding: `&amp;lt;` yields the literal text `&lt;`,
+    * never `<`). Decoding runs AFTER tag stripping, so a decoded `<`
+    * can never open a phantom tag. */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** HTML → text extraction — the step a crawl pipeline runs before
+    * any dedup/quality operator sees a document (the trafilatura role
+    * in the C4/RefinedWeb recipes, reduced to its relational core):
+    * drop script/style/head blocks and comments, break block-level
+    * tags to newlines (paragraph structure survives for
+    * [[c4LineFilter]] and paragraph dedup), strip remaining tags,
+    * decode [[HtmlEntities]], collapse whitespace. One map-only
+    * regexp_replace/replace chain — no shuffle at any scale; every
+    * pattern in the shared Java∩RE2 dialect and every replacement
+    * identical, so the DuckDB twin produces the identical string. */
+  def htmlToText(html: Column): Column = {
+    val noBlocks = regexp_replace(html, HtmlBlockDropRe, " ")
+    val noComments = regexp_replace(noBlocks, HtmlCommentRe, " ")
+    val broke = regexp_replace(noComments, HtmlBlockBreakRe, "\n")
+    val noTags = regexp_replace(broke, HtmlAnyTagRe, " ")
+    val decoded = HtmlEntities.foldLeft(noTags) {
+      case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    val oneSpace = regexp_replace(decoded, "[ \\t\\r]+", " ")
+    val oneBreak = regexp_replace(oneSpace, " ?\\n[ \\n]*", "\n")
+    trim(oneBreak, " \n")
+  }
+
+  // ------------------------------------------------ C4 line filtering
+
+  /** Phrases whose presence drops a LINE in the C4 cleaning recipe
+    * (Raffel et al. 2019, §2.2 — the boilerplate/JS rules), matched on
+    * the lowercased line. */
+  val C4LineDropPhrases: Seq[String] = Seq(
+    "javascript", "privacy policy", "terms of use", "cookie policy",
+    "uses cookies")
+
+  /** Keep-this-line predicate of [[c4LineFilter]]: terminal
+    * punctuation, ≥5 words, none of [[C4LineDropPhrases]]. The word
+    * class is spelled explicitly ([^ \t\r\n]+) so the Java and RE2
+    * engines can never disagree the way their \S classes do on
+    * \x0B. */
+  private def c4KeepLine(l: Column): Column = {
+    val t = trim(l)
+    t.rlike("[.!?\"]$") &&
+      size(regexp_extract_all(t, lit("[^ \\t\\r\\n]+"), lit(0))) >= 5 &&
+      C4LineDropPhrases.map(p => !lower(t).contains(p)).reduce(_ && _)
+  }
+
+  /** C4 line-level cleaning (Raffel et al. 2019 §2.2): keep only lines
+    * that end in terminal punctuation, have ≥5 words, and carry none
+    * of the boilerplate/JS phrases; page-level flags (lorem ipsum,
+    * curly brace — C4 drops those PAGES) and the composite pass ride
+    * along. Entirely row-local: the line array and the kept array are
+    * materialized in ONE projection and every consumer reads the
+    * materialized columns (the HOF-capture discipline — naming
+    * `filter(...)` per consumer would re-run the predicate chain per
+    * reference). C4's remaining rule — cross-page three-sentence
+    * dedup — is paragraph-dedup/substring-span territory
+    * ([[Curation.paragraphDedup]], [[Dedup.substringSpanStats]]). */
+  def c4LineFilter(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minKeptLines: Int = 3): DataFrame = {
+    val mat = df
+      .withColumn("c4_lines", split(col(textCol), "\n"))
+      .withColumn("c4_kept", filter(col("c4_lines"), c4KeepLine _))
+    mat.select(col(idCol),
+      size(col("c4_lines")).cast("long").as("n_lines"),
+      size(col("c4_kept")).cast("long").as("n_kept"),
+      (size(col("c4_kept")).cast("double") / size(col("c4_lines")))
+        .as("kept_frac"),
+      lower(col(textCol)).contains("lorem ipsum").as("has_lorem"),
+      col(textCol).contains("{").as("has_brace"),
+      (size(col("c4_kept")) >= minKeptLines &&
+        !lower(col(textCol)).contains("lorem ipsum") &&
+        !col(textCol).contains("{")).as("pass_c4"),
+      array_join(col("c4_kept"), "\n").as("text_clean"))
+  }
+
   // --------------------------------------------- URL / domain analysis
 
   /** URL pattern in the Java-regex ∩ RE2 dialect (no lookaround, like
@@ -887,6 +981,65 @@ object TextAnalysis {
         col("n_chars").cast("double") / col("n_bpe_units"))
       .orderBy("lang")
 
+  /** Fixture with deterministically PLANTED markup (the word-soup
+    * corpus is plain text): every doc wrapped in html/head/body/p;
+    * every 3rd gains a head script whose body holds a raw `<` (the
+    * DOTALL block strip must swallow it, not the any-tag pass), every
+    * 5th a style block with braces, every 4th an entity-rich div,
+    * every 7th a comment plus a list — built identically in the
+    * oracle so the cleaned strings hash-match. */
+  private def plantedHtml(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("html", concat(
+      lit("<html><head><title>T</title>"),
+      when(col("doc_id") % 3 === 0,
+        lit("<script type=\"text/javascript\">var x = 1 < 2;</script>"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        lit("<style>.a { color: red; }</style>")).otherwise(lit("")),
+      lit("</head><body><p>"), col("text"), lit("</p>"),
+      when(col("doc_id") % 4 === 0,
+        lit("<div>Tom &amp; Jerry &lt;3 &quot;q&quot; &#39;v&#39;&nbsp;end</div>"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        lit("<!-- hidden --><ul><li>item one</li><li>item two</li></ul>"))
+        .otherwise(lit("")),
+      lit("</body></html>")))
+
+  private val textHtmlStrip: Q = (s, dir) =>
+    plantedHtml(s, dir).select(col("doc_id"),
+      htmlToText(col("html")).as("text_clean"),
+      length(col("html")).cast("long").as("n_chars_raw"),
+      length(htmlToText(col("html"))).cast("long").as("n_chars_clean"),
+      regexp_count(col("html"), lit(HtmlAnyTagRe)).cast("long").as("n_tags"))
+      .orderBy("doc_id")
+
+  /** Fixture with deterministically PLANTED lines (the word-soup
+    * corpus is a single line with no terminal punctuation): kept,
+    * too-short, javascript, privacy-policy, lorem-ipsum (kept as a
+    * LINE, flags the PAGE), and brace lines by doc-id modulus — every
+    * rule exercised both ways; built identically in the oracle. */
+  private def plantedLines(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("text", concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        lit("\nThis planted line has enough words to stay."))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        lit("\nToo short.")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        lit("\nPlease enable javascript to continue viewing this page."))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        lit("\nWe use cookies as described in our privacy policy."))
+        .otherwise(lit("")),
+      when(col("doc_id") % 13 === 0,
+        lit("\nLorem ipsum dolor sit amet consectetur adipiscing elit."))
+        .otherwise(lit("")),
+      when(col("doc_id") % 17 === 0,
+        lit("\nvar f = function() { return 1; }")).otherwise(lit(""))))
+
+  private val textC4LineFilter: Q = (s, dir) =>
+    c4LineFilter(plantedLines(s, dir)).orderBy("doc_id")
+
   /** Fixture with deterministically PLANTED URLs (the word-soup corpus
     * contains none): every 9th doc gains a site URL whose host cycles
     * over 7 domains; every 18th also gains a blocked-domain URL —
@@ -946,6 +1099,8 @@ object TextAnalysis {
     "text_repetition"     -> textRepetition,
     "text_redact_pii"     -> textRedactPii,
     "text_gopher_rules"   -> textGopherRules,
+    "text_html_strip"     -> textHtmlStrip,
+    "text_c4_line_filter" -> textC4LineFilter,
     "text_fertility"      -> textFertility,
     "text_normalize"      -> textNormalize,
     "doc_fingerprint"     -> docFingerprint,
@@ -1096,6 +1251,90 @@ object TextAnalysis {
          |    AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
          |    AND n_stop_hits >= 2 AS pass_gopher
          |FROM m2 ORDER BY doc_id""".stripMargin,
+
+    "text_html_strip" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>T</title>' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN '<script type="text/javascript">var x = 1 < 2;</script>'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN '<style>.a { color: red; }</style>' ELSE '' END ||
+        |    '</head><body><p>' || text || '</p>' ||
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN '<div>Tom &amp; Jerry &lt;3 &quot;q&quot; &#39;v&#39;&nbsp;end</div>'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN '<!-- hidden --><ul><li>item one</li><li>item two</li></ul>'
+        |      ELSE '' END ||
+        |    '</body></html>' AS html
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, html,
+        |    trim(regexp_replace(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |          html,
+        |          '(?is)<(?:script|style|head)[^>]*>.*?</(?:script|style|head)\s*>',
+        |          ' ', 'g'),
+        |          '(?s)<!--.*?-->', ' ', 'g'),
+        |          '(?i)</?(?:p|div|br|li|ul|ol|tr|table|h[1-6])[^>]*>',
+        |          chr(10), 'g'),
+        |          '(?s)<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |        '&nbsp;', ' '), '&amp;', '&'),
+        |      '[ \t\r]+', ' ', 'g'),
+        |      ' ?\n[ \n]*', chr(10), 'g'), ' ' || chr(10)) AS text_clean
+        |  FROM planted)
+        |SELECT doc_id, text_clean,
+        |  CAST(length(html) AS BIGINT) AS n_chars_raw,
+        |  CAST(length(text_clean) AS BIGINT) AS n_chars_clean,
+        |  CAST(len(regexp_extract_all(html, '(?s)<[^>]*>')) AS BIGINT)
+        |    AS n_tags
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_c4_line_filter" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN chr(10) ||
+        |      'This planted line has enough words to stay.' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN chr(10) ||
+        |      'Too short.' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN chr(10) ||
+        |      'Please enable javascript to continue viewing this page.'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN chr(10) ||
+        |      'We use cookies as described in our privacy policy.'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0 THEN chr(10) ||
+        |      'Lorem ipsum dolor sit amet consectetur adipiscing elit.'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 17 = 0 THEN chr(10) ||
+        |      'var f = function() { return 1; }' ELSE '' END AS text
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, text,
+        |    string_split(text, chr(10)) AS lines,
+        |    list_filter(string_split(text, chr(10)), x ->
+        |      regexp_matches(trim(x), '[.!?"]$')
+        |      AND len(regexp_extract_all(trim(x), '[^ \t\r\n]+')) >= 5
+        |      AND NOT contains(lower(x), 'javascript')
+        |      AND NOT contains(lower(x), 'privacy policy')
+        |      AND NOT contains(lower(x), 'terms of use')
+        |      AND NOT contains(lower(x), 'cookie policy')
+        |      AND NOT contains(lower(x), 'uses cookies')) AS kept
+        |  FROM planted)
+        |SELECT doc_id,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  CAST(len(kept) AS DOUBLE) / len(lines) AS kept_frac,
+        |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |  contains(text, '{') AS has_brace,
+        |  len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+        |    AND NOT contains(text, '{') AS pass_c4,
+        |  COALESCE(array_to_string(kept, chr(10)), '') AS text_clean
+        |FROM l ORDER BY doc_id""".stripMargin,
 
     "text_url_extract" ->
       s"""WITH $urlPlantedSql,

@@ -868,6 +868,47 @@ class LlmSpec extends SparkSpec {
     assert(b(0L, "rule_stopwords") && b(0L, "rule_alpha_words"))
   }
 
+  // ---------------------------------------------- HTML / C4 cleaning
+
+  test("htmlToText strips blocks/tags, decodes entities, keeps breaks") {
+    val html = "<html><head><title>T</title>" +
+      "<script>if (1 < 2) { alert(\"x\"); }</script></head>" +
+      "<body><p>First para.</p><p>Tom &amp; Jerry &lt;3&nbsp;&quot;q&quot;" +
+      "</p><!-- gone --><ul><li>item</li></ul>plain</body></html>"
+    val got = textDf((0L, "x"))
+      .select(TextAnalysis.htmlToText(lit(html))).head().getString(0)
+    assert(got == "First para.\nTom & Jerry <3 \"q\"\nitem\nplain")
+    // head content (incl. title) never leaks; script's raw < is gone
+    assert(!got.contains("T\n") && !got.contains("alert"))
+    // entity decode is single-pass: &amp;lt; stays literal &lt;
+    val dbl = textDf((0L, "x"))
+      .select(TextAnalysis.htmlToText(lit("<p>a &amp;lt; b</p>")))
+      .head().getString(0)
+    assert(dbl == "a &lt; b")
+  }
+
+  test("c4LineFilter keeps sentence lines, drops boilerplate, flags pages") {
+    val docs = textDf(
+      (0L, "A fine long sentence with enough words here.\nshort one.\n" +
+        "no terminal punctuation even with many words here\n" +
+        "Another proper sentence that should also stay intact.\n" +
+        "Please enable javascript to view this page properly."),
+      (1L, "Lorem ipsum dolor sit amet consectetur adipiscing elit.\n" +
+        "This page discusses our privacy policy in great detail."),
+      (2L, "var f = function() { return 1; }"))
+    val out = TextAnalysis.c4LineFilter(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def f(id: Long, n: String) = out(id).get(out(id).fieldIndex(n))
+    assert(f(0L, "n_lines") == 5L && f(0L, "n_kept") == 2L)
+    assert(f(0L, "text_clean") ==
+      "A fine long sentence with enough words here.\n" +
+      "Another proper sentence that should also stay intact.")
+    // lorem line passes the LINE rules but flags the PAGE
+    assert(f(1L, "n_kept") == 1L && f(1L, "has_lorem") == true)
+    assert(f(1L, "pass_c4") == false)
+    assert(f(2L, "n_kept") == 0L && f(2L, "has_brace") == true)
+  }
+
   test("fertility: BPE-ish units never undercount whitespace words") {
     val df = Tables.load(spark, sfCorrect, "documents")
     val r = df.groupBy("lang")
