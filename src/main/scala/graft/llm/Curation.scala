@@ -548,6 +548,43 @@ object Curation {
 
   // --------------------------------------------------- fixture queries
 
+  /** Deterministic corpus-level negative sampling for contrastive
+    * training (the DPR/contrastive-pretraining data prep step: every
+    * anchor document needs k "random other" documents as negatives):
+    * negatives are selected by dense RANK, not by id value — ids may
+    * be sparse/clustered, ranks are uniform by construction — with the
+    * rank drawn from the id hash (md5(anchor:t) mod N), so the same
+    * anchor always gets the same negatives on any engine or cluster
+    * size (the content/id-addressed selection rule used throughout
+    * this file; never `rand()`). Dataflow: one distributed dense-rank
+    * pass ([[graft.operators.Scale.rowNumberDistributed]] — range-
+    * bucketed windows + a tiny offsets frame, bit-identical to the
+    * global window, no single-partition sort), a row-local explode of
+    * k draws, and ONE equi-join back on the unskewed rank key (md5
+    * draws are uniform over ranks, so the join cannot hot-spot). A
+    * draw that lands on the anchor itself is dropped (deterministic;
+    * an anchor then carries k−1 negatives) rather than re-drawn —
+    * re-draw chains are order-coupled and engine-divergent. N is
+    * config-scale driver metadata (like the rank pass's own bucket
+    * bounds). */
+  def negativePairs(df: DataFrame, k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"negativePairs: k must be positive, got $k")
+    val ranked = graft.operators.Scale.rowNumberDistributed(
+      df.select(col(idCol)), col(idCol), Seq(col(idCol)), "rk")
+    val n = ranked.count()
+    val cand = ranked
+      .select(col(idCol).as("anchor_id"), col("rk"),
+        explode(sequence(lit(1), lit(k))).as("t"))
+      .withColumn("neg_rk",
+        Dedup.md5Long(concat(col("anchor_id").cast("string"), lit(":"),
+          col("t").cast("string"))) % n + 1)
+      .filter(col("neg_rk") =!= col("rk"))
+    cand.join(ranked.select(col("rk").as("neg_rk"), col(idCol).as("neg_id")),
+        "neg_rk")
+      .select(col("anchor_id"), col("t").cast("long").as("t"), col("neg_id"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -803,7 +840,12 @@ object Curation {
   private val curateLengthHistogram: Q = (s, dir) =>
     lengthHistogram(docs(s, dir)).orderBy("source", "log2_bucket")
 
+  private val curateNegativePairs: Q = (s, dir) =>
+    negativePairs(docs(s, dir).filter(col("doc_id") < 200), 3)
+      .orderBy("anchor_id", "t")
+
   val queries: Map[String, Q] = Map(
+    "curate_negative_pairs"    -> curateNegativePairs,
     "curate_importance_resample" -> curateImportance,
     "curate_inspection_sample" -> curateInspection,
     "curate_quality_threshold" -> curateQualityThreshold,
@@ -914,6 +956,21 @@ object Curation {
          |    AS exact_cutoff,
          |  TRUE AS cutoff_within_tol
          |FROM ranked GROUP BY src ORDER BY source""".stripMargin,
+
+    "curate_negative_pairs" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        |r AS (SELECT doc_id,
+        |        ROW_NUMBER() OVER (ORDER BY doc_id) AS rk FROM d),
+        |cand AS (
+        |  SELECT r.doc_id AS anchor_id, t.t, r.rk,
+        |    CAST(('0x' || substr(md5(CAST(r.doc_id AS VARCHAR) || ':' ||
+        |      CAST(t.t AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % (SELECT COUNT(*) FROM d) + 1 AS neg_rk
+        |  FROM r, generate_series(1, 3) t(t))
+        |SELECT c.anchor_id, CAST(c.t AS BIGINT) AS t, r2.doc_id AS neg_id
+        |FROM cand c JOIN r r2 ON c.neg_rk = r2.rk
+        |WHERE c.neg_rk <> c.rk
+        |ORDER BY anchor_id, t""".stripMargin,
 
     "curate_corpus_diff" ->
       """WITH v1 AS (

@@ -884,6 +884,53 @@ object Dedup {
     base.unionByName(near).unionByName(copies)
   }
 
+  // ------------------------------------------------ bloom-probe dedup
+
+  /** Bloom-filter batch-vs-corpus EXACT dedup — the sketch member of
+    * the incremental family ([[incrementalLshPairs]] is the near-dup
+    * shape): the standing corpus is summarized ONCE into a bits-sized
+    * Bloom filter over xxhash64(text) (one mergeable scan-only
+    * aggregate — Spark's own BloomFilterAggregate via
+    * [[graft.functions.BloomSketch]]), the sketch travels to the
+    * batch as a literal, and the probe is a MAP-ONLY filter: a batch
+    * doc the sketch rejects (bloom has no false negatives) never
+    * joins anything; only the flagged subset — true members plus the
+    * bounded false-positive residue — pays the exact md5 join. At
+    * 100 TB the corpus is summarized once into a reusable artifact
+    * (persist `bloomBytesFor`'s output beside [[writeDedupIndex]]),
+    * and per-batch cost is one map-only probe plus a join whose
+    * probe side is |members|+|fp| rows, NOT |batch|.
+    *
+    * Correctness is bloom-INDEPENDENT, and that is exactly what the
+    * oracle gates: a false positive is killed by the exact verify; a
+    * false negative cannot exist — if the sketch ever missed a
+    * member, the emitted `is_dup` would flip and the DuckDB EXISTS
+    * twin would hash-mismatch. */
+  def bloomProbeDedup(corpus: DataFrame, batch: DataFrame,
+      expectedItems: Long = 1000000L, numBits: Long = 8388608L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bloom = bloomBytesFor(corpus, expectedItems, numBits, textCol)
+    val probed = batch.select(col(idCol), col(textCol),
+      graft.functions.BloomSketch
+        .mightContain(bloom, xxhash64(col(textCol))).as("flagged"))
+    val rejected = probed.filter(!col("flagged"))
+      .select(col(idCol), lit(false).as("is_dup"))
+    val corpusHashes = corpus
+      .select(md5(col(textCol)).as("corpus_h")).distinct()
+    val verified = probed.filter(col("flagged"))
+      .join(corpusHashes, md5(col(textCol)) === col("corpus_h"), "left")
+      .select(col(idCol), col("corpus_h").isNotNull.as("is_dup"))
+    rejected.unionByName(verified)
+  }
+
+  /** The corpus's serialized content-membership sketch (collect is
+    * one binary row — config-scale, like trained centroids). */
+  def bloomBytesFor(corpus: DataFrame, expectedItems: Long,
+      numBits: Long, textCol: String = "text"): Array[Byte] =
+    corpus.agg(graft.functions.BloomSketch.bloomAgg(
+        xxhash64(col(textCol)), expectedItems, numBits).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+
   // --------------------------------------------------- fixture queries
 
   type Q = (SparkSession, String) => DataFrame
@@ -1039,6 +1086,12 @@ object Dedup {
     incrementalLshPairs(old, batch, 0.5).orderBy("id_a", "id_b")
   }
 
+  private val dedupBloomProbe: Q = (s, dir) => {
+    val (old, batch) = incrSplit(s, dir)
+    bloomProbeDedup(old, batch,
+      expectedItems = 10000L, numBits = 131072L).orderBy("doc_id")
+  }
+
   private val dedupSubstringSpans: Q = (s, dir) =>
     substringSpanStats(fixtureCorpus(docsSmall(s, dir))).orderBy("doc_id")
 
@@ -1050,6 +1103,7 @@ object Dedup {
     "dedup_exact_normalized" -> dedupExactNormalized,
     "dedup_keep_one"         -> dedupKeepOne,
     "dedup_incremental"      -> dedupIncremental,
+    "dedup_bloom_probe"      -> dedupBloomProbe,
     "dedup_substring_spans"  -> dedupSubstringSpans,
     "dedup_substring_clean"  -> dedupSubstringClean,
     "dedup_ngram_jaccard"    -> dedupJaccard,
@@ -1379,6 +1433,23 @@ object Dedup {
     "dedup_minhash_rowlocal" -> minHashOracleSql,
 
     "dedup_incremental" -> incrementalOracleSql,
+
+    "dedup_bloom_probe" ->
+      """WITH old AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |batch AS (
+        |  SELECT doc_id + 10000 AS doc_id,
+        |    text || ' graft near dup tail' AS text
+        |  FROM documents WHERE doc_id < 200 AND doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text
+        |  FROM documents WHERE doc_id < 200 AND doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 30000, text
+        |  FROM documents WHERE doc_id >= 200 AND doc_id < 250)
+        |SELECT b.doc_id,
+        |  md5(b.text) IN (SELECT md5(text) FROM old) AS is_dup
+        |FROM batch b ORDER BY doc_id""".stripMargin,
 
     "dedup_substring_spans" -> substringSpansOracleSql,
 

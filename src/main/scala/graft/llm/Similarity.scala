@@ -58,6 +58,35 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Signed-random-projection dimensionality reduction (Achlioptas
+    * 2001's database-friendly Johnson–Lindenstrauss matrix: entries ±1
+    * each with probability 1/2): y_j = Σ_i s_{j,i}·x_i over
+    * md5-derived signs — deterministic, no RNG state, any worker
+    * reproduces the same projection. The sign matrix depends only on
+    * (out dim, in dim), so it is computed ONCE driver-side and ships
+    * as a literal (the [[hyperplaneWeightsLong]] discipline — an
+    * expression-form sign would re-hash dIn·dOut times per row); the
+    * projection itself is one row-local transform/zip_with chain:
+    * ZERO shuffle at any scale, O(dIn·dOut) multiply-adds per row (the
+    * necessary work). The scale use: compress wide embeddings to dOut
+    * dims before ANN indexing — IVF/PQ train on the projection while
+    * JL keeps pairwise distances within 1±ε. Float path; the gated
+    * fixture (`embed_random_projection`) runs the same signs in exact
+    * micro-ints via a broadcast sign-frame join, and the spec pins the
+    * two paths equal on integer-valued vectors. */
+  def randomProject(df: DataFrame, dIn: Int, dOut: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val signMat = array((1 to dOut).map { j =>
+      array((1 to dIn).map { i =>
+        lit(if (md5Long60(s"$j:$i") % 2 == 0) 1.0d else -1.0d) }: _*)
+    }: _*)
+    df.select(col(idCol),
+      transform(sequence(lit(1), lit(dOut)), j =>
+        aggregate(zip_with(col(embCol), element_at(signMat, j),
+          (a, b) => a.cast("double") * b), lit(0.0d), (acc, x) => acc + x))
+        .as("projected"))
+  }
+
   /** Driver-side twin of [[Dedup.md5Long]] (first 60 bits of the md5
     * hex digest): the hyperplane weights depend only on (plane, dim),
     * so they are computed ONCE here and shipped as literals instead of
@@ -590,7 +619,30 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Gated micro-int twin of [[randomProject]]: the same md5 signs in
+    * exact integer arithmetic, expressed as the explode → broadcast
+    * sign-frame join → (id, j) groupBy (unskewed keys, map-side
+    * combine) — the grouped form whose sums are partition-order-free,
+    * so the BIGINT projections hash-match DuckDB. The sign frame is
+    * derived with explode (never a cross join — the plan-quality gate
+    * forbids cartesians in gated queries). */
+  private val embedRandomProjection: Q = (s, dir) => {
+    val elems = microElems(s, dir)
+    val signs = elems.select(col("i")).distinct()
+      .select(col("i"), explode(sequence(lit(1), lit(8))).as("j"))
+      .select(col("i"), col("j"),
+        when(Dedup.md5Long(concat(col("j").cast("string"), lit(":"),
+          col("i").cast("string"))) % 2 === 0, lit(1L))
+          .otherwise(lit(-1L)).as("s"))
+    elems.join(broadcast(signs), "i")
+      .groupBy(col("id"), col("j"))
+      .agg(sum(col("e_micro") * col("s")).as("y_micro"))
+      .select(col("id"), col("j").cast("long").as("j"), col("y_micro"))
+      .orderBy("id", "j")
+  }
+
   val queries: Map[String, Q] = Map(
+    "embed_random_projection" -> embedRandomProjection,
     "ann_brute_force"  -> annBruteForce,
     "ann_lsh_bucketed" -> annLshBucketed,
     "ann_ivf"          -> annIvf,
@@ -851,6 +903,22 @@ object Similarity {
        |GROUP BY e.query_id
        |ORDER BY e.query_id""".stripMargin
 
+  private val randomProjectionOracle: (String, String) =
+    "embed_random_projection" ->
+      s"""WITH elems AS ($elemsSql),
+         |signs AS (
+         |  SELECT d.i, t.j,
+         |    CASE WHEN CAST(('0x' || substr(md5(
+         |        CAST(t.j AS VARCHAR) || ':' || CAST(d.i AS VARCHAR)),
+         |      1, 15)) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS s
+         |  FROM (SELECT DISTINCT i FROM elems) d, generate_series(1, 8) t(j))
+         |SELECT e.id, CAST(g.j AS BIGINT) AS j,
+         |  CAST(SUM(e.e_micro * g.s) AS BIGINT) AS y_micro
+         |FROM elems e JOIN signs g ON e.i = g.i
+         |GROUP BY e.id, g.j
+         |ORDER BY id, j""".stripMargin
+
   val oracles: Map[String, String] =
-    searchOracles + recallOracle + recallPqOracle + semanticOracle + pqOracle
+    searchOracles + recallOracle + recallPqOracle + semanticOracle +
+      pqOracle + randomProjectionOracle
 }

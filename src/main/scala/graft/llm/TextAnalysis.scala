@@ -355,6 +355,39 @@ object TextAnalysis {
     counted.withColumn("redacted", redacted)
   }
 
+  // ----------------------------------------------- per-source entropy
+
+  /** Per-source unigram Shannon entropy — the corpus-diversity
+    * data-card row beside [[sourceDivergence]] (TV distance answers
+    * "how far apart are two sources"; entropy answers "how varied is
+    * each source by itself" — a boilerplate-heavy crawl scores low, a
+    * broad one high). H = ln N − (Σ c·ln c)/N, computed in the DSIR
+    * ln-discipline: ln runs once per VOCABULARY row (never per
+    * occurrence), is rounded to integer micro-nats BEFORE any row
+    * math, and the weighted sum is an exact BIGINT — so the gated
+    * columns are partition-order-free and the one remaining float
+    * (the entropy itself) is rounded to basis points on both engines
+    * (sub-ulp ln() divergence cannot flip it except ON a half-bp
+    * boundary — the temperatureMix residual risk, accepted). 100 TB
+    * shape: one (source, token) groupBy with map-side combine (the
+    * Zipf key collapses per-partition), then a sources-sized
+    * groupBy. */
+  def sourceEntropy(df: DataFrame, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val counts = df.select(col(sourceCol).as("source"),
+        explode(tokensWs(lower(col(textCol)))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+      .withColumn("lnc_micro", round(log(col("c")) * 1e6).cast("long"))
+    counts.groupBy("source")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("lnc_micro")).as("s_clnc"))
+      .withColumn("entropy_bp",
+        round((log(col("n_tokens")) -
+          col("s_clnc").cast("double") / (col("n_tokens") * 1e6)) * 1e4)
+          .cast("long"))
+  }
+
   // --------------------------------------------------- HTML extraction
 
   /** Tag-strip patterns in the Java∩RE2 dialect ((?is) inline flags,
@@ -1040,6 +1073,9 @@ object TextAnalysis {
   private val textC4LineFilter: Q = (s, dir) =>
     c4LineFilter(plantedLines(s, dir)).orderBy("doc_id")
 
+  private val textEntropy: Q = (s, dir) =>
+    sourceEntropy(docs(s, dir)).orderBy("source")
+
   /** Fixture with deterministically PLANTED URLs (the word-soup corpus
     * contains none): every 9th doc gains a site URL whose host cycles
     * over 7 domains; every 18th also gains a blocked-domain URL —
@@ -1101,6 +1137,7 @@ object TextAnalysis {
     "text_gopher_rules"   -> textGopherRules,
     "text_html_strip"     -> textHtmlStrip,
     "text_c4_line_filter" -> textC4LineFilter,
+    "text_entropy"        -> textEntropy,
     "text_fertility"      -> textFertility,
     "text_normalize"      -> textNormalize,
     "doc_fingerprint"     -> docFingerprint,
@@ -1251,6 +1288,28 @@ object TextAnalysis {
          |    AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
          |    AND n_stop_hits >= 2 AS pass_gopher
          |FROM m2 ORDER BY doc_id""".stripMargin,
+
+    "text_entropy" ->
+      s"""WITH counts AS (
+         |  SELECT source, token, COUNT(*) AS c FROM (
+         |    SELECT source,
+         |      unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+         |        t -> len(t) > 0)) AS token
+         |    FROM documents)
+         |  GROUP BY source, token),
+         |v AS (
+         |  SELECT source, token, c,
+         |    CAST(ROUND(ln(c) * 1e6) AS BIGINT) AS lnc_micro
+         |  FROM counts),
+         |s AS (
+         |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |    COUNT(*) AS n_distinct, CAST(SUM(c * lnc_micro) AS BIGINT) AS s_clnc
+         |  FROM v GROUP BY source)
+         |SELECT source, n_tokens, n_distinct, s_clnc,
+         |  CAST(ROUND((ln(n_tokens) -
+         |    CAST(s_clnc AS DOUBLE) / (n_tokens * 1e6)) * 1e4) AS BIGINT)
+         |    AS entropy_bp
+         |FROM s ORDER BY source""".stripMargin,
 
     "text_html_strip" ->
       """WITH planted AS (

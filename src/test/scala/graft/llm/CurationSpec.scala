@@ -416,4 +416,25 @@ class CurationSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(got.toSet === windowForm.toSet)
   }
+
+  test("negativePairs: deterministic, never self, k or fewer per anchor") {
+    import spark.implicits._
+    // sparse, clustered ids — rank-addressed selection must stay uniform
+    val docs = (1L to 40L).map(i => (i * 7 + 1000, s"doc $i"))
+      .toDF("doc_id", "text")
+    val a = Curation.negativePairs(docs, 3).collect()
+    val b = Curation.negativePairs(docs, 3).collect()
+    assert(a.map(_.toSeq).toSet === b.map(_.toSeq).toSet, "deterministic")
+    val byAnchor = a.groupBy(_.getLong(0))
+    assert(byAnchor.size === 40, "every anchor draws negatives")
+    byAnchor.foreach { case (id, rows) =>
+      assert(rows.length >= 2 && rows.length <= 3,
+        s"anchor $id: ${rows.length} negatives")
+      assert(rows.forall(_.getLong(2) != id), s"self negative for $id")
+      assert(rows.forall(r => r.getLong(2) >= 1007 && r.getLong(2) <= 1280),
+        "negatives are real corpus ids")
+    }
+    // draws spread over the corpus, not one hot row
+    assert(a.map(_.getLong(2)).distinct.length > 10)
+  }
 }

@@ -868,6 +868,75 @@ class LlmSpec extends SparkSpec {
     assert(b(0L, "rule_stopwords") && b(0L, "rule_alpha_words"))
   }
 
+  // ------------------------------------------------- source entropy
+
+  test("sourceEntropy: uniform tokens hit ln(n), constant token hits 0") {
+    import spark.implicits._
+    val docs = Seq(
+      ("uni", "a b c d"),      // 4 distinct, uniform → H = ln 4
+      ("mono", "x x x x x x")  // one repeated token → H = 0
+    ).toDF("source", "text")
+    val m = TextAnalysis.sourceEntropy(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    def g(s: String, n: String) = m(s).getLong(m(s).fieldIndex(n))
+    assert(g("mono", "entropy_bp") == 0L)
+    assert(g("uni", "entropy_bp") == math.round(math.log(4.0) * 1e4))
+    assert(g("uni", "n_tokens") == 4L && g("uni", "n_distinct") == 4L)
+    assert(g("mono", "n_tokens") == 6L && g("mono", "n_distinct") == 1L)
+  }
+
+  // ----------------------------------------------- random projection
+
+  test("randomProject: float path equals the exact sign-join form on ints") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, -2.0f, 3.0f, 0.0f)),
+      (2L, Array(4.0f, 5.0f, -6.0f, 7.0f))).toDF("vec_id", "embedding")
+    val proj = Similarity.randomProject(vecs, dIn = 4, dOut = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // independent exact twin: same md5-derived signs, integer sums
+    val elems = vecs
+      .select(col("vec_id").as("id"),
+        posexplode(col("embedding")).as(Seq("pos", "e")))
+      .select(col("id"), (col("pos") + 1).as("i"),
+        col("e").cast("long").as("e_int"))
+    val signs = spark.range(1, 5).toDF("i")
+      .select(col("i"), explode(sequence(lit(1), lit(3))).as("j"))
+      .select(col("i"), col("j"),
+        when(Dedup.md5Long(concat(col("j").cast("string"), lit(":"),
+          col("i").cast("string"))) % 2 === 0, lit(1L))
+          .otherwise(lit(-1L)).as("s"))
+    val exact = elems.join(signs, "i").groupBy("id", "j")
+      .agg(sum(col("e_int") * col("s")).as("y")).collect()
+      .map(r => (r.getLong(r.fieldIndex("id")),
+        r.getInt(r.fieldIndex("j"))) -> r.getLong(r.fieldIndex("y"))).toMap
+    for (id <- Seq(1L, 2L); j <- 1 to 3)
+      assert(proj(id)(j - 1) == exact((id, j)).toDouble,
+        s"id=$id j=$j: ${proj(id)(j - 1)} vs ${exact((id, j))}")
+    // signs are balanced enough to produce a non-trivial projection
+    assert(proj(1L).exists(_ != 0.0))
+  }
+
+  // --------------------------------------------------- bloom probing
+
+  test("bloomProbeDedup equals exact dedup and prunes non-members map-only") {
+    val corpus = textDf((1L, "alpha beta gamma"),
+      (2L, "delta epsilon zeta"), (3L, "eta theta iota"))
+    val batch = textDf((10L, "alpha beta gamma"),
+      (11L, "totally fresh content"), (12L, "delta epsilon zeta"),
+      (13L, "another unseen doc"))
+    val got = Dedup.bloomProbeDedup(corpus, batch, 100L, 4096L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(10L -> true, 11L -> false, 12L -> true, 13L -> false))
+    // the sketch actually prunes: a rejected row never reaches the
+    // exact-verify join (4096 bits over 3 items ⇒ fp ≈ 0)
+    val bloom = Dedup.bloomBytesFor(corpus, 100L, 4096L)
+    val flagged = batch.filter(graft.functions.BloomSketch
+      .mightContain(bloom, xxhash64(col("text")))).count()
+    assert(flagged >= 2 && flagged < 4,
+      s"fresh docs should be bloom-rejected, flagged=$flagged")
+  }
+
   // ---------------------------------------------- HTML / C4 cleaning
 
   test("htmlToText strips blocks/tags, decodes entities, keeps breaks") {
