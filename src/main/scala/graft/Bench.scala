@@ -135,7 +135,7 @@ object Bench {
     // batch pushed core 69→98 s purely through new llm keys); reported
     // separately so the SQL-operator core stays anchor-diffable.
     def isLlm(k: String) = !k.startsWith("bench_") &&
-      Seq("text_", "dedup_", "ann_", "doc_", "multimodal_")
+      Seq("text_", "dedup_", "ann_", "doc_", "multimodal_", "embed_")
         .exists(k.startsWith)
     val llmTotal = results
       .filter { case (k, v) => isLlm(k) && v >= 0 }.map(_._2).sum

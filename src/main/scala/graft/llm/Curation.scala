@@ -397,6 +397,27 @@ object Curation {
       .drop("sort_key")
   }
 
+  /** Per-shard export manifest — the data-versioning artifact written
+    * beside a sharded corpus export ([[shuffleShard]] orders it, this
+    * certifies it): doc/char counts plus an order-free content
+    * checksum (bit_xor of the 60-bit content hashes — XOR commutes,
+    * so the checksum is partition- and order-independent, never
+    * overflows, and any single changed/missing/extra doc flips it).
+    * A reader (or the next export) validates shard identity against
+    * the manifest without re-reading text; [[corpusDiff]] answers
+    * WHICH docs changed, the manifest answers WHETHER a shard did —
+    * at 100 TB you check the manifest's ~thousand rows before diffing
+    * billions. One shard-key groupBy, unskewed by construction
+    * (shards are id-hash buckets), map-side combining. */
+  def shardManifest(df: DataFrame, nShards: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.select(hashBucket("shuf:", col(idCol), nShards).as("shard"),
+        length(col(textCol)).cast("long").as("len"),
+        Dedup.md5Long(col(textCol)).as("h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("n_chars"),
+        expr("bit_xor(h)").as("content_checksum"))
+
   // ------------------------------------------------- decontamination
 
   /** Eval-set decontamination: flag training documents sharing at
@@ -844,8 +865,12 @@ object Curation {
     negativePairs(docs(s, dir).filter(col("doc_id") < 200), 3)
       .orderBy("anchor_id", "t")
 
+  private val curateShardManifest: Q = (s, dir) =>
+    shardManifest(docs(s, dir), 8).orderBy("shard")
+
   val queries: Map[String, Q] = Map(
     "curate_negative_pairs"    -> curateNegativePairs,
+    "curate_shard_manifest"    -> curateShardManifest,
     "curate_importance_resample" -> curateImportance,
     "curate_inspection_sample" -> curateInspection,
     "curate_quality_threshold" -> curateQualityThreshold,
@@ -956,6 +981,17 @@ object Curation {
          |    AS exact_cutoff,
          |  TRUE AS cutoff_within_tol
          |FROM ranked GROUP BY src ORDER BY source""".stripMargin,
+
+    "curate_shard_manifest" ->
+      s"""SELECT shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(len) AS BIGINT) AS n_chars,
+         |  bit_xor(h) AS content_checksum
+         |FROM (
+         |  SELECT ${sqlBucket("shuf:", "doc_id", 8)} AS shard,
+         |    CAST(length(text) AS BIGINT) AS len,
+         |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+         |  FROM documents)
+         |GROUP BY shard ORDER BY shard""".stripMargin,
 
     "curate_negative_pairs" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),

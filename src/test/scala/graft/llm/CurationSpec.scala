@@ -417,6 +417,32 @@ class CurationSpec extends SparkSpec {
     assert(got.toSet === windowForm.toSet)
   }
 
+  test("shardManifest: order-free checksum, flips on any changed doc") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, s"document number $i body"))
+      .toDF("doc_id", "text")
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      Curation.shardManifest(df, 4).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+    val m1 = manifest(docs)
+    // partition/order-invariant: a reshuffled input yields the same rows
+    val m2 = manifest(docs.orderBy(col("doc_id").desc).repartition(7))
+    assert(m1 === m2)
+    assert(m1.values.map(_._1).sum === 50L)
+    // one changed doc flips exactly its own shard's checksum
+    val tweaked = docs.withColumn("text",
+      when(col("doc_id") === 17L, lit("changed body")).otherwise(col("text")))
+    val m3 = manifest(tweaked)
+    assert(m1.keys.count(k => m1(k)._3 != m3(k)._3) === 1)
+    assert(m1.keys.count(k => m1(k)._1 != m3(k)._1) === 0, "counts stable")
+    // manifest shards certify the shuffleShard export assignment
+    val fromShuffle = Curation.shuffleShard(docs, 4)
+      .groupBy("shard").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m1.view.mapValues(_._1).toMap === fromShuffle)
+  }
+
   test("negativePairs: deterministic, never self, k or fewer per anchor") {
     import spark.implicits._
     // sparse, clustered ids — rank-addressed selection must stay uniform
