@@ -513,6 +513,34 @@ object Dedup {
         .select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Quality-ranked keeper election — [[keepOnePerCluster]] keeps the
+    * minimum id (reproducible but arbitrary); production recipes keep
+    * the BEST copy of a near-dup cluster (the RefinedWeb rule: prefer
+    * the cleaner/longer variant). Election key = one packed BIGINT,
+    * (10000 − quality_bp)·10¹² + id: minimizing it takes the highest
+    * [[TextAnalysis.qualityColumns]] composite first, lowest id on
+    * ties — a single map-side-combining MIN per cluster, the
+    * substring-span packed-min discipline (requires ids < 10¹²; the
+    * quality score is basis-point-rounded per ROW before packing, so
+    * both engines rank identically). Exact copies share text and
+    * hence quality — there the election degenerates to min-id, which
+    * is why this operator exists for NEAR-dup clusters. Unclustered
+    * docs pass through untouched, like keepOne. */
+  def keepBestPerCluster(docs: DataFrame, clusters: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val qbp = round(TextAnalysis.qualityColumns(col(textCol))
+      .toMap.apply("quality_score") * 1e4).cast("long")
+    val members = clusters.select(col("id").as(idCol), col("cluster_id"))
+      .join(docs.select(col(idCol), qbp.as("q_bp")), idCol)
+      .withColumn("packed",
+        (lit(10000L) - col("q_bp")) * lit(1000000000000L) + col(idCol))
+    val keepers = members.groupBy("cluster_id")
+      .agg(min(col("packed")).as("kp"))
+    val dropIds = members.join(keepers, "cluster_id")
+      .filter(col("packed") =!= col("kp")).select(col(idCol))
+    docs.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   // --------------------------------------------------------- SimHash
 
   /** 32-bit SimHash over lowercase whitespace tokens (frequency-
@@ -1064,6 +1092,12 @@ object Dedup {
       .select("doc_id").orderBy("doc_id")
   }
 
+  private val dedupKeepBest: Q = (s, dir) => {
+    val corpus = fixtureCorpus(docsSmall(s, dir))
+    keepBestPerCluster(corpus, nearDupClusters(minHashLshPairs(corpus, 0.5)))
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** Incremental split: the existing corpus is the base docs; the new
     * batch is the near/copy variants plus 50 genuinely fresh docs
     * (ids +30000) that should match nothing. */
@@ -1102,6 +1136,7 @@ object Dedup {
     "dedup_exact"            -> dedupExact,
     "dedup_exact_normalized" -> dedupExactNormalized,
     "dedup_keep_one"         -> dedupKeepOne,
+    "dedup_keep_best"        -> dedupKeepBest,
     "dedup_incremental"      -> dedupIncremental,
     "dedup_bloom_probe"      -> dedupBloomProbe,
     "dedup_substring_spans"  -> dedupSubstringSpans,
@@ -1464,6 +1499,26 @@ object Dedup {
         """SELECT doc_id FROM corpus
           |WHERE doc_id NOT IN (
           |  SELECT id FROM comp WHERE id <> cluster_id)""".stripMargin,
+      newOrder = "doc_id").sql,
+
+    // same cluster fold, quality-ranked keeper: highest basis-point
+    // quality wins, lowest id on ties (one packed MIN per cluster)
+    "dedup_keep_best" -> clustersParts.fold("comp",
+      extraCtes =
+        s"""memb AS (
+           |  SELECT c.id, c.cluster_id,
+           |    (10000 - CAST(ROUND((${TextAnalysis.sqlQualityScore}) * 1e4)
+           |      AS BIGINT)) * 1000000000000 + c.id AS packed
+           |  FROM comp c JOIN corpus d ON c.id = d.doc_id),
+           |keepers AS (
+           |  SELECT cluster_id, MIN(packed) AS kp
+           |  FROM memb GROUP BY cluster_id)""".stripMargin,
+      newFinal =
+        """SELECT doc_id FROM corpus
+          |WHERE doc_id NOT IN (
+          |  SELECT m.id FROM memb m JOIN keepers k
+          |    ON m.cluster_id = k.cluster_id
+          |  WHERE m.packed <> k.kp)""".stripMargin,
       newOrder = "doc_id").sql,
 
     "dedup_simhash" ->

@@ -868,6 +868,24 @@ class LlmSpec extends SparkSpec {
     assert(b(0L, "rule_stopwords") && b(0L, "rule_alpha_words"))
   }
 
+  // -------------------------------------------- quality-ranked keeper
+
+  test("keepBestPerCluster keeps the best member, min id only on ties") {
+    import spark.implicits._
+    // the LOWER id is the junk variant — min-id election would keep it
+    val docs = textDf(
+      (1L, "the quick brown fox jumps over the lazy dog here !!!!!!!!!!!!"),
+      (2L, "the quick brown fox jumps over the lazy dog here today fine"),
+      (3L, "unrelated content entirely on its own standing apart"),
+      (4L, "twin copy text body"), (5L, "twin copy text body"))
+    val clusters = Seq((1L, 1L), (2L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("id", "cluster_id")
+    val kept = Dedup.keepBestPerCluster(docs, clusters)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L, 4L),
+      s"quality keeper: got $kept (2 beats 1 on quality, 4 beats 5 on id)")
+  }
+
   // ------------------------------------------------- source entropy
 
   test("sourceEntropy: uniform tokens hit ln(n), constant token hits 0") {
