@@ -224,6 +224,65 @@ object Curation {
           .as("cutoff_within_tol"))
   }
 
+  // ----------------------------------- CCNet perplexity bucketing
+
+  /** CCNet-style perplexity bucketing (Wenzek et al., arXiv:1911.00359
+    * §4.3): split the corpus into head / middle / tail tertiles by
+    * language-model score, the partition CCNet publishes per language
+    * so consumers can train on "head+middle" or sample tail at a lower
+    * rate. The LM is the in-corpus bigram model
+    * ([[TextAnalysis.lmScore]] — to bucket against a reference corpus,
+    * train the table there); a document's key is its exact integer
+    * mean bigram probability `score_micro = sum_p_micro DIV n_bigrams`
+    * (higher = more corpus-like = head; CCNet's "low perplexity").
+    *
+    * Exact tertiles WITHOUT a corpus-sized global sort: score_micro
+    * lives in [0, 10⁶], so the value-count frame `(score_micro, c)`
+    * is bounded by the unit range — corpus-INDEPENDENT — and the
+    * cumulative counts over it run through
+    * [[graft.operators.Scale.prefixSumsDistributed]] (range-bucketed
+    * partial sums + driver-folded offsets; no unpartitioned WindowExec
+    * anywhere). Thresholds are rank-selected values — t_k = min score
+    * whose cumulative count reaches ⌈k·n/3⌉, computed in integer
+    * arithmetic `(k·n + 2) DIV 3` — so ties cannot make the cut
+    * engine-dependent, and bucket assignment is one map-only
+    * comparison against the broadcast one-row threshold frame.
+    * Documents with no bigrams (< 2 words) cannot be assessed and are
+    * bucketed 'tail'. */
+  def perplexityBuckets(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val scored = TextAnalysis.lmScore(df, idCol, textCol)
+      .withColumn("score_micro",
+        when(col("n_bigrams") > 0,
+          org.apache.spark.sql.functions.expr("sum_p_micro DIV n_bigrams")))
+    val vc = scored.filter(col("score_micro").isNotNull)
+      .groupBy("score_micro").agg(count(lit(1)).as("c"))
+    val th =
+      if (vc.isEmpty)  // degenerate corpus: nothing assessable
+        df.sparkSession.sql(
+          "SELECT CAST(NULL AS BIGINT) AS t1, CAST(NULL AS BIGINT) AS t2")
+      else {
+        val cum = graft.operators.Scale
+          .prefixSumsDistributed(vc, "score_micro", "c")
+          .withColumn("cum", (col("prefix") + col("c")).cast("long"))
+        val nRow = vc.agg(sum("c").cast("long").as("n"))
+        cum.crossJoin(broadcast(nRow))
+          .agg(
+            min(when(col("cum") >=
+              org.apache.spark.sql.functions.expr("(n + 2) DIV 3"),
+              col("score_micro"))).as("t1"),
+            min(when(col("cum") >=
+              org.apache.spark.sql.functions.expr("(2 * n + 2) DIV 3"),
+              col("score_micro"))).as("t2"))
+      }
+    scored.crossJoin(broadcast(th))
+      .select(col(idCol), col("n_bigrams"), col("score_micro"),
+        when(col("score_micro").isNull, lit("tail"))
+          .when(col("score_micro") <= col("t1"), lit("tail"))
+          .when(col("score_micro") <= col("t2"), lit("middle"))
+          .otherwise(lit("head")).as("bucket"))
+  }
+
   // --------------------------- hashed-ngram importance resampling
 
   /** DSIR-style hashed n-gram importance weighting (Xie et al., "Data
@@ -858,6 +917,9 @@ object Curation {
   private val curateQualityThreshold: Q = (s, dir) =>
     qualityThreshold(docs(s, dir)).orderBy("source")
 
+  private val curatePerplexityBuckets: Q = (s, dir) =>
+    perplexityBuckets(docs(s, dir)).orderBy("doc_id")
+
   private val curateLengthHistogram: Q = (s, dir) =>
     lengthHistogram(docs(s, dir)).orderBy("source", "log2_bucket")
 
@@ -874,6 +936,7 @@ object Curation {
     "curate_importance_resample" -> curateImportance,
     "curate_inspection_sample" -> curateInspection,
     "curate_quality_threshold" -> curateQualityThreshold,
+    "curate_perplexity_buckets" -> curatePerplexityBuckets,
     "curate_length_histogram"  -> curateLengthHistogram,
     "curate_corpus_diff"       -> curateCorpusDiff,
     "curate_sample_stratified" -> curateSample,
@@ -910,6 +973,54 @@ object Curation {
     "len(list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0))"
 
   val oracles: Map[String, String] = Map(
+    "curate_perplexity_buckets" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0) AS l
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(l) - 1),
+        |      i -> l[i] || ' ' || l[i + 1])) AS b
+        |  FROM w WHERE len(l) >= 2),
+        |bgc AS (
+        |  SELECT b, COUNT(*) AS c12, string_split(b, ' ')[1] AS w1
+        |  FROM bg GROUP BY b),
+        |ctx AS (SELECT w1, SUM(c12) AS c1 FROM bgc GROUP BY w1),
+        |lm AS (
+        |  SELECT bgc.b, (bgc.c12 * 1000000) // ctx.c1 AS p_micro
+        |  FROM bgc JOIN ctx ON bgc.w1 = ctx.w1),
+        |scored AS (
+        |  SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(lm.p_micro) AS BIGINT) AS sum_p_micro
+        |  FROM bg JOIN lm ON bg.b = lm.b
+        |  GROUP BY bg.doc_id),
+        |sm AS (
+        |  SELECT w.doc_id,
+        |    COALESCE(s.n_bigrams, 0) AS n_bigrams,
+        |    CASE WHEN s.n_bigrams > 0 THEN s.sum_p_micro // s.n_bigrams END
+        |      AS score_micro
+        |  FROM w LEFT JOIN scored s ON w.doc_id = s.doc_id),
+        |vc AS (SELECT score_micro, CAST(COUNT(*) AS BIGINT) AS c FROM sm
+        |       WHERE score_micro IS NOT NULL GROUP BY score_micro),
+        |cum AS (SELECT score_micro, SUM(c) OVER (ORDER BY score_micro)
+        |          AS cum
+        |        FROM vc),
+        |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vc),
+        |th AS (
+        |  SELECT
+        |    MIN(CASE WHEN cum >= (n.n + 2) // 3 THEN score_micro END) AS t1,
+        |    MIN(CASE WHEN cum >= (2 * n.n + 2) // 3 THEN score_micro END)
+        |      AS t2
+        |  FROM cum, n)
+        |SELECT sm.doc_id, sm.n_bigrams, sm.score_micro,
+        |  CASE WHEN sm.score_micro IS NULL THEN 'tail'
+        |       WHEN sm.score_micro <= th.t1 THEN 'tail'
+        |       WHEN sm.score_micro <= th.t2 THEN 'middle'
+        |       ELSE 'head' END AS bucket
+        |FROM sm, th ORDER BY sm.doc_id""".stripMargin,
+
     "curate_importance_resample" ->
       s"""WITH toked AS (
          |  SELECT doc_id, (source = 'src0') AS is_target,

@@ -959,6 +959,80 @@ object Dedup {
         xxhash64(col(textCol)), expectedItems, numBits).as("bf"))
       .head().getAs[Array[Byte]]("bf")
 
+  // ------------------------------- content-defined chunking dedup
+
+  /** Content-defined chunking — the rsync/LBFS/FastCDC family reduced
+    * to its relational core: a k-gram position is a CUT iff its
+    * 60-bit [[md5Long]] hash ≡ 0 (mod 2^maskBits) (expected chunk
+    * length ≈ 2^maskBits chars), and chunks are the substrings between
+    * cuts. Cut decisions depend only on LOCAL content, so an edit
+    * reshapes just the chunks it touches and chunking RE-SYNCS at the
+    * next cut — the property fixed-width blocking lacks, and what
+    * makes chunk-hash dedup effective across near-identical crawl
+    * snapshots/page revisions. Production FastCDC adds min/max chunk
+    * bounds (normalized chunking — a sequential constraint); the pure
+    * cut rule keeps every step row-local (k-gram hash array
+    * materialized FIRST — the HOF-capture discipline — then cuts,
+    * then spans), so chunking parallelizes per document at any corpus
+    * scale, and the md5 family keeps the DuckDB twin bit-identical.
+    * Docs shorter than k are one whole-doc chunk. Output: one row per
+    * chunk — (id, chunk_id, chunk_start, n_chunk_chars, chunk_md5). */
+  def cdcChunks(df: DataFrame, k: Int = 9, maskBits: Int = 6,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val m = 1L << maskBits
+    val text = col(textCol)
+    val hashed = df.select(col(idCol), text.as("__t"),
+      when(length(text) >= k,
+        transform(sequence(lit(1), length(text) - (k - 1)),
+          i => md5Long(substring(text, i, lit(k)))))
+        .otherwise(array().cast("array<long>")).as("__hs"))
+    val withCuts = hashed.withColumn("__cuts",
+      when(size(col("__hs")) > 0,
+        filter(sequence(lit(1), size(col("__hs"))),
+          i => element_at(col("__hs"), i) % m === 0))
+        .otherwise(array().cast("array<int>")))
+    val spans = withCuts
+      .withColumn("__starts",
+        concat(array(lit(1)), transform(col("__cuts"), c => c + k)))
+      .withColumn("__ends",
+        concat(transform(col("__cuts"), c => c + (k - 1)),
+          array(length(col("__t")))))
+      .withColumn("__spans",
+        filter(zip_with(col("__starts"), col("__ends"),
+            (s0, e0) => struct(s0.as("s"), e0.as("e"))),
+          p => p.getField("s") <= p.getField("e")))
+    spans
+      .select(col(idCol), col("__t"),
+        posexplode(col("__spans")).as(Seq("chunk_id", "sp")))
+      .select(col(idCol), col("chunk_id"),
+        col("sp.s").as("chunk_start"),
+        (col("sp.e") - col("sp.s") + 1).as("n_chunk_chars"),
+        md5(col("__t").substr(col("sp.s"),
+          col("sp.e") - col("sp.s") + 1)).as("chunk_md5"))
+  }
+
+  /** Chunk-level dedup report over [[cdcChunks]] — the storage-dedup
+    * number an incremental crawl store cares about: per document, how
+    * many of its chunks (and chars) also occur in at least one OTHER
+    * document. One chunk-key groupBy counts carrier docs (chunk
+    * hashes are near-unique outside true duplication, so the key is
+    * unskewed), one chunk-key equi-join back, one per-doc groupBy —
+    * no all-pairs anywhere. */
+  def cdcDedupReport(df: DataFrame, k: Int = 9, maskBits: Int = 6,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ch = cdcChunks(df, k, maskBits, idCol, textCol)
+    val occ = ch.groupBy("chunk_md5")
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+    ch.join(occ, "chunk_md5")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L))
+          .as("n_shared_chunks"),
+        sum(col("n_chunk_chars").cast("long")).as("n_chars"),
+        sum(when(col("n_docs") > 1, col("n_chunk_chars").cast("long"))
+          .otherwise(0L)).as("n_shared_chars"))
+  }
+
   // --------------------------------------------------- fixture queries
 
   type Q = (SparkSession, String) => DataFrame
@@ -973,6 +1047,24 @@ object Dedup {
   private val dedupExact: Q = (s, dir) =>
     exactGroups(fixtureCorpus(docs(s, dir)))
       .orderBy("keep_id")
+
+  /** Planted near-identical revisions for the CDC keys: every 4th doc
+    * gains an edited twin with an 11-char prefix insertion — chunking
+    * must RE-SYNC after the first cut, so most twin chunks dedup
+    * against the base (the fixed-width-blocking failure case). */
+  private def cdcCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = docsSmall(s, dir).select(col("doc_id"), col("text"))
+    val twins = base.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 70000).as("doc_id"),
+        concat(lit("EDITPREFIX "), col("text")).as("text"))
+    base.unionByName(twins)
+  }
+
+  private val dedupCdcChunks: Q = (s, dir) =>
+    cdcChunks(cdcCorpus(s, dir)).orderBy("doc_id", "chunk_id")
+
+  private val dedupCdcReport: Q = (s, dir) =>
+    cdcDedupReport(cdcCorpus(s, dir)).orderBy("doc_id")
 
   /** Normalization-aware exact dedup: group on the md5 of the
     * NFC-normalized, whitespace-collapsed text
@@ -1133,6 +1225,8 @@ object Dedup {
     removeDuplicatedSpans(fixtureCorpus(docsSmall(s, dir))).orderBy("doc_id")
 
   val queries: Map[String, Q] = Map(
+    "dedup_cdc_chunks"       -> dedupCdcChunks,
+    "dedup_cdc_report"       -> dedupCdcReport,
     "dedup_exact"            -> dedupExact,
     "dedup_exact_normalized" -> dedupExactNormalized,
     "dedup_keep_one"         -> dedupKeepOne,
@@ -1403,7 +1497,69 @@ object Dedup {
 
   private val cosineOracleSql: String = cosinePairParts.sql
 
+  /** Shared CTE chain of the CDC twin: planted prefix-edited
+    * revisions, k=9 gram hashes, cut positions (hash ≡ 0 mod 64),
+    * span assembly, one row per non-empty chunk. */
+  private val cdcChunksSql: String =
+    """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+      |twins AS (SELECT doc_id + 70000 AS doc_id, 'EDITPREFIX ' || text
+      |            AS text
+      |          FROM base WHERE doc_id % 4 = 0),
+      |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+      |h AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN len(text) >= 9 THEN
+      |      list_transform(generate_series(1, len(text) - 8),
+      |        i -> CAST(('0x' || substr(md5(substr(text, i, 9)), 1, 15))
+      |          AS BIGINT))
+      |    ELSE [] END AS hs
+      |  FROM corpus),
+      |c AS (
+      |  SELECT doc_id, text,
+      |    list_filter(generate_series(1, len(hs)), i -> hs[i] % 64 = 0)
+      |      AS cuts
+      |  FROM h),
+      |s AS (
+      |  SELECT doc_id, text,
+      |    list_prepend(1, list_transform(cuts, x -> x + 9)) AS starts,
+      |    list_append(list_transform(cuts, x -> x + 8), len(text)) AS ends
+      |  FROM c),
+      |v AS (
+      |  SELECT doc_id, text, starts, ends,
+      |    list_filter(generate_series(1, len(starts)),
+      |      j -> starts[j] <= ends[j]) AS idx
+      |  FROM s),
+      |chunks AS (
+      |  SELECT doc_id,
+      |    CAST(jj - 1 AS INT) AS chunk_id,
+      |    CAST(starts[idx[jj]] AS INT) AS chunk_start,
+      |    CAST(ends[idx[jj]] - starts[idx[jj]] + 1 AS INT)
+      |      AS n_chunk_chars,
+      |    md5(substr(text, starts[idx[jj]],
+      |      ends[idx[jj]] - starts[idx[jj]] + 1)) AS chunk_md5
+      |  FROM (SELECT doc_id, text, starts, ends, idx,
+      |          unnest(generate_series(1, len(idx))) AS jj FROM v))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dedup_cdc_chunks" ->
+      s"""$cdcChunksSql
+         |SELECT doc_id, chunk_id, chunk_start, n_chunk_chars, chunk_md5
+         |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "dedup_cdc_report" ->
+      s"""$cdcChunksSql,
+         |occ AS (SELECT chunk_md5, COUNT(DISTINCT doc_id) AS n_docs
+         |        FROM chunks GROUP BY chunk_md5)
+         |SELECT c2.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |  CAST(SUM(CASE WHEN o.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_shared_chunks,
+         |  CAST(SUM(c2.n_chunk_chars) AS BIGINT) AS n_chars,
+         |  CAST(SUM(CASE WHEN o.n_docs > 1 THEN c2.n_chunk_chars ELSE 0 END)
+         |    AS BIGINT) AS n_shared_chars
+         |FROM chunks c2 JOIN occ o ON c2.chunk_md5 = o.chunk_md5
+         |GROUP BY c2.doc_id ORDER BY c2.doc_id""".stripMargin,
+
     "dedup_exact" ->
       s"""WITH corpus AS ($corpusSql)
          |SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,

@@ -355,6 +355,65 @@ object TextAnalysis {
     counted.withColumn("redacted", redacted)
   }
 
+  // ------------------------------------- Luhn-validated card redaction
+
+  /** 16-digit card-number candidates in 4-digit groups with optional
+    * single space/dash separators — the Java∩RE2 shared dialect
+    * (ASCII \b word boundaries, no backrefs), so Spark and DuckDB
+    * extract identical candidate spans. */
+  val CcCandidateRe: String =
+    "\\b\\d{4}[ -]?\\d{4}[ -]?\\d{4}[ -]?\\d{4}\\b"
+
+  /** Checksum-validated payment-card redaction — the PII family member
+    * a pure regex cannot decide: a 16-digit run is only sensitive if
+    * it Luhn-validates (ISO/IEC 7812), so counting/redacting on the
+    * pattern alone would flood a curation report with order ids and
+    * timestamps. Candidates come from one [[CcCandidateRe]] extract;
+    * validation is Spark's codegen'd `luhn_check` over the
+    * separator-stripped digits inside a row-local `filter` lambda; the
+    * redaction replaces ONLY validated spans via an `aggregate` fold
+    * (invalid lookalikes survive verbatim — they are data, not PII).
+    * Map-only end to end: no shuffle at any corpus scale. The DuckDB
+    * twin re-derives Luhn arithmetically (doubled-digit sum mod 10)
+    * inside the same lambda shape, so validity is engine-checked, not
+    * engine-trusted. */
+  def redactCreditCards(df: DataFrame, textCol: String = "text")
+      : DataFrame = {
+    def digits(c: Column): Column = translate(c, " -", "")
+    val cands = regexp_extract_all(col(textCol), lit(CcCandidateRe), lit(0))
+    val valid = filter(cands,
+      c => call_function("luhn_check", digits(c)))
+    df.withColumn("__cands", cands)
+      .withColumn("__valid", valid)
+      .withColumn("n_cc_candidates", size(col("__cands")))
+      .withColumn("n_cc_valid", size(col("__valid")))
+      .withColumn("redacted",
+        aggregate(col("__valid"), col(textCol),
+          (acc, c) => call_function("replace", acc, c, lit("<CC>"))))
+      .drop("__cands", "__valid")
+  }
+
+  /** Fixture with deterministically PLANTED card numbers (the
+    * word-soup corpus contains no digit runs): every 6th doc gains a
+    * Luhn-VALID spaced Visa test number, every 9th a one-digit-off
+    * INVALID twin (must count as candidate, survive redaction), every
+    * 15th a dash-separated valid Mastercard test number — built
+    * identically in the oracle so the redacted strings hash-match. */
+  private val textRedactCc: Q = (s, dir) => {
+    val planted = docs(s, dir).withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 6 === 0, lit(" card 4111 1111 1111 1111"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 9 === 0, lit(" num 4111 1111 1111 1112"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 15 === 0, lit(" acct 5500-0000-0000-0004"))
+          .otherwise(lit(""))))
+    redactCreditCards(planted)
+      .select(col("doc_id"), col("n_cc_candidates"), col("n_cc_valid"),
+        col("redacted"))
+      .orderBy("doc_id")
+  }
+
   // ----------------------------------------------- per-source entropy
 
   /** Per-source unigram Shannon entropy — the corpus-diversity
@@ -1134,6 +1193,7 @@ object TextAnalysis {
     "text_idf_score"      -> textIdfScore,
     "text_repetition"     -> textRepetition,
     "text_redact_pii"     -> textRedactPii,
+    "text_redact_cc"      -> textRedactCc,
     "text_gopher_rules"   -> textGopherRules,
     "text_html_strip"     -> textHtmlStrip,
     "text_c4_line_filter" -> textC4LineFilter,
@@ -1627,6 +1687,44 @@ object TextAnalysis {
          |FROM planted
          |ORDER BY doc_id""".stripMargin
     },
+
+    "text_redact_cc" ->
+      raw"""WITH planted AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 6 = 0
+         |      THEN ' card 4111 1111 1111 1111' ELSE '' END ||
+         |    CASE WHEN doc_id % 9 = 0
+         |      THEN ' num 4111 1111 1111 1112' ELSE '' END ||
+         |    CASE WHEN doc_id % 15 = 0
+         |      THEN ' acct 5500-0000-0000-0004' ELSE '' END
+         |    AS text
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, text,
+         |    regexp_extract_all(text,
+         |      '\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}\b') AS cands
+         |  FROM planted),
+         |f AS (
+         |  SELECT doc_id, text, cands,
+         |    list_filter(cands, cc ->
+         |      list_sum(list_transform(generate_series(1, 16), i ->
+         |        CASE WHEN i % 2 = 1
+         |          THEN CAST(substr(replace(replace(cc, ' ', ''), '-', ''),
+         |            17 - i, 1) AS INT)
+         |          ELSE CASE WHEN 2 * CAST(substr(replace(replace(cc, ' ', ''),
+         |              '-', ''), 17 - i, 1) AS INT) > 9
+         |            THEN 2 * CAST(substr(replace(replace(cc, ' ', ''), '-',
+         |              ''), 17 - i, 1) AS INT) - 9
+         |            ELSE 2 * CAST(substr(replace(replace(cc, ' ', ''), '-',
+         |              ''), 17 - i, 1) AS INT) END
+         |        END)) % 10 = 0) AS valid
+         |  FROM c)
+         |SELECT doc_id,
+         |  CAST(len(cands) AS INT) AS n_cc_candidates,
+         |  CAST(len(valid) AS INT) AS n_cc_valid,
+         |  list_reduce(list_prepend(text, valid),
+         |    (acc, x) -> replace(acc, x, '<CC>')) AS redacted
+         |FROM f ORDER BY doc_id""".stripMargin,
 
     "text_tokenize" ->
       s"""SELECT doc_id, CAST($sqlTokWs AS INT) AS n_tokens_ws,

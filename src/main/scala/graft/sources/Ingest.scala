@@ -107,10 +107,14 @@ object Ingest {
   /** Columnar table sink (csv_to_iceberg.py:180-194): create-or-replace
     * / error-if-exists / append, 512 MB target files. `maxRecordsPerFile`
     * is the Parquet-level lever for the Iceberg
-    * `write.target-file-size-bytes` property. */
+    * `write.target-file-size-bytes` property. `format` widens the sink
+    * beyond parquet to the other splittable formats this container
+    * ships readers for — `orc` (columnar, built into spark-sql) and
+    * `json` (NDJSON interchange; schema round-trips via an explicit
+    * read schema, as JSON carries no types). */
   def writeTable(df: DataFrame, path: String,
-      mode: String = "createOrReplace"): Unit = {
-    val writer = df.write.format("parquet")
+      mode: String = "createOrReplace", format: String = "parquet"): Unit = {
+    val writer = df.write.format(format)
       .option("parquet.block.size", (512L * 1024 * 1024).toString)
     mode match {
       case "createOrReplace" => writer.mode("overwrite").save(path)

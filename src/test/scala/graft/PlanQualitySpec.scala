@@ -27,6 +27,7 @@ class PlanQualitySpec extends SparkSpec {
     "curate_mix_temperature", // one-row pow-sum normalizer crossed onto per-domain counts
     "curate_mix_report",     // one-row total-chars aggregate crossed onto the rollup report
     "curate_importance_resample", // one-row target/raw totals crossed onto the bucket table
+    "curate_perplexity_buckets", // one-row tertile-threshold frame crossed onto the scored docs
     "diag_key_skew"          // one-row (n_keys, total) stats crossed onto the top-k keys
   )
 

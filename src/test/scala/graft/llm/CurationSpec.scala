@@ -366,6 +366,38 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("perplexity buckets: tertile split over the corpus, no-bigram docs tail") {
+    val b = Curation.perplexityBuckets(docs)
+    val n = docs.count()
+    assert(b.count() == n, "every document gets exactly one bucket")
+    val counts = b.groupBy("bucket").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet.subsetOf(Set("head", "middle", "tail")))
+    Seq("head", "middle", "tail").foreach { k =>
+      val c = counts.getOrElse(k, 0L)
+      assert(c >= n / 5 && c <= n / 2,
+        s"$k bucket far from a tertile: $counts")
+    }
+  }
+
+  test("perplexity buckets: repeated boilerplate scores head, one-word docs tail") {
+    import spark.implicits._
+    // Three six-doc groups with bigram probabilities 1, 1/2, 1/3 under
+    // the in-corpus MLE (contexts with 1, 2, 3 continuations) land in
+    // head / middle / tail exactly; one-word docs have no bigram ->
+    // tail, score null.
+    val crafted = ((1L to 6L).map(i => (i, "x y")) ++
+      (7L to 12L).map(i => (i, s"mid m${i % 2}")) ++
+      (13L to 18L).map(i => (i, s"ctx w${i % 3}")) ++
+      Seq((19L, "solo"), (20L, "alone"))).toDF("doc_id", "text")
+    val by = Curation.perplexityBuckets(crafted).collect()
+      .map(r => r.getLong(0) -> r.getString(r.fieldIndex("bucket"))).toMap
+    (1L to 6L).foreach(i => assert(by(i) == "head", s"doc $i: ${by(i)}"))
+    (7L to 12L).foreach(i => assert(by(i) == "middle", s"doc $i: ${by(i)}"))
+    (13L to 18L).foreach(i => assert(by(i) == "tail", s"doc $i: ${by(i)}"))
+    Seq(19L, 20L).foreach(i => assert(by(i) == "tail", s"doc $i: ${by(i)}"))
+  }
+
   test("importance resampling separates target-like from raw-like docs") {
     import spark.implicits._
     // Target docs share a distinctive bigram vocabulary; raw docs use

@@ -141,6 +141,64 @@ class LlmSpec extends SparkSpec {
       == "nothing sensitive here, 12345 and word@@word are fine")
   }
 
+  test("cdcChunks: chunks reassemble the text; prefix edit re-syncs") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "wanders far away across the wide river into the deep dark woods " +
+      "before returning home at dusk to sleep soundly until morning light"
+    val docs = Seq((1L, base), (2L, "EDITPREFIX " + base), (3L, "tiny"))
+      .toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(docs).collect()
+    // chunks of each doc cover the text exactly: contiguous, in order
+    Seq(1L -> base, 2L -> ("EDITPREFIX " + base), 3L -> "tiny").foreach {
+      case (id, txt) =>
+        val spans = ch.filter(_.getLong(0) == id).sortBy(_.getInt(1))
+          .map(r => (r.getInt(r.fieldIndex("chunk_start")),
+            r.getInt(r.fieldIndex("n_chunk_chars"))))
+        assert(spans.head._1 == 1, s"doc $id must start at 1")
+        spans.sliding(2).foreach {
+          case Array((s1, n1), (s2, _)) =>
+            assert(s2 == s1 + n1, s"doc $id chunks not contiguous")
+          case _ =>
+        }
+        assert(spans.map(_._2).sum == txt.length,
+          s"doc $id chunks must cover the text")
+    }
+    // a doc shorter than k is one whole-doc chunk
+    assert(ch.count(_.getLong(0) == 3L) == 1)
+    // re-sync: the edited twin shares its suffix chunks with the base
+    val h1 = ch.filter(_.getLong(0) == 1L).map(_.getString(4)).toSet
+    val h2 = ch.filter(_.getLong(0) == 2L).map(_.getString(4)).toSet
+    assert((h1 & h2).nonEmpty,
+      "prefix edit must re-sync to shared chunks")
+    val rep = Dedup.cdcDedupReport(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rep(1L).getLong(rep(1L).fieldIndex("n_shared_chunks")) > 0)
+    assert(rep(3L).getLong(rep(3L).fieldIndex("n_shared_chunks")) == 0)
+  }
+
+  test("redactCreditCards: Luhn gate separates valid cards from lookalikes") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "pay with 4111 1111 1111 1111 now"),
+      (2L, "bad 4111 1111 1111 1112 here"),
+      (3L, "two 4111111111111111 and 5500-0000-0000-0004 ok"),
+      (4L, "none here, order 1234 is not a card")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.redactCreditCards(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def f(id: Long, c: String) = out(id).get(out(id).fieldIndex(c))
+    assert(f(1L, "n_cc_candidates") == 1 && f(1L, "n_cc_valid") == 1)
+    assert(f(1L, "redacted") == "pay with <CC> now")
+    // a one-digit-off lookalike is a candidate but must NOT be redacted
+    assert(f(2L, "n_cc_candidates") == 1 && f(2L, "n_cc_valid") == 0)
+    assert(f(2L, "redacted") == "bad 4111 1111 1111 1112 here")
+    // unspaced and dash-separated formats both validate
+    assert(f(3L, "n_cc_candidates") == 2 && f(3L, "n_cc_valid") == 2)
+    assert(f(3L, "redacted") == "two <CC> and <CC> ok")
+    assert(f(4L, "n_cc_candidates") == 0 && f(4L, "n_cc_valid") == 0)
+  }
+
   test("qwen2Pretokenize follows the reference tokenizer's split rules") {
     def toks(s: String): Seq[String] =
       textDf((0L, s)).select(TextAnalysis.qwen2Pretokenize(col("text")))

@@ -68,6 +68,27 @@ class IngestSpec extends SparkSpec {
     assert(back.columns.sorted.toSeq === Seq("elapsed_s", "query_id"))
   }
 
+  test("ORC and JSON sinks round-trip the lineitem slice typed") {
+    val li = graft.Tables.load(spark, sfSmoke, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_shipdate")
+    val dir = Files.createTempDirectory("graft_fmt").toFile
+    Ingest.writeTable(li, s"$dir/orc", format = "orc")
+    val orcBack = spark.read.orc(s"$dir/orc")
+    assert(orcBack.schema === li.schema, "ORC must preserve types exactly")
+    assert(orcBack.count() === li.count())
+    Ingest.writeTable(li, s"$dir/json", format = "json")
+    // JSON carries no types: round-trip under the original read schema
+    val jsonBack = spark.read.schema(li.schema).json(s"$dir/json")
+    assert(jsonBack.count() === li.count())
+    // exact-sum comparison: decimal cast makes the fold order-free
+    def s(d: org.apache.spark.sql.DataFrame) =
+      d.agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("l_quantity")
+          .cast("decimal(20,2)"))).head().getDecimal(0)
+    assert(s(jsonBack) === s(li))
+    assert(s(orcBack) === s(li))
+  }
+
   test("loadQueryFiles: name-sorted q*.sql only") {
     val dir = Files.createTempDirectory("graft_q").toFile
     for (n <- Seq("q2.sql", "q10.sql", "q1.sql", "notes.txt"))
