@@ -102,6 +102,21 @@ object BenchExtra {
       val k = math.max(4, math.sqrt(e.count().toDouble).toInt)
       Similarity.semanticDedup(e, Similarity.trainCentroids(e, k), 0.95)
     }),
+    "bench_perplexity_full" -> ((s, dir) =>
+      // CCNet tertile bucketing over the full corpus at bench SF: LM
+      // train+score plus the bounded value-count threshold pass — the
+      // threshold stage must stay corpus-size-independent (its frame
+      // is capped by the [0,1e6] score range)
+      graft.llm.Curation.perplexityBuckets(docs(s, dir))),
+    "bench_cdc_full" -> ((s, dir) =>
+      // content-defined chunking dedup report over the full corpus
+      // with every 10th doc re-ingested as a prefix-edited revision:
+      // the row-local chunk pass dominates and must scale linearly
+      Dedup.cdcDedupReport(docs(s, dir)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs(s, dir).filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 900000).as("doc_id"),
+            concat(lit("REV2 "), col("text")).as("text"))))),
     "bench_lm_score_full" -> ((s, dir) =>
       // train + score the bigram LM over the full corpus at bench SF:
       // two token-key groupBys (map-side combined) + one broadcast

@@ -251,37 +251,69 @@ object Curation {
     * bucketed 'tail'. */
   def perplexityBuckets(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val scored = TextAnalysis.lmScore(df, idCol, textCol)
-      .withColumn("score_micro",
-        when(col("n_bigrams") > 0,
-          org.apache.spark.sql.functions.expr("sum_p_micro DIV n_bigrams")))
+    val scored = withScoreMicro(TextAnalysis.lmScore(df, idCol, textCol))
+    assignPerplexityBuckets(scored, perplexityThresholds(scored), idCol)
+  }
+
+  /** Exact integer per-doc LM score key (null when unassessable). */
+  private def withScoreMicro(scored: DataFrame): DataFrame =
+    scored.withColumn("score_micro",
+      when(col("n_bigrams") > 0,
+        org.apache.spark.sql.functions.expr("sum_p_micro DIV n_bigrams")))
+
+  /** Per-doc integer LM scores of `df` against a trained `lm` frame —
+    * the scored input [[perplexityThresholds]] expects. */
+  def perplexityScores(df: DataFrame, lm: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    withScoreMicro(TextAnalysis.scoreBigrams(df, lm, idCol, textCol))
+
+  /** One-row (t1, t2) tertile-threshold frame over a scored corpus
+    * (train-once half of the bucketing pipeline — compute on the
+    * reference corpus, reuse across scoring runs and streams). See
+    * [[perplexityBuckets]] for the corpus-independent shape. */
+  def perplexityThresholds(scored: DataFrame): DataFrame = {
     val vc = scored.filter(col("score_micro").isNotNull)
       .groupBy("score_micro").agg(count(lit(1)).as("c"))
-    val th =
-      if (vc.isEmpty)  // degenerate corpus: nothing assessable
-        df.sparkSession.sql(
-          "SELECT CAST(NULL AS BIGINT) AS t1, CAST(NULL AS BIGINT) AS t2")
-      else {
-        val cum = graft.operators.Scale
-          .prefixSumsDistributed(vc, "score_micro", "c")
-          .withColumn("cum", (col("prefix") + col("c")).cast("long"))
-        val nRow = vc.agg(sum("c").cast("long").as("n"))
-        cum.crossJoin(broadcast(nRow))
-          .agg(
-            min(when(col("cum") >=
-              org.apache.spark.sql.functions.expr("(n + 2) DIV 3"),
-              col("score_micro"))).as("t1"),
-            min(when(col("cum") >=
-              org.apache.spark.sql.functions.expr("(2 * n + 2) DIV 3"),
-              col("score_micro"))).as("t2"))
-      }
+    if (vc.isEmpty)  // degenerate corpus: nothing assessable
+      scored.sparkSession.sql(
+        "SELECT CAST(NULL AS BIGINT) AS t1, CAST(NULL AS BIGINT) AS t2")
+    else {
+      val cum = graft.operators.Scale
+        .prefixSumsDistributed(vc, "score_micro", "c")
+        .withColumn("cum", (col("prefix") + col("c")).cast("long"))
+      val nRow = vc.agg(sum("c").cast("long").as("n"))
+      cum.crossJoin(broadcast(nRow))
+        .agg(
+          min(when(col("cum") >=
+            org.apache.spark.sql.functions.expr("(n + 2) DIV 3"),
+            col("score_micro"))).as("t1"),
+          min(when(col("cum") >=
+            org.apache.spark.sql.functions.expr("(2 * n + 2) DIV 3"),
+            col("score_micro"))).as("t2"))
+    }
+  }
+
+  /** Map-only bucket assignment against a broadcast threshold frame. */
+  private def assignPerplexityBuckets(scored: DataFrame, th: DataFrame,
+      idCol: String): DataFrame =
     scored.crossJoin(broadcast(th))
       .select(col(idCol), col("n_bigrams"), col("score_micro"),
         when(col("score_micro").isNull, lit("tail"))
           .when(col("score_micro") <= col("t1"), lit("tail"))
           .when(col("score_micro") <= col("t2"), lit("middle"))
           .otherwise(lit("head")).as("bucket"))
-  }
+
+  /** Score-and-bucket any frame against a STATIC trained LM and
+    * threshold frame — stateless per document, so it runs unchanged
+    * inside a streaming foreachBatch (the CCNet filter at ingest
+    * time: train lm + thresholds once on the reference corpus, bucket
+    * the stream per micro-batch; StreamsSpec pins batch
+    * equivalence). */
+  def bucketAgainst(df: DataFrame, lm: DataFrame, th: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    assignPerplexityBuckets(
+      withScoreMicro(TextAnalysis.scoreBigrams(df, lm, idCol, textCol)),
+      th, idCol)
 
   // --------------------------- hashed-ngram importance resampling
 

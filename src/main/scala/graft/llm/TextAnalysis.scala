@@ -447,6 +447,69 @@ object TextAnalysis {
           .cast("long"))
   }
 
+  // ------------------------------------------ vocab coverage + Zipf
+
+  /** Out-of-vocabulary rate against the corpus's own top-`topN`
+    * vocabulary — the data-card row that predicts tokenizer fertility
+    * blowup and flags domain drift (a batch whose OOV rate jumps is
+    * not from the training distribution). Vocabulary = top-N tokens by
+    * (count DESC, token ASC) — a total order, so the cut is
+    * deterministic on every engine. 100 TB shape: one token groupBy
+    * (map-side combine absorbs the Zipf skew), a bounded-N sort-limit
+    * (TakeOrdered — never a full sort), and the vocabulary BROADCASTS
+    * back onto the occurrence stream so the skewed token key never
+    * drives a shuffled join (the [[idfScore]] discipline); per-doc
+    * groupBy on the unskewed id. */
+  def oovRate(df: DataFrame, topN: Int = 10, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(tokensWs(lower(col(textCol)))).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(topN)
+      .select(col("token"), lit(1).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens"))
+  }
+
+  /** Zipf-law exponent fit over the corpus unigram distribution — the
+    * one-number "is this corpus natural-language-shaped" data-card
+    * row (natural text fits ln f ≈ c − α·ln r with α ≈ 1; word soup
+    * and boilerplate flatten it). OLS slope of (ln rank, ln count)
+    * over the VOCABULARY-sized frame: rank by (count DESC, token ASC)
+    * through [[graft.operators.Scale.rowNumberDistributed]] (range-
+    * bucketed — no global sort/window), ln once per vocab row rounded
+    * to integer 1e-4-nat units BEFORE any products (the DSIR ln
+    * discipline), moment sums exact BIGINT (safe to ~2×10⁸ vocab
+    * rows), one final double division rounded to basis points.
+    * Output: (n_vocab, slope_bp) — slope_bp ≈ −10000·α. */
+  def zipfSlope(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val vc = df.select(explode(tokensWs(lower(col(textCol)))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val ranked = graft.operators.Scale.rowNumberDistributed(
+      vc, -col("n"), Seq(col("n").desc, col("token").asc), "r")
+    val u = ranked.select(
+      round(log(col("r").cast("double")) * 10000).cast("long").as("x"),
+      round(log(col("n").cast("double")) * 10000).cast("long").as("y"))
+    u.agg(count(lit(1)).as("m"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("m").as("n_vocab"),
+        round((col("m") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("m") * col("sxx") - col("sx") * col("sx")).cast("double")
+          * 10000).cast("long").as("slope_bp"))
+  }
+
+  private val textOovRate: Q = (s, dir) =>
+    oovRate(docs(s, dir)).orderBy("doc_id")
+
+  private val textZipfSlope: Q = (s, dir) =>
+    zipfSlope(docs(s, dir))
+
   // --------------------------------------------------- HTML extraction
 
   /** Tag-strip patterns in the Java∩RE2 dialect ((?is) inline flags,
@@ -1194,6 +1257,8 @@ object TextAnalysis {
     "text_repetition"     -> textRepetition,
     "text_redact_pii"     -> textRedactPii,
     "text_redact_cc"      -> textRedactCc,
+    "text_oov_rate"       -> textOovRate,
+    "text_zipf_slope"     -> textZipfSlope,
     "text_gopher_rules"   -> textGopherRules,
     "text_html_strip"     -> textHtmlStrip,
     "text_c4_line_filter" -> textC4LineFilter,
@@ -1725,6 +1790,47 @@ object TextAnalysis {
          |  list_reduce(list_prepend(text, valid),
          |    (acc, x) -> replace(acc, x, '<CC>')) AS redacted
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    "text_oov_rate" ->
+      raw"""WITH tok AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+         |      t -> len(t) > 0)) AS token
+         |  FROM documents),
+         |vc AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+         |vocab AS (SELECT token FROM vc ORDER BY n DESC, token LIMIT 10)
+         |SELECT t.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oov,
+         |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*) AS oov_rate
+         |FROM tok t LEFT JOIN vocab v ON t.token = v.token
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "text_zipf_slope" ->
+      raw"""WITH tok AS (
+         |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+         |      t -> len(t) > 0)) AS token
+         |  FROM documents),
+         |vc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+         |       FROM tok GROUP BY token),
+         |rk AS (SELECT token, n,
+         |         ROW_NUMBER() OVER (ORDER BY n DESC, token) AS r FROM vc),
+         |u AS (SELECT
+         |        CAST(ROUND(ln(CAST(r AS DOUBLE)) * 10000) AS BIGINT) AS x,
+         |        CAST(ROUND(ln(CAST(n AS DOUBLE)) * 10000) AS BIGINT) AS y
+         |      FROM rk),
+         |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |        CAST(SUM(x*y) AS BIGINT) AS sxy,
+         |        CAST(SUM(x*x) AS BIGINT) AS sxx
+         |      FROM u)
+         |SELECT m AS n_vocab,
+         |  CAST(ROUND(CAST(m * sxy - sx * sy AS DOUBLE)
+         |    / CAST(m * sxx - sx * sx AS DOUBLE) * 10000) AS BIGINT)
+         |    AS slope_bp
+         |FROM s""".stripMargin,
 
     "text_tokenize" ->
       s"""SELECT doc_id, CAST($sqlTokWs AS INT) AS n_tokens_ws,

@@ -141,6 +141,43 @@ class LlmSpec extends SparkSpec {
       == "nothing sensitive here, 12345 and word@@word are fine")
   }
 
+  test("oovRate: occurrences outside the top-N vocabulary are counted") {
+    import spark.implicits._
+    // counts: the=4, of=3, rare1=1, rare2=1 -> top-2 vocab = {of, the}
+    val docs = Seq(
+      (1L, "the the of rare1"),
+      (2L, "the of of rare2 the")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.oovRate(docs, topN = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(out(1L).fieldIndex("n_tokens")) == 4)
+    assert(out(1L).getLong(out(1L).fieldIndex("n_oov")) == 1)
+    assert(out(2L).getLong(out(2L).fieldIndex("n_oov")) == 1)
+    assert(math.abs(out(2L).getDouble(out(2L).fieldIndex("oov_rate"))
+      - 0.2) < 1e-12)
+  }
+
+  test("zipfSlope matches a driver-side OLS over the same rounded points") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a a b b c d"), (2L, "a a b b c e f g"))
+      .toDF("doc_id", "text")
+    val row = TextAnalysis.zipfSlope(docs).head()
+    // counts: a=6 b=4 c=2 d=1 e=1 f=1 g=1; rank by (n desc, token)
+    val counts = Seq(6L, 4L, 2L, 1L, 1L, 1L, 1L)
+    val pts = counts.zipWithIndex.map { case (n, i) =>
+      (math.round(math.log(i + 1.0) * 10000),
+        math.round(math.log(n.toDouble) * 10000))
+    }
+    val m = pts.size.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val want = math.round(
+      (m * sxy - sx * sy).toDouble / (m * sxx - sx * sx) * 10000)
+    assert(row.getLong(row.fieldIndex("n_vocab")) == 7)
+    assert(row.getLong(row.fieldIndex("slope_bp")) == want)
+  }
+
   test("cdcChunks: chunks reassemble the text; prefix edit re-syncs") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and then " +

@@ -214,6 +214,45 @@ class StreamsSpec extends SparkSpec {
     } finally { query.stop(); lm.unpersist() }
   }
 
+  test("per-batch streaming perplexity bucketing against static lm+thresholds equals batch") {
+    // the CCNet ingest-time shape: LM and tertile thresholds are
+    // trained ONCE on the reference corpus; each micro-batch is then
+    // bucketed map-only against the static broadcast frames — a doc's
+    // bucket depends only on its own bigrams and the fixed cuts, so
+    // per-batch equals batch exactly.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.llm.{Curation, TextAnalysis}
+    val base = graft.Tables.load(spark, sfSmoke, "documents")
+      .select("doc_id", "text")
+    val lm = TextAnalysis.trainBigramLm(base).cache()
+    lm.count()
+    val th = Curation.perplexityThresholds(
+      Curation.perplexityScores(base, lm)).cache()
+    th.count()
+    val docs = base.as[(Long, String)].collect().toSeq
+    val buckets = scala.collection.mutable.Map[Long, String]()
+    val input = MemoryStream[(Long, String)]
+    val query = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Curation.bucketAgainst(batch, lm, th).collect().foreach { r =>
+          buckets.synchronized {
+            buckets(r.getLong(0)) = r.getString(r.fieldIndex("bucket"))
+          }
+        }
+      }.start()
+    try {
+      val (a, b) = docs.splitAt(docs.size / 2)
+      input.addData(a: _*); query.processAllAvailable()
+      input.addData(b: _*); query.processAllAvailable()
+      val batchBuckets = Curation.perplexityBuckets(base).collect()
+        .map(r => r.getLong(0) -> r.getString(r.fieldIndex("bucket"))).toMap
+      assert(buckets.toMap == batchBuckets,
+        "per-batch buckets must equal the batch result exactly")
+      assert(batchBuckets.values.toSet == Set("head", "middle", "tail"))
+    } finally { query.stop(); lm.unpersist(); th.unpersist() }
+  }
+
   test("dedupStream drops replayed ids") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
