@@ -488,6 +488,30 @@ object Curation {
       .drop("sort_key")
   }
 
+  /** Curriculum training order (Bengio et al., "Curriculum Learning",
+    * ICML 2009, as production pipelines apply it): within each shard,
+    * cleaner documents come FIRST — position = rank by (descending
+    * [[TextAnalysis.qualityColumns]] composite in basis points,
+    * id-hash, id), so a data loader draining shards in parallel feeds
+    * easy/clean examples early and noisy ones late. Same scale shape
+    * as [[shuffleShard]]: shard = id-hash bucket, the rank window is
+    * per-shard (never global), every key content/id-addressed — the
+    * ordering is reproducible on any engine and cluster size. The
+    * id-hash tiebreak keeps equal-quality runs shuffled rather than
+    * id-ordered (curriculum between strata, randomness within). */
+  def curriculumOrder(df: DataFrame, nShards: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val qualityBp = round(TextAnalysis.qualityColumns(col(textCol))
+      .toMap.apply("quality_score") * 10000).cast("long")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("ease").desc, col("tie"), col(idCol))
+    df.withColumn("shard", hashBucket("curr:", col(idCol), nShards))
+      .withColumn("ease", qualityBp)
+      .withColumn("tie", hashBucket("ctie:", col(idCol), 1000000))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("tie")
+  }
+
   /** Per-shard export manifest — the data-versioning artifact written
     * beside a sharded corpus export ([[shuffleShard]] orders it, this
     * certifies it): doc/char counts plus an order-free content
@@ -952,6 +976,11 @@ object Curation {
   private val curatePerplexityBuckets: Q = (s, dir) =>
     perplexityBuckets(docs(s, dir)).orderBy("doc_id")
 
+  private val curateCurriculum: Q = (s, dir) =>
+    curriculumOrder(docs(s, dir), 8)
+      .select(col("doc_id"), col("shard"), col("ease"), col("pos"))
+      .orderBy("shard", "pos")
+
   private val curateLengthHistogram: Q = (s, dir) =>
     lengthHistogram(docs(s, dir)).orderBy("source", "log2_bucket")
 
@@ -969,6 +998,7 @@ object Curation {
     "curate_inspection_sample" -> curateInspection,
     "curate_quality_threshold" -> curateQualityThreshold,
     "curate_perplexity_buckets" -> curatePerplexityBuckets,
+    "curate_curriculum_order"  -> curateCurriculum,
     "curate_length_histogram"  -> curateLengthHistogram,
     "curate_corpus_diff"       -> curateCorpusDiff,
     "curate_sample_stratified" -> curateSample,
@@ -1005,6 +1035,19 @@ object Curation {
     "len(list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0))"
 
   val oracles: Map[String, String] = Map(
+    "curate_curriculum_order" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    CAST(${sqlBucket("curr:", "doc_id", 8)} AS BIGINT) AS shard,
+         |    CAST(round((${TextAnalysis.sqlQualityScore}) * 10000)
+         |      AS BIGINT) AS ease,
+         |    CAST(${sqlBucket("ctie:", "doc_id", 1000000)} AS BIGINT) AS tie
+         |  FROM documents)
+         |SELECT doc_id, shard, ease,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
+         |    ORDER BY ease DESC, tie, doc_id) AS BIGINT) AS pos
+         |FROM q ORDER BY shard, pos""".stripMargin,
+
     "curate_perplexity_buckets" ->
       """WITH w AS (
         |  SELECT doc_id,

@@ -447,6 +447,43 @@ object TextAnalysis {
           .cast("long"))
   }
 
+  // ---------------------------------------- sentence segmentation
+
+  /** Rule-based sentence segmentation — the primitive under
+    * sentence-level filters and dedup (C4 drops lines; many quality
+    * recipes work on sentences). A sentence is a maximal run of
+    * non-terminator characters plus its trailing `[.!?]` run —
+    * expressed as ONE `regexp_extract_all` in the Java∩RE2 shared
+    * dialect (no lookbehind: RE2 has none, so the split-on-boundary
+    * form is out; the extract-with-terminator form needs neither).
+    * Whitespace-trimmed, empties dropped, `sent_id` in document
+    * order, `n_chars` over the trimmed sentence. Row-local (one
+    * extract + posexplode — sentences inherit the doc's partition; no
+    * shuffle at any corpus scale). */
+  val SentenceRe: String = "[^.!?]+[.!?]*"
+
+  def splitSentences(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    df.select(col(idCol),
+        posexplode(filter(
+          transform(
+            regexp_extract_all(col(textCol), lit(SentenceRe), lit(0)),
+            s => trim(s)),
+          s => length(s) > 0)).as(Seq("sent_id", "sentence")))
+      .select(col(idCol), col("sent_id"),
+        length(col("sentence")).as("n_chars"), col("sentence"))
+
+  /** Fixture with PLANTED terminators (the word-soup corpus has
+    * none): three segments of each doc rejoined with '. ', '! ', '? '
+    * plus an unterminated tail — built identically in the oracle. */
+  private val textSentences: Q = (s, dir) => {
+    val planted = docs(s, dir).withColumn("text",
+      concat(substring(col("text"), 1, 50), lit(". "),
+        substring(col("text"), 51, 40), lit("! "),
+        substring(col("text"), 91, 30), lit("? tail no terminator")))
+    splitSentences(planted).orderBy("doc_id", "sent_id")
+  }
+
   // ------------------------------------------ vocab coverage + Zipf
 
   /** Out-of-vocabulary rate against the corpus's own top-`topN`
@@ -1258,6 +1295,7 @@ object TextAnalysis {
     "text_redact_pii"     -> textRedactPii,
     "text_redact_cc"      -> textRedactCc,
     "text_oov_rate"       -> textOovRate,
+    "text_sentences"      -> textSentences,
     "text_zipf_slope"     -> textZipfSlope,
     "text_gopher_rules"   -> textGopherRules,
     "text_html_strip"     -> textHtmlStrip,
@@ -1790,6 +1828,26 @@ object TextAnalysis {
          |  list_reduce(list_prepend(text, valid),
          |    (acc, x) -> replace(acc, x, '<CC>')) AS redacted
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    "text_sentences" ->
+      raw"""WITH planted AS (
+         |  SELECT doc_id,
+         |    substr(text, 1, 50) || '. ' || substr(text, 51, 40) || '! ' ||
+         |    substr(text, 91, 30) || '? tail no terminator' AS text
+         |  FROM documents),
+         |e AS (
+         |  SELECT doc_id,
+         |    list_filter(list_transform(
+         |      regexp_extract_all(text, '[^.!?]+[.!?]*'), s -> trim(s)),
+         |      s -> len(s) > 0) AS sents
+         |  FROM planted)
+         |SELECT doc_id,
+         |  CAST(jj - 1 AS INT) AS sent_id,
+         |  CAST(len(sents[jj]) AS INT) AS n_chars,
+         |  sents[jj] AS sentence
+         |FROM (SELECT doc_id, sents,
+         |        unnest(generate_series(1, len(sents))) AS jj FROM e)
+         |ORDER BY doc_id, sent_id""".stripMargin,
 
     "text_oov_rate" ->
       raw"""WITH tok AS (

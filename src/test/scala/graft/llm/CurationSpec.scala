@@ -398,6 +398,30 @@ class CurationSpec extends SparkSpec {
     Seq(19L, 20L).foreach(i => assert(by(i) == "tail", s"doc $i: ${by(i)}"))
   }
 
+  test("curriculum order: dense per-shard positions, ease non-increasing") {
+    val out = Curation.curriculumOrder(docs, 8).collect()
+    assert(out.length == docs.count())
+    out.groupBy(_.getLong(out.head.fieldIndex("shard"))).foreach {
+      case (shard, rows) =>
+        val byPos = rows.sortBy(_.getLong(rows.head.fieldIndex("pos")))
+        val positions = byPos.map(_.getLong(byPos.head.fieldIndex("pos")))
+        assert(positions.toSeq == (1L to rows.length).toSeq,
+          s"shard $shard positions not dense")
+        val eases = byPos.map(_.getLong(byPos.head.fieldIndex("ease")))
+        eases.sliding(2).foreach {
+          case Array(a, b) => assert(a >= b,
+            s"shard $shard: ease must be non-increasing along the order")
+          case _ =>
+        }
+    }
+    // deterministic
+    val again = Curation.curriculumOrder(docs, 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(r.fieldIndex("pos"))).toMap
+    out.foreach { r =>
+      assert(again(r.getLong(0)) == r.getLong(r.fieldIndex("pos")))
+    }
+  }
+
   test("importance resampling separates target-like from raw-like docs") {
     import spark.implicits._
     // Target docs share a distinctive bigram vocabulary; raw docs use

@@ -141,6 +141,22 @@ class LlmSpec extends SparkSpec {
       == "nothing sensitive here, 12345 and word@@word are fine")
   }
 
+  test("splitSentences: terminator runs close sentences, tail kept, empties dropped") {
+    val out = TextAnalysis.splitSentences(textDf(
+      (1L, "One two. Three four!! Done?  "),
+      (2L, "no terminator at all"),
+      (3L, "...")
+    )).collect().map(r => (r.getLong(0), r.getInt(1)) ->
+      (r.getInt(2), r.getString(3))).toMap
+    assert(out((1L, 0)) == (8, "One two."))
+    assert(out((1L, 1)) == (12, "Three four!!"))
+    assert(out((1L, 2)) == (5, "Done?"))
+    assert(out((2L, 0)) == (20, "no terminator at all"))
+    // a doc of only terminators yields no non-empty sentence
+    assert(!out.keySet.exists(_._1 == 3L))
+    assert(out.size == 4)
+  }
+
   test("oovRate: occurrences outside the top-N vocabulary are counted") {
     import spark.implicits._
     // counts: the=4, of=3, rare1=1, rare2=1 -> top-2 vocab = {of, the}
