@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Similarity}
+import graft.llm.{Dedup, Retrieval, Similarity}
 
 /** Bench-only queries (no DuckDB oracle): the LLM dedup/ANN operators
   * over the FULL documents/embeddings corpus at the bench's SF, so the
@@ -86,6 +86,14 @@ object BenchExtra {
     "bench_ann_lsh_full" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") % 50 === 0), 5)
+    }),
+    "bench_bm25_full" -> ((s, dir) => {
+      // BM25 float path over the full corpus: one postings shuffle,
+      // broadcast df/qterms/stats, per-query top-10 (the oracle key
+      // runs the micro-int twin at sf0.01)
+      val d = docs(s, dir)
+      Retrieval.bm25TopK(d, d.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("query_id"), col("text")), 10)
     }),
     "bench_pipeline_full" -> ((s, dir) =>
       // the curation recipe end-to-end over the UNclamped corpus at

@@ -6,7 +6,7 @@ import graft.operators.{Advanced, AsOf, Relational}
 import graft.plans.TopKPerKey
 import graft.scheduling.SchedulingQueries
 import graft.sources.{Ingest, SyntheticWorkload, TpcdsPromoted}
-import graft.llm.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Curation, Dedup, Multimodal, Retrieval, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -32,7 +32,7 @@ object SparkEntry {
       SchedulingQueries.queries ++ Ingest.queries ++ TpcdsPromoted.queries ++
       SyntheticWorkload.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
-      Multimodal.queries ++ Curation.queries
+      Retrieval.queries ++ Multimodal.queries ++ Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +43,5 @@ object SparkEntry {
       Metrics.oracles ++ SchedulingQueries.oracles ++ Ingest.oracles ++
       TpcdsPromoted.oracles ++ SyntheticWorkload.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      Multimodal.oracles ++ Curation.oracles
+      Retrieval.oracles ++ Multimodal.oracles ++ Curation.oracles
 }

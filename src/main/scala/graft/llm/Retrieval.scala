@@ -1,0 +1,337 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Lexical retrieval + hybrid rank fusion (north-star extension — the
+  * reference has no retrieval surface; companions to [[Similarity]]'s
+  * dense ANN paths for the RAG/eval side of a training-data pipeline).
+  *
+  *  - BM25 (Robertson & Zaragoza 2009, "The Probabilistic Relevance
+  *    Framework: BM25 and Beyond", §3.3) — Lucene-style IDF
+  *    `ln(1 + (N−df+0.5)/(df+0.5))`, k1=1.2, b=0.75, query term
+  *    frequency ignored (distinct query terms), ties broken by doc id.
+  *  - Token-set Jaccard ranking — the set-overlap scorer the dedup
+  *    layer already trusts ([[Dedup]]), reused as a second
+  *    independent lexical list.
+  *  - Reciprocal-rank fusion (Cormack, Clarke & Buettcher SIGIR 2009):
+  *    `score(d) = Σ_lists 1/(kRrf + rank_list(d))`, kRrf=60 — fuses
+  *    ANY ranked lists (lexical+dense hybrid in production; the
+  *    fixture fuses the two lexical lists so the multi-list merge path
+  *    is actually exercised — the synthetic embeddings are
+  *    uncorrelated with document text, so a lexical+dense fixture pair
+  *    would never overlap and `n_lists=2` would go untested).
+  *
+  * Scale design (100 TB corpus, small query set):
+  *  - the corpus is tokenized ONCE into a postings frame (explode +
+  *    one map-side-combining groupBy — the same single-shuffle shape
+  *    as [[TextAnalysis.idfScore]]);
+  *  - document frequencies are a VOCABULARY-sized frame — broadcast,
+  *    never shuffled onto the skewed term key (stopword reducers are
+  *    the classic BM25-at-scale trap; see the r4 idfScore advice);
+  *  - query terms are tiny (|queries|·|terms/query|) — broadcast, so
+  *    the inverted-index probe `qterms ⋈ postings ON term` is a
+  *    broadcast hash join that streams the postings side with no
+  *    corpus shuffle; only the ~|matching postings| survivors reach
+  *    the (query,doc) partial-score aggregation;
+  *  - corpus-level stats (N, total length) are a one-row frame,
+  *    broadcast via crossJoin;
+  *  - the per-query top-k window partitions on query_id (bounded by
+  *    k·|queries| rows after aggregation — no unpartitioned window).
+  *
+  * Fixture queries run the scoring in micro-scaled exact integers
+  * (every `ln`/division rounded to a BIGINT of micro-units at each
+  * elementary step, sums taken over integers so accumulation order
+  * cannot flip a rank — the [[Similarity]] micro-kernel discipline);
+  * the float path below is the production form.
+  */
+object Retrieval {
+
+  // ---------------------------------------------------- float path
+
+  /** Production BM25 top-k: `queries(query_id, text)` against
+    * `corpus(doc_id, text)`, whitespace tokenization, scores in
+    * doubles. Returns (query_id, rank, doc_id, bm25). */
+  def bm25TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qterms = queries
+      .select(col("query_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "").distinct()
+    val scored = bm25PartialsF(corpus, qterms, k1, b)
+      .groupBy("query_id", "doc_id")
+      .agg(sum("bm25_term").as("bm25"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("bm25").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "bm25")
+  }
+
+  /** Shared BM25 partial-score pipeline (float): one row per
+    * (query_id, doc_id, term) with the BM25 term contribution. */
+  private def bm25PartialsF(corpus: DataFrame, qterms: DataFrame,
+      k1: Double, b: Double): DataFrame = {
+    val toks = corpus
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum("dl").cast("double").as("total_len"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    broadcast(qterms)
+      .join(tf, "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))))
+      .withColumn("bm25_term",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl") / col("avgdl"))))
+  }
+
+  /** Generic reciprocal-rank fusion over ranked lists, each shaped
+    * (query_id, doc_id, rank): `Σ 1/(kRrf + rank)`, descending, ties
+    * by doc id; returns (query_id, rank, doc_id, rrf, n_lists). Lists
+    * may cover different candidate spaces (lexical vs dense) — a doc
+    * absent from a list simply contributes nothing for it. */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame = {
+    val contrib = lists
+      .map(_.select(col("query_id"), col("doc_id"),
+        (lit(1.0) / (lit(kRrf.toDouble) + col("rank"))).as("c")))
+      .reduce(_ unionByName _)
+    val fused = contrib.groupBy("query_id", "doc_id")
+      .agg(sum("c").as("rrf"), count(lit(1)).as("n_lists"))
+    fused.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "rrf", "n_lists")
+  }
+
+  // ------------------------------------------- micro-int gated twins
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Corpus tokens (one row per token occurrence). */
+  private def toksOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+
+  /** Micro-int BM25 partials for query docs selected by `qPred`:
+    * term_score_micro = round(idf_micro · tf_sat) where idf_micro is
+    * ln·1e6 rounded once, and the k1=1.2/b=0.75 saturation is the
+    * exact integer rational 44·tf·L / (20·tf·L + 6·L + 18·dl·N)
+    * (numerator and denominator are the closed form of
+    * tf·(k1+1) / (tf + k1·(1−b+b·dl·N/L)) scaled by 20·L — all
+    * integer, so the only float steps are one ln and two
+    * correctly-rounded IEEE divisions/multiplies, deterministic
+    * across engines). */
+  private def bm25MicroScores(d: DataFrame, qPred: Column): DataFrame = {
+    val toks = toksOf(d)
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qterms = tf.filter(qPred)
+      .select(col("doc_id").as("query_id"), col("term")).distinct()
+    val num = lit(44L) * col("tf") * col("total_len")
+    val den = lit(20L) * col("tf") * col("total_len") +
+      lit(6L) * col("total_len") + lit(18L) * col("dl") * col("n_docs")
+    val idfMicro = round(log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+      lit(1e6)).cast("long")
+    broadcast(qterms)
+      .join(tf, "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score_micro",
+        round(idfMicro.cast("double") *
+          (num.cast("double") / den.cast("double"))).cast("long"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("term_score_micro").as("score_micro"))
+  }
+
+  private def rankBy(scored: DataFrame, scoreCol: String): DataFrame =
+    scored.withColumn("rank", row_number().over(
+      Window.partitionBy("query_id")
+        .orderBy(col(scoreCol).desc, col("doc_id"))).cast("int"))
+
+  /** Micro-int distinct-token Jaccard ranking for query docs under
+    * `qPred`: jac_micro = round(1e6·|q∩d| / (|q|+|d|−|q∩d|)). */
+  private def jaccardMicroScores(d: DataFrame, qPred: Column): DataFrame = {
+    val toks = toksOf(d).distinct()
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val qt = toks.filter(qPred)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val inter = broadcast(qt)
+      .join(toks, "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("query_id"), col("n").as("nq")),
+        "query_id")
+      .join(sizes.select(col("doc_id"), col("n").as("nd")), "doc_id")
+      .withColumn("jac_micro",
+        round((lit(1e6) * col("n_inter").cast("double")) /
+          (col("nq") + col("nd") - col("n_inter")).cast("double"))
+          .cast("long"))
+      .select("query_id", "doc_id", "jac_micro")
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** BM25 top-5 per query (queries = docs with doc_id % 100 = 0). */
+  private val retrievalBm25: Q = (s, dir) => {
+    rankBy(bm25MicroScores(docs(s, dir), col("doc_id") % 100 === 0),
+        "score_micro")
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "doc_id", "score_micro")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Distinct-token Jaccard top-5 per query (same query set). */
+  private val retrievalJaccard: Q = (s, dir) => {
+    rankBy(jaccardMicroScores(docs(s, dir), col("doc_id") % 100 === 0),
+        "jac_micro")
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "doc_id", "jac_micro")
+      .orderBy("query_id", "rank")
+  }
+
+  /** RRF(k=60) over the BM25 top-20 and Jaccard top-20 lists, fused
+    * in micro-units (round(1e9/(60+rank)) per list, integer sum —
+    * order-free), top-10 per query. */
+  private val retrievalRrf: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val qPred = col("doc_id") % 100 === 0
+    val lex = rankBy(bm25MicroScores(d, qPred), "score_micro")
+      .filter(col("rank") <= 20)
+    val jac = rankBy(jaccardMicroScores(d, qPred), "jac_micro")
+      .filter(col("rank") <= 20)
+    val contrib = Seq(lex, jac)
+      .map(_.select(col("query_id"), col("doc_id"),
+        round(lit(1e9) / (lit(60.0) + col("rank"))).cast("long").as("c")))
+      .reduce(_ unionByName _)
+    val fused = contrib.groupBy("query_id", "doc_id")
+      .agg(sum("c").as("rrf_micro"), count(lit(1)).as("n_lists"))
+    rankBy(fused, "rrf_micro")
+      .filter(col("rank") <= 10)
+      .select("query_id", "rank", "doc_id", "rrf_micro", "n_lists")
+      .orderBy("query_id", "rank")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "retrieval_bm25_topk"   -> retrievalBm25,
+    "retrieval_jaccard_topk" -> retrievalJaccard,
+    "retrieval_rrf_fusion"  -> retrievalRrf,
+  )
+
+  // ------------------------------------------------------- oracle SQL
+
+  /** Shared CTE text so the three keys' scoring can never drift. */
+  private def bm25PartsSql(qPred: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+       |       WHERE term <> '' GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks
+       |       WHERE term <> '' GROUP BY doc_id),
+       |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |qterms AS (SELECT DISTINCT doc_id AS query_id, term FROM tf
+       |           WHERE $qPred),
+       |partials AS (
+       |  SELECT q.query_id, t.doc_id,
+       |    CAST(ROUND(
+       |      CAST(ROUND(LN(1 + (s.n_docs - f.df + 0.5)/(f.df + 0.5)) * 1e6)
+       |        AS BIGINT)
+       |      * (CAST(44 * t.tf * s.total_len AS DOUBLE)
+       |         / (20 * t.tf * s.total_len + 6 * s.total_len
+       |            + 18 * d.dl * s.n_docs))
+       |    ) AS BIGINT) AS term_score_micro
+       |  FROM qterms q
+       |  JOIN tf t ON q.term = t.term AND t.doc_id <> q.query_id
+       |  JOIN dl d ON t.doc_id = d.doc_id
+       |  JOIN dfreq f ON q.term = f.term
+       |  CROSS JOIN stats s),
+       |bm_scored AS (SELECT query_id, doc_id,
+       |    CAST(SUM(term_score_micro) AS BIGINT) AS score_micro
+       |  FROM partials GROUP BY query_id, doc_id),
+       |bm_ranked AS (SELECT query_id, doc_id, score_micro,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+       |  FROM bm_scored)""".stripMargin
+
+  private def jaccardPartsSql(qPred: String): String =
+    s"""dtoks AS (
+       |  SELECT DISTINCT doc_id, term FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |    FROM documents) WHERE term <> ''),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM dtoks GROUP BY doc_id),
+       |qt AS (SELECT doc_id AS query_id, term FROM dtoks WHERE $qPred),
+       |inter AS (
+       |  SELECT q.query_id, t.doc_id, COUNT(*) AS n_inter
+       |  FROM qt q JOIN dtoks t ON q.term = t.term
+       |    AND t.doc_id <> q.query_id
+       |  GROUP BY q.query_id, t.doc_id),
+       |jacs AS (
+       |  SELECT i.query_id, i.doc_id,
+       |    CAST(ROUND(1e6 * i.n_inter / (sq.n + sd.n - i.n_inter))
+       |      AS BIGINT) AS jac_micro
+       |  FROM inter i
+       |  JOIN sizes sq ON i.query_id = sq.doc_id
+       |  JOIN sizes sd ON i.doc_id = sd.doc_id),
+       |jac_ranked AS (SELECT query_id, doc_id, jac_micro,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY jac_micro DESC, doc_id) AS INT) AS rank
+       |  FROM jacs)""".stripMargin
+
+  private val qPredSql = "doc_id % 100 = 0"
+
+  val oracles: Map[String, String] = Map(
+    "retrieval_bm25_topk" ->
+      s"""WITH ${bm25PartsSql(qPredSql)}
+         |SELECT query_id, rank, doc_id, score_micro FROM bm_ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "retrieval_jaccard_topk" ->
+      s"""WITH ${jaccardPartsSql(qPredSql)}
+         |SELECT query_id, rank, doc_id, jac_micro FROM jac_ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "retrieval_rrf_fusion" ->
+      s"""WITH ${bm25PartsSql(qPredSql)},
+         |${jaccardPartsSql(qPredSql)},
+         |contrib AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(ROUND(1e9/(60 + rank)) AS BIGINT) AS c
+         |  FROM bm_ranked WHERE rank <= 20
+         |  UNION ALL
+         |  SELECT query_id, doc_id,
+         |    CAST(ROUND(1e9/(60 + rank)) AS BIGINT) AS c
+         |  FROM jac_ranked WHERE rank <= 20),
+         |fused AS (SELECT query_id, doc_id,
+         |    CAST(SUM(c) AS BIGINT) AS rrf_micro,
+         |    COUNT(*) AS n_lists
+         |  FROM contrib GROUP BY query_id, doc_id),
+         |rrf_ranked AS (SELECT query_id, doc_id, rrf_micro, n_lists,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_micro DESC, doc_id) AS INT) AS rank
+         |  FROM fused)
+         |SELECT query_id, rank, doc_id, rrf_micro, n_lists FROM rrf_ranked
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+  )
+}

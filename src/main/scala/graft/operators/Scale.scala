@@ -158,6 +158,34 @@ object Scale {
           .as("skew_x"))
   }
 
+  /** Physical partition-balance report — the runtime twin of
+    * [[keySkewReport]] (that one predicts skew from a key's value
+    * distribution; this one measures what the current partitioning
+    * actually produced): rows per `spark_partition_id`, folded to
+    * (n_partitions, min/max/mean rows, balance = max ÷ mean). A
+    * balance ≫ 1 after a repartition or bucketed write means one task
+    * will straggle the stage. Engine-specific by construction
+    * (partition ids are Spark runtime state, not data), so this is a
+    * diagnostic utility outside the oracle set — unit-pinned
+    * instead. One map-side-combined groupBy on the partition id plus
+    * a one-row fold. */
+  def partitionBalanceReport(df: DataFrame): DataFrame = {
+    // the groupBy sees only NON-EMPTY partitions; the denominator must
+    // be the physical partition count (empty partitions are exactly
+    // what imbalance produces), read from the plan — no job triggered
+    val nParts = df.rdd.getNumPartitions.toLong
+    df.groupBy(spark_partition_id().as("pid"))
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_nonempty"),
+        min("n").as("min_rows"), max("n").as("max_rows"),
+        sum("n").as("total_rows"))
+      .withColumn("n_partitions", lit(nParts))
+      .withColumn("mean_rows",
+        col("total_rows").cast("double") / col("n_partitions"))
+      .withColumn("balance",
+        col("max_rows").cast("double") / col("mean_rows"))
+  }
+
   type Q = (org.apache.spark.sql.SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(

@@ -1,0 +1,95 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Behavior pins for the retrieval layer; the value-level gate is the
+  * DuckDB oracle on the three `retrieval_*` keys. */
+class RetrievalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (0L, "spark join shuffle plan"),
+    (1L, "spark join broadcast small table"),
+    (2L, "window rank partition order"),
+    (3L, "spark spark spark join join shuffle"),
+    (4L, "totally unrelated words about cooking pasta"),
+  ).toDF("doc_id", "text")
+
+  test("bm25TopK: term-matched docs outrank unrelated ones, self excluded") {
+    val queries = Seq((0L, "spark join shuffle plan")).toDF("query_id", "text")
+    val r = Retrieval.bm25TopK(corpus, queries, 10).collect()
+    val ids = r.sortBy(_.getInt(r.head.fieldIndex("rank")))
+      .map(_.getLong(r.head.fieldIndex("doc_id")))
+    assert(!ids.contains(0L), "the query doc itself must be excluded")
+    assert(!ids.contains(4L) || ids.lastOption.contains(4L) == false,
+      "a doc sharing no query term must not appear")
+    assert(ids.head == 3L || ids.head == 1L,
+      "a multi-term-matching doc must rank first")
+    // doc 3 matches spark+join+shuffle (3 of 4 terms, high tf);
+    // doc 1 matches spark+join; doc 2 matches nothing
+    assert(!ids.contains(2L))
+  }
+
+  test("bm25TopK: idf favors rarer terms") {
+    // 'shuffle' appears in 2 docs, 'spark' in 3 — a doc matching only
+    // 'shuffle' must outrank a doc matching only 'spark' at equal tf/dl
+    val c = Seq(
+      (10L, "shuffle alpha beta gamma"),
+      (11L, "spark alpha beta gamma"),
+      (12L, "spark delta epsilon zeta"),
+      (13L, "shuffle spark other words"),
+    ).toDF("doc_id", "text")
+    val q = Seq((99L, "shuffle spark")).toDF("query_id", "text")
+    val r = Retrieval.bm25TopK(c, q, 4).collect()
+      .map(x => x.getLong(x.fieldIndex("doc_id")) ->
+        x.getInt(x.fieldIndex("rank"))).toMap
+    assert(r(13L) == 1, "doc matching both terms ranks first")
+    assert(r(10L) < r(11L),
+      "rarer-term match must outrank commoner-term match")
+  }
+
+  test("rrfFuse: doc in both lists outranks same-rank docs in one list") {
+    val la = Seq((1L, 100L, 1), (1L, 101L, 2), (1L, 102L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val lb = Seq((1L, 101L, 1), (1L, 103L, 2), (1L, 104L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val r = Retrieval.rrfFuse(Seq(la, lb), 10).collect()
+      .map(x => x.getLong(x.fieldIndex("doc_id")) ->
+        (x.getInt(x.fieldIndex("rank")), x.getLong(x.fieldIndex("n_lists"))))
+      .toMap
+    assert(r(101L)._1 == 1, "rank-2 + rank-1 beats any single-list doc")
+    assert(r(101L)._2 == 2)
+    assert(r(100L)._2 == 1)
+  }
+
+  test("fixture keys: contiguous ranks per query, fused key exercises 2-list merge") {
+    val bm = Retrieval.queries("retrieval_bm25_topk")(spark, sfCorrect)
+    val perQ = bm.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max("rank").as("mx"), min("rank").as("mn"))
+      .collect()
+    assert(perQ.nonEmpty)
+    perQ.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n")) == 5 &&
+        r.getInt(r.fieldIndex("mn")) == 1 && r.getInt(r.fieldIndex("mx")) == 5,
+        s"each query must get exactly ranks 1..5: $r")
+    }
+    val fused = Retrieval.queries("retrieval_rrf_fusion")(spark, sfCorrect)
+    assert(fused.filter(col("n_lists") === 2).count() > 0,
+      "the fixture must actually merge overlapping lists")
+  }
+
+  test("micro BM25 agrees with the float path on fixture ranks") {
+    val d = graft.Tables.load(spark, sfCorrect, "documents")
+    val q = d.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val floatTop = Retrieval.bm25TopK(d, q, 5)
+      .select("query_id", "rank", "doc_id")
+    val microTop = Retrieval.queries("retrieval_bm25_topk")(spark, sfCorrect)
+      .select("query_id", "rank", "doc_id")
+    assert(floatTop.exceptAll(microTop).count() == 0 &&
+      microTop.exceptAll(floatTop).count() == 0,
+      "micro-int and float scoring must produce identical top-5 ranks")
+  }
+}

@@ -120,6 +120,21 @@ class ScaleAsOfSpec extends SparkSpec {
     }
   }
 
+  test("partitionBalanceReport: uniform after repartition, skewed before") {
+    import org.apache.spark.sql.functions._
+    val skewed = spark.range(0, 10000).select(lit(0L).as("k"), col("id"))
+      .repartition(8, col("k"))  // all rows land in one partition
+    val r1 = graft.operators.Scale.partitionBalanceReport(skewed).head()
+    assert(r1.getLong(r1.fieldIndex("total_rows")) == 10000)
+    assert(r1.getDouble(r1.fieldIndex("balance")) >= 7.9,
+      "hash-partitioning a constant key must report max ~= total")
+    val even = spark.range(0, 10000).toDF("id").repartition(8, col("id"))
+    val r2 = graft.operators.Scale.partitionBalanceReport(even).head()
+    assert(r2.getLong(r2.fieldIndex("n_partitions")) == 8)
+    assert(r2.getDouble(r2.fieldIndex("balance")) < 1.5,
+      "hash-partitioning a unique key must balance")
+  }
+
   test("join_asof fixture query returns rows on sf0.001") {
     assert(AsOf.queries("join_asof")(spark, sfSmoke).count() > 0)
   }
