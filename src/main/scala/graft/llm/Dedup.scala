@@ -979,18 +979,18 @@ object Dedup {
     * chunk — (id, chunk_id, chunk_start, n_chunk_chars, chunk_md5). */
   def cdcChunks(df: DataFrame, k: Int = 9, maskBits: Int = 6,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val m = 1L << maskBits
     val text = col(textCol)
-    val hashed = df.select(col(idCol), text.as("__t"),
-      when(length(text) >= k,
-        transform(sequence(lit(1), length(text) - (k - 1)),
-          i => md5Long(substring(text, i, lit(k)))))
-        .otherwise(array().cast("array<long>")).as("__hs"))
-    val withCuts = hashed.withColumn("__cuts",
-      when(size(col("__hs")) > 0,
-        filter(sequence(lit(1), size(col("__hs"))),
-          i => element_at(col("__hs"), i) % m === 0))
-        .otherwise(array().cast("array<int>")))
+    // ONE native pass per document for the cut set (char offsets once,
+    // k chars digested per window — O(len·k)). The transform+substring
+    // DataFrame form this replaces was O(len²) interpreted, and the
+    // optimizer's inferred generate filter (size(spans) > 0 pushed
+    // below this projection) re-derived it per lambda element —
+    // O(len³)/doc, a measured 35-CPU-minute straggler at sf0.1. With
+    // the cut set native, that same inlining costs one extra linear
+    // pass. See [[graft.functions.CdcCutPositions]].
+    val withCuts = df.select(col(idCol), text.as("__t"),
+      graft.functions.CdcCutPositions.cdcCutPositions(text, k, maskBits)
+        .as("__cuts"))
     val spans = withCuts
       .withColumn("__starts",
         concat(array(lit(1)), transform(col("__cuts"), c => c + k)))

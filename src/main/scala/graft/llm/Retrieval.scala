@@ -232,10 +232,50 @@ object Retrieval {
       .orderBy("query_id", "rank")
   }
 
+  /** nDCG@10 of the Jaccard list against binary relevance = the BM25
+    * top-5 (Järvelin & Kekäläinen TOIS 2002) — the rank-quality
+    * metric a retrieval stack reports when one ranker is graded
+    * against another's judgments. Discounts 1/log2(r+1) are rounded
+    * to micro-units per rank (a 10-row literal frame), DCG/IDCG are
+    * integer sums of those micro-discounts (order-free), and the
+    * final nDCG is one correctly-rounded division to basis points.
+    * Queries with zero relevant docs in the candidate list report 0,
+    * not a dropped row. */
+  private val retrievalNdcg: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val qPred = col("doc_id") % 100 === 0
+    val bm = rankBy(bm25MicroScores(d, qPred), "score_micro")
+    val rel = bm.filter(col("rank") <= 5).select("query_id", "doc_id")
+    val cand = rankBy(jaccardMicroScores(d, qPred), "jac_micro")
+      .filter(col("rank") <= 10).select("query_id", "doc_id", "rank")
+    val disc = s.range(1, 11).toDF("rank")
+      .withColumn("disc_micro",
+        round((lit(1e6) * log(lit(2.0))) /
+          log(col("rank").cast("double") + 1)).cast("long"))
+    val dcg = cand.join(rel, Seq("query_id", "doc_id"))
+      .join(broadcast(disc.withColumn("rank", col("rank").cast("int"))),
+        "rank")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_rel_found"), sum("disc_micro").as("dcg_micro"))
+    val idcg = disc.filter(col("rank") <= 5)
+      .agg(sum("disc_micro").as("idcg_micro"))
+    bm.select("query_id").distinct()
+      .join(dcg, Seq("query_id"), "left")
+      .crossJoin(broadcast(idcg))
+      .select(col("query_id"),
+        coalesce(col("n_rel_found"), lit(0L)).as("n_rel_found"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        col("idcg_micro"),
+        round(lit(10000.0) * coalesce(col("dcg_micro"), lit(0L)) /
+          col("idcg_micro")).cast("long").as("ndcg_bp"))
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "retrieval_bm25_topk"   -> retrievalBm25,
     "retrieval_jaccard_topk" -> retrievalJaccard,
     "retrieval_rrf_fusion"  -> retrievalRrf,
+    "retrieval_ndcg"        -> retrievalNdcg,
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -311,6 +351,34 @@ object Retrieval {
       s"""WITH ${jaccardPartsSql(qPredSql)}
          |SELECT query_id, rank, doc_id, jac_micro FROM jac_ranked
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "retrieval_ndcg" ->
+      s"""WITH ${bm25PartsSql(qPredSql)},
+         |${jaccardPartsSql(qPredSql)},
+         |rel AS (SELECT query_id, doc_id FROM bm_ranked WHERE rank <= 5),
+         |cand AS (SELECT query_id, doc_id, rank FROM jac_ranked
+         |         WHERE rank <= 10),
+         |disc AS (SELECT i AS rank,
+         |    CAST(ROUND(1e6 * LN(2) / LN(i + 1)) AS BIGINT) AS disc_micro
+         |  FROM generate_series(1, 10) t(i)),
+         |dcg AS (
+         |  SELECT c.query_id, COUNT(*) AS n_rel_found,
+         |    CAST(SUM(d.disc_micro) AS BIGINT) AS dcg_micro
+         |  FROM cand c
+         |  JOIN rel r ON c.query_id = r.query_id AND c.doc_id = r.doc_id
+         |  JOIN disc d ON c.rank = d.rank
+         |  GROUP BY c.query_id),
+         |idcg AS (SELECT CAST(SUM(disc_micro) AS BIGINT) AS idcg_micro
+         |         FROM disc WHERE rank <= 5)
+         |SELECT q.query_id,
+         |  CAST(COALESCE(g.n_rel_found, 0) AS BIGINT) AS n_rel_found,
+         |  CAST(COALESCE(g.dcg_micro, 0) AS BIGINT) AS dcg_micro,
+         |  i.idcg_micro,
+         |  CAST(ROUND(10000.0 * COALESCE(g.dcg_micro, 0) / i.idcg_micro)
+         |    AS BIGINT) AS ndcg_bp
+         |FROM (SELECT DISTINCT query_id FROM bm_ranked) q
+         |LEFT JOIN dcg g USING(query_id) CROSS JOIN idcg i
+         |ORDER BY q.query_id""".stripMargin,
 
     "retrieval_rrf_fusion" ->
       s"""WITH ${bm25PartsSql(qPredSql)},

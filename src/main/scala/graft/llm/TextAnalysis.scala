@@ -983,6 +983,54 @@ object TextAnalysis {
     bpeSymbolPairs(bpeWordCounts(docs(s, dir)))
       .orderBy(col("n").desc, col("pair")).limit(10)
 
+  // --------------------------------------------- PMI collocations
+
+  /** Corpus-wide collocation mining (Church & Hanks 1990 pointwise
+    * mutual information): PMI(w1,w2) = ln(c12·T / (c1·c2)) over
+    * adjacent whitespace bigrams, count floor `minCount` (rare-pair
+    * PMI is noise — the standard guard). Scale shape: the corpus is
+    * paid once in two map-side-combined groupBys (bigram + unigram
+    * counts); the PMI join runs on the VOCABULARY-sized frames with
+    * the unigram side broadcast twice (w1, w2) — the Zipf-skewed
+    * token key never drives a shuffled join (idf/lm-score
+    * discipline). ln is micro-rounded once per surviving pair; the
+    * inner c12·T product is a correctly-rounded double (deterministic
+    * IEEE in both engines). */
+  def pmiBigrams(df: DataFrame, textCol: String = "text",
+      minCount: Long = 5L): DataFrame = {
+    val words = df.select(tokensWs(col(textCol)).as("ws"))
+    val bigr = words.select(explode(
+        when(size(col("ws")) >= 2,
+          transform(sequence(lit(1), size(col("ws")) - 1),
+            i => struct(element_at(col("ws"), i).as("w1"),
+              element_at(col("ws"), i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val c12 = bigr.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+    val uni = words.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val tot = c12.agg(sum("n12").as("t"))
+    c12.filter(col("n12") >= minCount)
+      .join(broadcast(uni.select(col("w").as("w1"), col("n").as("n1"))),
+        "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("n").as("n2"))),
+        "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi_micro",
+        round(log((col("n12").cast("double") * col("t")) /
+          (col("n1") * col("n2"))) * lit(1e6)).cast("long"))
+      .select("w1", "w2", "n12", "pmi_micro")
+  }
+
+  /** Top-15 collocations by (PMI desc, w1, w2) — a total order, so
+    * the limit boundary is deterministic (BPE-top-pairs idiom: global
+    * sort + limit on the post-floor vocabulary-sized frame, no
+    * unpartitioned window). */
+  private val textPmiBigrams: Q = (s, dir) =>
+    pmiBigrams(docs(s, dir))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2")).limit(15)
+
   /** Pairwise corpus-drift report: total-variation distance between
     * the unigram token distributions of every source pair —
     * TV(p,q) = ½·Σ_t |p(t) − q(t)|, the divergence that needs NO
@@ -1277,7 +1325,36 @@ object TextAnalysis {
       .orderBy("lang", "token")
   }
 
+  /** Fixture blocklist: phrases that actually occur in the synthetic
+    * corpus, including a self-overlapping one ("a a" counts twice in
+    * "a a a") so the overlapping-occurrence semantics of the
+    * Aho-Corasick pass are exercised, not just plain substring hits. */
+  private[llm] val blocklistPhrases = Seq("slow fast", "table value", "a a")
+
+  /** Per-doc blocklist hit count: ONE Aho-Corasick byte pass per
+    * document via the native [[graft.functions.MultiPatternCount]]
+    * expression (O(len), codegen, however long the phrase list);
+    * overlapping occurrences counted. Map-only — the blocklist rides
+    * inside the expression, no join, no shuffle. */
+  private val textBlocklistHits: Q = (s, dir) =>
+    docs(s, dir).select(col("doc_id"),
+        graft.functions.MultiPatternCount.multiPatternCount(
+          col("text"), blocklistPhrases).as("n_hits"))
+      .orderBy("doc_id")
+
+  /** Blocklist page filter (C4 §2.2's bad-word page drop): keep only
+    * documents with ZERO blocklist hits. Same map-only scan — the
+    * filter is a pushed predicate over the expression. */
+  private val textBlocklistFilter: Q = (s, dir) =>
+    docs(s, dir)
+      .filter(graft.functions.MultiPatternCount.multiPatternCount(
+        col("text"), blocklistPhrases) === 0)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "text_blocklist_hits"  -> textBlocklistHits,
+    "text_blocklist_filter" -> textBlocklistFilter,
     "text_url_extract"    -> textUrlExtract,
     "text_domain_stats"   -> textDomainStats,
     "curate_domain_filter" -> curateDomainFilter,
@@ -1285,6 +1362,7 @@ object TextAnalysis {
     "text_chunk_overlap"  -> textChunkOverlap,
     "text_lm_score"       -> textLmScore,
     "text_bpe_top_pairs"  -> textBpeTopPairs,
+    "text_pmi_bigrams"    -> textPmiBigrams,
     "text_heavy_hitters"  -> textHeavyHitters,
     "text_source_divergence" -> textSourceDivergence,
     "text_tokenize"       -> textTokenize,
@@ -1351,7 +1429,63 @@ object TextAnalysis {
       |      THEN ' and http://blocked.example.net/x' ELSE '' END AS text
       |  FROM documents)""".stripMargin
 
+  /** Oracle hit-count core: overlapping occurrences via a position
+    * scan — every (doc, pattern, start) where the slice equals the
+    * pattern. The 8192 position bound caps the scan at the fixture's
+    * max doc length (553 chars at sf0.01) with wide margin. */
+  private val blocklistHitsSql: String =
+    """pats AS (SELECT * FROM (VALUES ('slow fast'), ('table value'),
+      |    ('a a')) p(pat)),
+      |pos AS (SELECT i FROM generate_series(1, 8192) t(i)),
+      |blk_hits AS (
+      |  SELECT d.doc_id, COUNT(*) AS n
+      |  FROM documents d
+      |  CROSS JOIN pats p
+      |  JOIN pos ON pos.i + length(p.pat) - 1 <= length(d.text)
+      |          AND substr(d.text, CAST(pos.i AS INT), length(p.pat))
+      |                = p.pat
+      |  GROUP BY d.doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "text_pmi_bigrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, i, t[i] AS w
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+        |        FROM documents),
+        |       generate_series(1, 4096) s(i)
+        |  WHERE i <= len(t) AND t[i] <> ''),
+        |bigr AS (
+        |  SELECT a.doc_id, a.w AS w1, b.w AS w2
+        |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+        |    AND b.i = a.i + 1),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM bigr GROUP BY w1, w2),
+        |uni AS (SELECT w, COUNT(*) AS n FROM toks GROUP BY w),
+        |tot AS (SELECT CAST(SUM(n12) AS BIGINT) AS t FROM c12),
+        |pmi AS (
+        |  SELECT c.w1, c.w2, c.n12,
+        |    CAST(ROUND(LN(CAST(c.n12 AS DOUBLE) * t.t /
+        |      (CAST(u1.n AS BIGINT) * u2.n)) * 1e6) AS BIGINT)
+        |      AS pmi_micro
+        |  FROM c12 c JOIN uni u1 ON c.w1 = u1.w
+        |  JOIN uni u2 ON c.w2 = u2.w
+        |  CROSS JOIN tot t
+        |  WHERE c.n12 >= 5)
+        |SELECT w1, w2, n12, pmi_micro FROM pmi
+        |ORDER BY pmi_micro DESC, w1, w2 LIMIT 15""".stripMargin,
+
+    "text_blocklist_hits" ->
+      s"""WITH $blocklistHitsSql
+         |SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits
+         |FROM documents d LEFT JOIN blk_hits h USING(doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "text_blocklist_filter" ->
+      s"""WITH $blocklistHitsSql
+         |SELECT d.doc_id, d.lang, d.source
+         |FROM documents d LEFT JOIN blk_hits h USING(doc_id)
+         |WHERE COALESCE(h.n, 0) = 0
+         |ORDER BY d.doc_id""".stripMargin,
+
     "doc_winnow_fingerprint" ->
       """WITH hs AS (
         |  SELECT doc_id,

@@ -1107,6 +1107,20 @@ class LlmSpec extends SparkSpec {
     assert(f(2L, "n_kept") == 0L && f(2L, "has_brace") == true)
   }
 
+  test("pmiBigrams: floor respected, attraction beats repulsion, crafted pin") {
+    import spark.implicits._
+    // 'x y' always adjacent (PMI >> 0); 'x z' co-occur never adjacent
+    val docs = (0 until 10).map(i => (i.toLong, "x y p" + i + " q" + i))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.pmiBigrams(docs, minCount = 5).collect()
+    assert(r.forall(_.getLong(2) >= 5), "count floor must hold")
+    val xy = r.find(row => row.getString(0) == "x" && row.getString(1) == "y")
+    assert(xy.nonEmpty, "the always-adjacent pair must survive the floor")
+    // PMI(x,y) = ln(10·30/(10·10)) = ln 3 > 0
+    assert(xy.get.getLong(xy.get.fieldIndex("pmi_micro")) == 1098612L,
+      "PMI must be ln(c12·T/(c1·c2)) in micro units")
+  }
+
   test("fertility: BPE-ish units never undercount whitespace words") {
     val df = Tables.load(spark, sfCorrect, "documents")
     val r = df.groupBy("lang")

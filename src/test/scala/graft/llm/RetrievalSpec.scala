@@ -80,6 +80,20 @@ class RetrievalSpec extends SparkSpec {
       "the fixture must actually merge overlapping lists")
   }
 
+  test("retrieval_ndcg: one row per query, ndcg_bp in [0, 10000], zero-hit queries kept") {
+    val r = Retrieval.queries("retrieval_ndcg")(spark, sfCorrect).collect()
+    val nQueries = Retrieval.queries("retrieval_bm25_topk")(spark, sfCorrect)
+      .select("query_id").distinct().count()
+    assert(r.length == nQueries, "every query must report a row")
+    r.foreach { row =>
+      val bp = row.getLong(row.fieldIndex("ndcg_bp"))
+      val found = row.getLong(row.fieldIndex("n_rel_found"))
+      assert(bp >= 0 && bp <= 10000, s"ndcg_bp out of range: $row")
+      assert((found == 0) == (bp == 0),
+        s"ndcg_bp must be 0 exactly when nothing relevant was found: $row")
+    }
+  }
+
   test("micro BM25 agrees with the float path on fixture ranks") {
     val d = graft.Tables.load(spark, sfCorrect, "documents")
     val q = d.filter(col("doc_id") % 100 === 0)
