@@ -6,7 +6,7 @@ import graft.operators.{Advanced, AsOf, Relational}
 import graft.plans.TopKPerKey
 import graft.scheduling.SchedulingQueries
 import graft.sources.{Ingest, SyntheticWorkload, TpcdsPromoted}
-import graft.llm.{Curation, Dedup, Multimodal, Retrieval, Similarity, TextAnalysis}
+import graft.llm.{Curation, Dedup, LinkGraph, Multimodal, Retrieval, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -32,7 +32,8 @@ object SparkEntry {
       SchedulingQueries.queries ++ Ingest.queries ++ TpcdsPromoted.queries ++
       SyntheticWorkload.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
-      Retrieval.queries ++ Multimodal.queries ++ Curation.queries
+      Retrieval.queries ++ LinkGraph.queries ++
+      Multimodal.queries ++ Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +44,6 @@ object SparkEntry {
       Metrics.oracles ++ SchedulingQueries.oracles ++ Ingest.oracles ++
       TpcdsPromoted.oracles ++ SyntheticWorkload.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      Retrieval.oracles ++ Multimodal.oracles ++ Curation.oracles
+      Retrieval.oracles ++ LinkGraph.oracles ++
+      Multimodal.oracles ++ Curation.oracles
 }

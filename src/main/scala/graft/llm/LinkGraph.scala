@@ -1,0 +1,131 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Link-graph authority scoring over the corpus's citation structure
+  * (north-star extension): PageRank (Page, Brin, Motwani & Winograd
+  * 1999) over the source→domain link graph that [[TextAnalysis
+  * .urlExtract]] recovers from document text — the crawl-curation
+  * signal behind "seed-quality" domain weighting (e.g. OpenWebText's
+  * link-karma filter family).
+  *
+  * Scale design: the edge frame is DOMAIN-cardinality-bounded (one
+  * groupBy over extracted links), never corpus-sized; each power
+  * iteration is one equi-join rank⋈edges on the src key plus one
+  * dst-key groupBy — the label-propagation shape [[Dedup
+  * .nearDupClusters]] already proves out, with eager localCheckpoints
+  * cutting lineage per round. Dangling mass (nodes without
+  * out-edges) is one broadcast scalar per iteration.
+  *
+  * Determinism: ranks live in integer micro-units; every per-edge
+  * contribution is rounded to a BIGINT before the (order-free)
+  * integer sum, and the only float steps are correctly-rounded IEEE
+  * multiply/divide chains evaluated in the same association order as
+  * the DuckDB oracle's recursive CTE — so a fixed iteration count
+  * reproduces bit-identically on any partitioning and both engines. */
+object LinkGraph {
+
+  /** Power-iteration PageRank over a weighted edge frame
+    * (src, dst, w), damping 0.85, fixed `iters` rounds; returns
+    * (node, r) in micro-units. */
+  def pageRank(edges: DataFrame, iters: Int = 10): DataFrame = {
+    val e = edges.select(col("src"), col("dst"),
+      col("w").cast("long").as("w"))
+    val outw = e.groupBy("src").agg(sum("w").as("ow"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val nRow = nodes.agg(count(lit(1)).as("n"))
+    var ranks = nodes.crossJoin(broadcast(nRow))
+      .select(col("node"), round(lit(1e6) / col("n")).cast("long").as("r"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      val contrib = ranks.join(e, col("node") === col("src"))
+        .join(outw, "src")
+        .select(col("dst").as("node"),
+          round(lit(0.85) * col("r") * col("w") / col("ow"))
+            .cast("long").as("c"))
+        .groupBy("node").agg(sum("c").as("inflow"))
+      val dang = ranks.join(outw, col("node") === col("src"), "left_anti")
+        .agg(coalesce(sum("r"), lit(0L)).as("dang"))
+      ranks = nodes
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(nRow)).crossJoin(broadcast(dang))
+        .select(col("node"),
+          (round(lit(0.15) * lit(1e6) / col("n")).cast("long")
+            + coalesce(col("inflow"), lit(0L))
+            + round(lit(0.85) * col("dang") / col("n")).cast("long"))
+            .as("r"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    ranks
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Domain-authority ranking of the planted URL fixture: edges =
+    * (citing doc's source, linked domain) with link-count weights —
+    * the Spark side EXTRACTS links from text (urlExtract) while the
+    * oracle re-derives the same planted edges arithmetically, so the
+    * two paths cross-check each other. */
+  private val graphDomainRank: Q = (s, dir) => {
+    val d = Tables.load(s, dir, "documents")
+    val planted = TextAnalysis.plantedUrls(s, dir)
+    val edges = TextAnalysis.urlExtract(planted)
+      .join(d.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source").as("src"), col("domain").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    pageRank(edges, 10)
+      .select(col("node"), col("r").as("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("node"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "graph_domain_rank" -> graphDomainRank,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "graph_domain_rank" ->
+      """WITH RECURSIVE links AS (
+        |  SELECT d.source AS src,
+        |    'site' || CAST(d.doc_id % 7 AS VARCHAR) || '.example.com'
+        |      AS dst
+        |  FROM documents d WHERE d.doc_id % 9 = 0
+        |  UNION ALL
+        |  SELECT d.source, 'blocked.example.net' FROM documents d
+        |  WHERE d.doc_id % 18 = 0),
+        |edges AS (SELECT src, dst, COUNT(*) AS w FROM links
+        |          GROUP BY src, dst),
+        |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges
+        |         GROUP BY src),
+        |nodes AS (
+        |  SELECT DISTINCT src AS node FROM edges
+        |  UNION SELECT DISTINCT dst FROM edges),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        |pr AS (
+        |  SELECT 0 AS iter, node, CAST(ROUND(1e6 / n.n) AS BIGINT) AS r
+        |  FROM nodes CROSS JOIN nn n
+        |  UNION ALL
+        |  SELECT p.iter + 1, p.node,
+        |    CAST(ROUND(0.15 * 1e6 / n.n) AS BIGINT)
+        |    + COALESCE((SELECT CAST(SUM(CAST(ROUND(0.85 * p2.r * e.w
+        |          / o.ow) AS BIGINT)) AS BIGINT)
+        |        FROM pr p2 JOIN edges e ON p2.node = e.src
+        |          AND e.dst = p.node
+        |        JOIN outw o ON o.src = p2.node
+        |        WHERE p2.iter = p.iter), 0)
+        |    + CAST(ROUND(0.85 * (SELECT CAST(SUM(p3.r) AS BIGINT)
+        |        FROM pr p3
+        |        LEFT JOIN outw o2 ON p3.node = o2.src
+        |        WHERE p3.iter = p.iter AND o2.src IS NULL) / n.n)
+        |      AS BIGINT) AS r
+        |  FROM pr p CROSS JOIN nn n
+        |  WHERE p.iter < 10)
+        |SELECT node, r AS rank_micro FROM pr WHERE iter = 10
+        |ORDER BY rank_micro DESC, node""".stripMargin,
+  )
+}

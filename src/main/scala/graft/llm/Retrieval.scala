@@ -271,11 +271,37 @@ object Retrieval {
       .orderBy("query_id")
   }
 
+  /** Diversified top-k (the "at most m per site" result-page rule,
+    * the cluster-capped cousin of MMR): rank candidates within
+    * (query, group) first, cap at m per group, then take the global
+    * per-query top-5 of the survivors. Two windows, both
+    * query-partitioned (bounded frames); the group attribute joins on
+    * the doc key — co-partitionable with the score frame at any
+    * scale. The fixture groups by `lang` and caps at 2: English is
+    * 44% of the corpus, so the cap actually BINDS (a source-grouped
+    * fixture with 20 uniform sources never would) — a weaker
+    * other-lang doc outranks the third English one, and the spec pins
+    * that displacement. */
+  private val retrievalDiversified: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val scored = bm25MicroScores(d, col("doc_id") % 100 === 0)
+      .join(d.select(col("doc_id"), col("lang")), "doc_id")
+    val capped = scored.withColumn("grp_rank", row_number().over(
+        Window.partitionBy("query_id", "lang")
+          .orderBy(col("score_micro").desc, col("doc_id"))).cast("int"))
+      .filter(col("grp_rank") <= 2)
+    rankBy(capped, "score_micro")
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "doc_id", "lang", "score_micro")
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "retrieval_bm25_topk"   -> retrievalBm25,
     "retrieval_jaccard_topk" -> retrievalJaccard,
     "retrieval_rrf_fusion"  -> retrievalRrf,
     "retrieval_ndcg"        -> retrievalNdcg,
+    "retrieval_diversified" -> retrievalDiversified,
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -350,6 +376,22 @@ object Retrieval {
     "retrieval_jaccard_topk" ->
       s"""WITH ${jaccardPartsSql(qPredSql)}
          |SELECT query_id, rank, doc_id, jac_micro FROM jac_ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "retrieval_diversified" ->
+      s"""WITH ${bm25PartsSql(qPredSql)},
+         |grpd AS (
+         |  SELECT b.query_id, b.doc_id, d.lang, b.score_micro,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY b.query_id, d.lang
+         |      ORDER BY b.score_micro DESC, b.doc_id) AS INT) AS grp_rank
+         |  FROM bm_scored b JOIN documents d ON b.doc_id = d.doc_id),
+         |capped AS (SELECT * FROM grpd WHERE grp_rank <= 2),
+         |final AS (
+         |  SELECT query_id, doc_id, lang, score_micro,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+         |  FROM capped)
+         |SELECT query_id, rank, doc_id, lang, score_micro FROM final
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "retrieval_ndcg" ->

@@ -1287,7 +1287,7 @@ object TextAnalysis {
     * contains none): every 9th doc gains a site URL whose host cycles
     * over 7 domains; every 18th also gains a blocked-domain URL —
     * built identically in the oracle so spans hash-match. */
-  private def plantedUrls(s: SparkSession, dir: String): DataFrame =
+  private[llm] def plantedUrls(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).withColumn("text",
       concat(col("text"),
         when(col("doc_id") % 9 === 0,

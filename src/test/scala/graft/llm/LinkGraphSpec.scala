@@ -1,0 +1,65 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Behavior pins for PageRank; the value-level gate is the DuckDB
+  * recursive-CTE oracle on `graph_domain_rank`. */
+class LinkGraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("pageRank: heavily-cited node ranks first, mass roughly conserved") {
+    // ring of satellites, each also citing the hub (dangling): no
+    // 2-cycle, so 10 damped iterations are near the fixed point
+    val edges = Seq(
+      ("a", "b", 1L), ("b", "c", 1L), ("c", "d", 1L), ("d", "a", 1L),
+      ("a", "hub", 1L), ("b", "hub", 1L), ("c", "hub", 1L),
+      ("d", "hub", 1L)
+    ).toDF("src", "dst", "w")
+    val r = LinkGraph.pageRank(edges, 10).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    Seq("a", "b", "c", "d").foreach { s =>
+      assert(r("hub") > r(s), s"the cited hub must outrank satellite $s")
+    }
+    assert(Seq("a", "b", "c", "d").map(r).distinct.size == 1,
+      "symmetric ring nodes tie exactly")
+    val total = r.values.sum
+    assert(math.abs(total - 1000000L) < 100,
+      s"rank mass must stay ~1e6 micro (got $total)")
+  }
+
+  test("pageRank: dangling mass is redistributed, not lost") {
+    // chain into a sink: a -> b -> sink (sink has no out-edges)
+    val edges = Seq(("a", "b", 1L), ("b", "sink", 1L))
+      .toDF("src", "dst", "w")
+    val r = LinkGraph.pageRank(edges, 10).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    val total = r.values.sum
+    assert(math.abs(total - 1000000L) < 100,
+      s"dangling sink must not leak mass (got $total)")
+    assert(r("sink") > r("b") && r("b") > r("a"),
+      "rank must flow down the chain")
+  }
+
+  test("pageRank is partitioning-invariant (integer micro arithmetic)") {
+    val edges = Seq(
+      ("a", "b", 2L), ("b", "c", 1L), ("c", "a", 3L), ("a", "c", 1L)
+    ).toDF("src", "dst", "w")
+    val one = LinkGraph.pageRank(edges.coalesce(1), 7).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    val many = LinkGraph.pageRank(edges.repartition(13), 7).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(one == many, "per-edge micro rounding makes sums order-free")
+  }
+
+  test("graph_domain_rank fixture returns every node once") {
+    val r = LinkGraph.queries("graph_domain_rank")(spark, sfCorrect)
+    val n = r.count()
+    assert(n > 0 && r.select("node").distinct().count() == n)
+    // the universally-cited blocked domain must rank first
+    val top = r.orderBy(col("rank_micro").desc, col("node")).head()
+    assert(top.getString(0) == "blocked.example.net",
+      "every 18th doc cites it with weight 3 — it must top the ranking")
+  }
+}

@@ -94,6 +94,19 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("retrieval_diversified: at most 2 per lang, and the cap displaces") {
+    val r = Retrieval.queries("retrieval_diversified")(spark, sfCorrect)
+    val perLang = r.groupBy("query_id", "lang").count().collect()
+    assert(perLang.nonEmpty && perLang.forall(_.getLong(2) <= 2),
+      "lang cap must hold")
+    // the cap must actually change the result vs the plain top-5
+    // (en is 44% of the corpus — some query has 3+ en in its top-5)
+    val plain = Retrieval.queries("retrieval_bm25_topk")(spark, sfCorrect)
+      .select("query_id", "doc_id")
+    assert(r.select("query_id", "doc_id").exceptAll(plain).count() > 0,
+      "diversification must displace at least one plain-top-5 doc")
+  }
+
   test("micro BM25 agrees with the float path on fixture ranks") {
     val d = graft.Tables.load(spark, sfCorrect, "documents")
     val q = d.filter(col("doc_id") % 100 === 0)
