@@ -28,7 +28,12 @@ class PlanQualitySpec extends SparkSpec {
     "curate_mix_report",     // one-row total-chars aggregate crossed onto the rollup report
     "curate_importance_resample", // one-row target/raw totals crossed onto the bucket table
     "curate_perplexity_buckets", // one-row tertile-threshold frame crossed onto the scored docs
-    "diag_key_skew"          // one-row (n_keys, total) stats crossed onto the top-k keys
+    "diag_key_skew",         // one-row (n_keys, total) stats crossed onto the top-k keys
+    "retrieval_bm25_topk",   // one-row (N, total_len) corpus stats crossed onto partials
+    "retrieval_rrf_fusion",  // same bm25 stats frame inside the lexical list
+    "retrieval_ndcg",        // bm25 stats + one-row IDCG frame
+    "retrieval_diversified", // same bm25 stats frame before the lang cap
+    "text_pmi_bigrams"       // one-row total-bigrams normalizer crossed onto pairs
   )
 
   test("no oracle query plans a cartesian/nested-loop join unintentionally") {

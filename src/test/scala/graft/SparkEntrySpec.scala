@@ -46,7 +46,8 @@ class SparkEntrySpec extends SparkSpec {
       PlanFeaturizer.queries, SchedulingQueries.queries, Ingest.queries,
       TpcdsPromoted.queries, SyntheticWorkload.queries,
       TextAnalysis.queries, Dedup.queries,
-      Similarity.queries, Multimodal.queries, Curation.queries)
+      Similarity.queries, Retrieval.queries, LinkGraph.queries,
+      Multimodal.queries, Curation.queries)
     assert(SparkEntry.queries.size === modules.map(_.size).sum,
       "a query key is claimed by more than one module")
   }
