@@ -1224,7 +1224,31 @@ object Dedup {
   private val dedupSubstringClean: Q = (s, dir) =>
     removeDuplicatedSpans(fixtureCorpus(docsSmall(s, dir))).orderBy("doc_id")
 
+  /** LSH banding planner — the S-curve calculator behind the 4×4
+    * choice hard-wired above (Leskovec/Rajaraman/Ullman MMDS §3.4.3):
+    * for a signature budget of `sigs` hashes, every (bands, rows)
+    * factorization's collision threshold (1/b)^(1/r) — the similarity
+    * where candidate probability crosses ½ — with its distance to the
+    * target, nearest first. Driver-side-sized frame (divisors of the
+    * budget); pow micro-rounded once (the only transcendental). */
+  def lshBandingPlan(s: SparkSession, sigs: Int = 16,
+      targetMicro: Long = 500000L): DataFrame = {
+    s.range(1, sigs + 1).toDF("b")
+      .filter(lit(sigs) % col("b") === 0)
+      .withColumn("r", (lit(sigs.toLong) / col("b")).cast("long"))
+      .withColumn("thresh_micro",
+        round(pow(lit(1.0) / col("b"), lit(1.0) / col("r")) * lit(1e6))
+          .cast("long"))
+      .withColumn("dist_micro",
+        abs(col("thresh_micro") - lit(targetMicro)))
+      .select("b", "r", "thresh_micro", "dist_micro")
+      .orderBy("dist_micro", "b")
+  }
+
+  private val dedupLshPlan: Q = (s, _) => lshBandingPlan(s)
+
   val queries: Map[String, Q] = Map(
+    "dedup_lsh_plan"         -> dedupLshPlan,
     "dedup_cdc_chunks"       -> dedupCdcChunks,
     "dedup_cdc_report"       -> dedupCdcReport,
     "dedup_exact"            -> dedupExact,
@@ -1545,6 +1569,20 @@ object Dedup {
       s"""$cdcChunksSql
          |SELECT doc_id, chunk_id, chunk_start, n_chunk_chars, chunk_md5
          |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "dedup_lsh_plan" ->
+      """WITH params AS (
+        |  SELECT i AS b, 16 // i AS r FROM generate_series(1, 16) t(i)
+        |  WHERE 16 % i = 0),
+        |curve AS (
+        |  SELECT b, r,
+        |    CAST(ROUND(POW(1.0 / b, 1.0 / r) * 1e6) AS BIGINT)
+        |      AS thresh_micro
+        |  FROM params)
+        |SELECT CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r,
+        |  thresh_micro,
+        |  CAST(ABS(thresh_micro - 500000) AS BIGINT) AS dist_micro
+        |FROM curve ORDER BY dist_micro, b""".stripMargin,
 
     "dedup_cdc_report" ->
       s"""$cdcChunksSql,

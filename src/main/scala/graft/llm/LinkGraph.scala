@@ -67,39 +67,85 @@ object LinkGraph {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Domain-authority ranking of the planted URL fixture: edges =
-    * (citing doc's source, linked domain) with link-count weights —
-    * the Spark side EXTRACTS links from text (urlExtract) while the
-    * oracle re-derives the same planted edges arithmetically, so the
-    * two paths cross-check each other. */
-  private val graphDomainRank: Q = (s, dir) => {
+  /** Degree/strength report of a weighted edge frame — the data-card
+    * row for a link graph (degree skew decides whether the dst-key
+    * groupBys above need salting). Two edge-key groupBys + outer
+    * joins onto the node set; domain-bounded throughout. */
+  def degreeStats(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    val outs = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_deg"), sum("w").as("out_w"))
+    val ins = e.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("in_deg"), sum("w").as("in_w"))
+    e.select(col("src").as("node")).union(e.select(col("dst"))).distinct()
+      .join(outs, Seq("node"), "left")
+      .join(ins, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("out_w"), lit(0L)).as("out_w"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("in_w"), lit(0L)).as("in_w"))
+  }
+
+  /** Fixture link graph: (citing doc's source, linked domain) with
+    * link-count weights — the Spark side EXTRACTS links from text
+    * (urlExtract) while the oracle re-derives the same planted edges
+    * arithmetically, so the two paths cross-check each other. */
+  private def fixtureEdges(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "documents")
-    val planted = TextAnalysis.plantedUrls(s, dir)
-    val edges = TextAnalysis.urlExtract(planted)
+    TextAnalysis.urlExtract(TextAnalysis.plantedUrls(s, dir))
       .join(d.select(col("doc_id"), col("source")), "doc_id")
       .groupBy(col("source").as("src"), col("domain").as("dst"))
       .agg(count(lit(1)).as("w"))
-    pageRank(edges, 10)
-      .select(col("node"), col("r").as("rank_micro"))
-      .orderBy(col("rank_micro").desc, col("node"))
   }
 
+  private val graphDomainRank: Q = (s, dir) =>
+    pageRank(fixtureEdges(s, dir), 10)
+      .select(col("node"), col("r").as("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("node"))
+
+  private val graphDegreeStats: Q = (s, dir) =>
+    degreeStats(fixtureEdges(s, dir)).orderBy("node")
+
   val queries: Map[String, Q] = Map(
-    "graph_domain_rank" -> graphDomainRank,
+    "graph_domain_rank"  -> graphDomainRank,
+    "graph_degree_stats" -> graphDegreeStats,
   )
 
+  /** Shared oracle edge derivation (arithmetic re-statement of the
+    * planted URL fixture). */
+  private val edgesSql: String =
+    """links AS (
+      |  SELECT d.source AS src,
+      |    'site' || CAST(d.doc_id % 7 AS VARCHAR) || '.example.com'
+      |      AS dst
+      |  FROM documents d WHERE d.doc_id % 9 = 0
+      |  UNION ALL
+      |  SELECT d.source, 'blocked.example.net' FROM documents d
+      |  WHERE d.doc_id % 18 = 0),
+      |edges AS (SELECT src, dst, COUNT(*) AS w FROM links
+      |          GROUP BY src, dst)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "graph_degree_stats" ->
+      s"""WITH $edgesSql,
+         |outs AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS out_deg,
+         |         CAST(SUM(w) AS BIGINT) AS out_w FROM edges GROUP BY src),
+         |ins AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS in_deg,
+         |        CAST(SUM(w) AS BIGINT) AS in_w FROM edges GROUP BY dst),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges
+         |          UNION SELECT DISTINCT dst FROM edges)
+         |SELECT n.node,
+         |  COALESCE(o.out_deg, 0) AS out_deg,
+         |  COALESCE(o.out_w, 0) AS out_w,
+         |  COALESCE(i.in_deg, 0) AS in_deg,
+         |  COALESCE(i.in_w, 0) AS in_w
+         |FROM nodes n LEFT JOIN outs o USING(node)
+         |LEFT JOIN ins i USING(node)
+         |ORDER BY n.node""".stripMargin,
+
     "graph_domain_rank" ->
-      """WITH RECURSIVE links AS (
-        |  SELECT d.source AS src,
-        |    'site' || CAST(d.doc_id % 7 AS VARCHAR) || '.example.com'
-        |      AS dst
-        |  FROM documents d WHERE d.doc_id % 9 = 0
-        |  UNION ALL
-        |  SELECT d.source, 'blocked.example.net' FROM documents d
-        |  WHERE d.doc_id % 18 = 0),
-        |edges AS (SELECT src, dst, COUNT(*) AS w FROM links
-        |          GROUP BY src, dst),
+      s"""WITH RECURSIVE $edgesSql,
         |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges
         |         GROUP BY src),
         |nodes AS (

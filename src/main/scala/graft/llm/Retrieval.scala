@@ -77,7 +77,9 @@ object Retrieval {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // dl from tf (one doc-key groupBy over the distinct-term frame),
+    // NOT a second shuffle of the full token stream
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       sum("dl").cast("double").as("total_len"),
       (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
@@ -138,7 +140,9 @@ object Retrieval {
   private def bm25MicroScores(d: DataFrame, qPred: Column): DataFrame = {
     val toks = toksOf(d)
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // dl from tf, not a second full-token shuffle (sum of tf = token
+    // count exactly — both integer counts, oracle-identical)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val qterms = tf.filter(qPred)

@@ -53,6 +53,22 @@ class LinkGraphSpec extends SparkSpec {
     assert(one == many, "per-edge micro rounding makes sums order-free")
   }
 
+  test("degreeStats: sources are pure out-nodes, domains pure in-nodes") {
+    val r = LinkGraph.queries("graph_degree_stats")(spark, sfCorrect)
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val node = row.getString(0)
+      val outDeg = row.getLong(row.fieldIndex("out_deg"))
+      val inDeg = row.getLong(row.fieldIndex("in_deg"))
+      if (node.startsWith("src")) assert(outDeg > 0 && inDeg == 0, row.toString)
+      else assert(outDeg == 0 && inDeg > 0, row.toString)
+      assert(row.getLong(row.fieldIndex("out_w")) >= outDeg &&
+        row.getLong(row.fieldIndex("in_w")) >= inDeg,
+        "weighted strength can never undercut degree")
+    }
+  }
+
   test("graph_domain_rank fixture returns every node once") {
     val r = LinkGraph.queries("graph_domain_rank")(spark, sfCorrect)
     val n = r.count()

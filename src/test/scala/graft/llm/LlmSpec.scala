@@ -1121,6 +1121,17 @@ class LlmSpec extends SparkSpec {
       "PMI must be ln(c12·T/(c1·c2)) in micro units")
   }
 
+  test("lshBandingPlan: S-curve thresholds are monotone in b, 4x4 gives 0.707") {
+    val rows = Dedup.lshBandingPlan(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L, 16L),
+      "every divisor factorization of 16 must appear")
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.reverse.toSeq,
+      "more bands => lower collision threshold")
+    val b4 = rows.find(_._1 == 4L).get
+    assert(b4._3 == 707107L, "(1/4)^(1/4) = 0.707107 in micro units")
+  }
+
   test("fertility: BPE-ish units never undercount whitespace words") {
     val df = Tables.load(spark, sfCorrect, "documents")
     val r = df.groupBy("lang")
