@@ -178,6 +178,38 @@ class StreamsSpec extends SparkSpec {
     } finally out.stop()
   }
 
+  test("blocklist counting is stream-transparent: streaming hits equal batch") {
+    // the Aho-Corasick counter is a row-local expression (the pattern
+    // automaton rides inside the plan), so the same column runs
+    // unchanged on a streaming frame in append mode.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.MultiPatternCount.multiPatternCount
+    import org.apache.spark.sql.functions.col
+    val pats = Seq("slow fast", "table value", "a a")
+    val base = graft.Tables.load(spark, sfSmoke, "documents")
+      .select("doc_id", "text")
+    val docs = base.as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    val out = input.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), multiPatternCount(col("text"), pats).as("n"))
+      .writeStream.format("memory").queryName("blockstream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (a, b) = docs.splitAt(docs.size / 2)
+      input.addData(a: _*); out.processAllAvailable()
+      input.addData(b: _*); out.processAllAvailable()
+      val streamed = spark.table("blockstream").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = base
+        .select(col("doc_id"), multiPatternCount(col("text"), pats).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == batch,
+        "streaming blocklist counts must equal the batch counts")
+      assert(batch.nonEmpty)
+    } finally out.stop()
+  }
+
   test("per-batch streaming LM scoring against a static trained LM equals batch") {
     // the production shape of the perplexity-style filter: the bigram
     // LM is trained ONCE (here on the full fixture corpus), then the
