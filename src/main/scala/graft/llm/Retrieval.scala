@@ -53,7 +53,11 @@ object Retrieval {
 
   /** Production BM25 top-k: `queries(query_id, text)` against
     * `corpus(doc_id, text)`, whitespace tokenization, scores in
-    * doubles. Returns (query_id, rank, doc_id, bm25). */
+    * doubles. Returns (query_id, rank, doc_id, bm25). Doc-as-query
+    * convention: a candidate whose doc_id EQUALS the query_id is
+    * excluded (self-match suppression for more-like-this queries);
+    * callers with an independent query-id space are unaffected as
+    * long as their ids don't collide with corpus ids. */
   def bm25TopK(corpus: DataFrame, queries: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val qterms = queries
@@ -300,12 +304,44 @@ object Retrieval {
       .orderBy("query_id", "rank")
   }
 
+  /** End-to-end retrieval recipe, composed from the pieces above the
+    * way a serving stack chains them (the retrieval twin of
+    * [[Curation.pipelineE2e]]): BM25 top-20 ∪ Jaccard top-20 → RRF
+    * fuse → at most 2 per language → final top-5. Every stage reuses
+    * the SAME scoring pipelines the individual keys gate, and the
+    * oracle composes the same shared CTE texts — the composition
+    * cannot drift from its parts. */
+  private val retrievalPipeline: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val qPred = col("doc_id") % 100 === 0
+    val lex = rankBy(bm25MicroScores(d, qPred), "score_micro")
+      .filter(col("rank") <= 20)
+    val jac = rankBy(jaccardMicroScores(d, qPred), "jac_micro")
+      .filter(col("rank") <= 20)
+    val contrib = Seq(lex, jac)
+      .map(_.select(col("query_id"), col("doc_id"),
+        round(lit(1e9) / (lit(60.0) + col("rank"))).cast("long").as("c")))
+      .reduce(_ unionByName _)
+    val fused = contrib.groupBy("query_id", "doc_id")
+      .agg(sum("c").as("rrf_micro"), count(lit(1)).as("n_lists"))
+      .join(d.select(col("doc_id"), col("lang")), "doc_id")
+    val capped = fused.withColumn("grp_rank", row_number().over(
+        Window.partitionBy("query_id", "lang")
+          .orderBy(col("rrf_micro").desc, col("doc_id"))).cast("int"))
+      .filter(col("grp_rank") <= 2)
+    rankBy(capped, "rrf_micro")
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "doc_id", "lang", "rrf_micro", "n_lists")
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "retrieval_bm25_topk"   -> retrievalBm25,
     "retrieval_jaccard_topk" -> retrievalJaccard,
     "retrieval_rrf_fusion"  -> retrievalRrf,
     "retrieval_ndcg"        -> retrievalNdcg,
     "retrieval_diversified" -> retrievalDiversified,
+    "retrieval_pipeline_e2e" -> retrievalPipeline,
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -381,6 +417,34 @@ object Retrieval {
       s"""WITH ${jaccardPartsSql(qPredSql)}
          |SELECT query_id, rank, doc_id, jac_micro FROM jac_ranked
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "retrieval_pipeline_e2e" ->
+      s"""WITH ${bm25PartsSql(qPredSql)},
+         |${jaccardPartsSql(qPredSql)},
+         |contrib AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(ROUND(1e9/(60 + rank)) AS BIGINT) AS c
+         |  FROM bm_ranked WHERE rank <= 20
+         |  UNION ALL
+         |  SELECT query_id, doc_id,
+         |    CAST(ROUND(1e9/(60 + rank)) AS BIGINT) AS c
+         |  FROM jac_ranked WHERE rank <= 20),
+         |fused AS (SELECT c.query_id, c.doc_id,
+         |    CAST(SUM(c.c) AS BIGINT) AS rrf_micro,
+         |    COUNT(*) AS n_lists
+         |  FROM contrib c GROUP BY c.query_id, c.doc_id),
+         |langd AS (
+         |  SELECT f.*, d.lang,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY f.query_id, d.lang
+         |      ORDER BY f.rrf_micro DESC, f.doc_id) AS INT) AS grp_rank
+         |  FROM fused f JOIN documents d ON f.doc_id = d.doc_id),
+         |finald AS (
+         |  SELECT query_id, doc_id, lang, rrf_micro, n_lists,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_micro DESC, doc_id) AS INT) AS rank
+         |  FROM langd WHERE grp_rank <= 2)
+         |SELECT query_id, rank, doc_id, lang, rrf_micro, n_lists
+         |FROM finald WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "retrieval_diversified" ->
       s"""WITH ${bm25PartsSql(qPredSql)},

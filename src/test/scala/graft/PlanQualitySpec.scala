@@ -33,6 +33,7 @@ class PlanQualitySpec extends SparkSpec {
     "retrieval_rrf_fusion",  // same bm25 stats frame inside the lexical list
     "retrieval_ndcg",        // bm25 stats + one-row IDCG frame
     "retrieval_diversified", // same bm25 stats frame before the lang cap
+    "retrieval_pipeline_e2e", // composed recipe carries the bm25 stats frame
     "text_pmi_bigrams"       // one-row total-bigrams normalizer crossed onto pairs
   )
 

@@ -107,6 +107,24 @@ class RetrievalSpec extends SparkSpec {
       "diversification must displace at least one plain-top-5 doc")
   }
 
+  test("retrieval_pipeline_e2e: fused, capped, and consistent with parts") {
+    val r = Retrieval.queries("retrieval_pipeline_e2e")(spark, sfCorrect)
+    val rows = r.collect()
+    assert(rows.nonEmpty)
+    val perLang = r.groupBy("query_id", "lang").count().collect()
+    assert(perLang.forall(_.getLong(2) <= 2), "lang cap must hold post-fusion")
+    assert(rows.exists(_.getLong(rows.head.fieldIndex("n_lists")) == 2),
+      "the composed recipe must fuse overlapping lists")
+    // ranks are contiguous 1..5 per query
+    r.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), min("rank").as("mn"), max("rank").as("mx"))
+      .collect().foreach { row =>
+        assert(row.getLong(row.fieldIndex("n")) == 5 &&
+          row.getInt(row.fieldIndex("mn")) == 1 &&
+          row.getInt(row.fieldIndex("mx")) == 5, row.toString)
+      }
+  }
+
   test("micro BM25 agrees with the float path on fixture ranks") {
     val d = graft.Tables.load(spark, sfCorrect, "documents")
     val q = d.filter(col("doc_id") % 100 === 0)
