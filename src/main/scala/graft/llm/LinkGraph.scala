@@ -29,17 +29,32 @@ object LinkGraph {
 
   /** Power-iteration PageRank over a weighted edge frame
     * (src, dst, w), damping 0.85, fixed `iters` rounds; returns
-    * (node, r) in micro-units. */
-  def pageRank(edges: DataFrame, iters: Int = 10): DataFrame = {
+    * (node, r) in micro-units. With `teleport` (node, tm — micro
+    * units summing to 1e6) the restart AND the dangling
+    * redistribution follow that vector instead of the uniform one —
+    * personalized/topic-sensitive PageRank (Haveliwala WWW 2002),
+    * the "trusted seed domains" variant of the authority signal.
+    * Nodes absent from the teleport frame get zero restart mass. */
+  def pageRank(edges: DataFrame, iters: Int = 10,
+      teleport: Option[DataFrame] = None): DataFrame = {
     val e = edges.select(col("src"), col("dst"),
       col("w").cast("long").as("w"))
     val outw = e.groupBy("src").agg(sum("w").as("ow"))
-    val nodes = e.select(col("src").as("node"))
+    val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
-    val nRow = nodes.agg(count(lit(1)).as("n"))
-    var ranks = nodes.crossJoin(broadcast(nRow))
-      .select(col("node"), round(lit(1e6) / col("n")).cast("long").as("r"))
+    val nRow = nodes0.agg(count(lit(1)).as("n"))
+    // per-node teleport mass: the given vector, or uniform 1e6/n
+    val nodes = teleport match {
+      case Some(t) => nodes0
+        .join(t.select(col("node"), col("tm").cast("long").as("tm")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("tm"), lit(0L)).as("tm"))
+        .localCheckpoint(true)
+      case None => nodes0.crossJoin(broadcast(nRow))
+        .select(col("node"), round(lit(1e6) / col("n")).cast("long").as("tm"))
+        .localCheckpoint(true)
+    }
+    var ranks = nodes.select(col("node"), col("tm").as("r"))
       .localCheckpoint(true)
     var i = 0
     while (i < iters) {
@@ -53,11 +68,12 @@ object LinkGraph {
         .agg(coalesce(sum("r"), lit(0L)).as("dang"))
       ranks = nodes
         .join(contrib, Seq("node"), "left")
-        .crossJoin(broadcast(nRow)).crossJoin(broadcast(dang))
+        .crossJoin(broadcast(dang))
         .select(col("node"),
-          (round(lit(0.15) * lit(1e6) / col("n")).cast("long")
+          (round(lit(0.15) * col("tm")).cast("long")
             + coalesce(col("inflow"), lit(0L))
-            + round(lit(0.85) * col("dang") / col("n")).cast("long"))
+            + round(lit(0.85) * col("dang") * col("tm") / lit(1e6))
+              .cast("long"))
             .as("r"))
         .localCheckpoint(true)
       i += 1
@@ -104,11 +120,28 @@ object LinkGraph {
       .select(col("node"), col("r").as("rank_micro"))
       .orderBy(col("rank_micro").desc, col("node"))
 
+  /** Personalized variant: restart mass follows each source's share
+    * of the corpus (the "trust the big curated seeds" weighting);
+    * domains get zero restart and hold only flowed-in authority. */
+  private val graphPersonalizedRank: Q = (s, dir) => {
+    val d = Tables.load(s, dir, "documents")
+    val total = d.agg(count(lit(1)).as("tot"))
+    val tele = d.groupBy(col("source").as("node"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .select(col("node"),
+        round(lit(1e6) * col("cnt") / col("tot")).cast("long").as("tm"))
+    pageRank(fixtureEdges(s, dir), 10, Some(tele))
+      .select(col("node"), col("r").as("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("node"))
+  }
+
   private val graphDegreeStats: Q = (s, dir) =>
     degreeStats(fixtureEdges(s, dir)).orderBy("node")
 
   val queries: Map[String, Q] = Map(
     "graph_domain_rank"  -> graphDomainRank,
+    "graph_personalized_rank" -> graphPersonalizedRank,
     "graph_degree_stats" -> graphDegreeStats,
   )
 
@@ -144,34 +177,49 @@ object LinkGraph {
          |LEFT JOIN ins i USING(node)
          |ORDER BY n.node""".stripMargin,
 
-    "graph_domain_rank" ->
-      s"""WITH RECURSIVE $edgesSql,
-        |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges
-        |         GROUP BY src),
-        |nodes AS (
-        |  SELECT DISTINCT src AS node FROM edges
-        |  UNION SELECT DISTINCT dst FROM edges),
-        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
-        |pr AS (
-        |  SELECT 0 AS iter, node, CAST(ROUND(1e6 / n.n) AS BIGINT) AS r
-        |  FROM nodes CROSS JOIN nn n
-        |  UNION ALL
-        |  SELECT p.iter + 1, p.node,
-        |    CAST(ROUND(0.15 * 1e6 / n.n) AS BIGINT)
-        |    + COALESCE((SELECT CAST(SUM(CAST(ROUND(0.85 * p2.r * e.w
-        |          / o.ow) AS BIGINT)) AS BIGINT)
-        |        FROM pr p2 JOIN edges e ON p2.node = e.src
-        |          AND e.dst = p.node
-        |        JOIN outw o ON o.src = p2.node
-        |        WHERE p2.iter = p.iter), 0)
-        |    + CAST(ROUND(0.85 * (SELECT CAST(SUM(p3.r) AS BIGINT)
-        |        FROM pr p3
-        |        LEFT JOIN outw o2 ON p3.node = o2.src
-        |        WHERE p3.iter = p.iter AND o2.src IS NULL) / n.n)
-        |      AS BIGINT) AS r
-        |  FROM pr p CROSS JOIN nn n
-        |  WHERE p.iter < 10)
-        |SELECT node, r AS rank_micro FROM pr WHERE iter = 10
-        |ORDER BY rank_micro DESC, node""".stripMargin,
+    "graph_domain_rank" -> pageRankSql(
+      """SELECT node, CAST(ROUND(1e6 / (SELECT COUNT(*) FROM nodes))
+        |    AS BIGINT) AS tm FROM nodes""".stripMargin),
+
+    "graph_personalized_rank" -> pageRankSql(
+      """SELECT n.node, COALESCE(s.tm, 0) AS tm FROM nodes n
+        |  LEFT JOIN (
+        |    SELECT source AS node,
+        |      CAST(ROUND(1e6 * COUNT(*) / (SELECT COUNT(*)
+        |        FROM documents)) AS BIGINT) AS tm
+        |    FROM documents GROUP BY source) s ON n.node = s.node""".stripMargin),
   )
+
+  /** Shared recursive-CTE PageRank oracle, parameterized ONLY by the
+    * teleport-vector CTE body (uniform vs personalized keys can never
+    * drift in the iteration arithmetic). */
+  private def pageRankSql(teleSql: String): String =
+    s"""WITH RECURSIVE $edgesSql,
+       |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges
+       |         GROUP BY src),
+       |nodes AS (
+       |  SELECT DISTINCT src AS node FROM edges
+       |  UNION SELECT DISTINCT dst FROM edges),
+       |tele AS ($teleSql),
+       |pr AS (
+       |  SELECT 0 AS iter, node, tm AS r FROM tele
+       |  UNION ALL
+       |  SELECT p.iter + 1, p.node,
+       |    CAST(ROUND(0.15 * t.tm) AS BIGINT)
+       |    + COALESCE((SELECT CAST(SUM(CAST(ROUND(0.85 * p2.r * e.w
+       |          / o.ow) AS BIGINT)) AS BIGINT)
+       |        FROM pr p2 JOIN edges e ON p2.node = e.src
+       |          AND e.dst = p.node
+       |        JOIN outw o ON o.src = p2.node
+       |        WHERE p2.iter = p.iter), 0)
+       |    + CAST(ROUND(0.85 * (SELECT CAST(SUM(p3.r) AS BIGINT)
+       |        FROM pr p3
+       |        LEFT JOIN outw o2 ON p3.node = o2.src
+       |        WHERE p3.iter = p.iter AND o2.src IS NULL)
+       |        * t.tm / 1e6)
+       |      AS BIGINT) AS r
+       |  FROM pr p JOIN tele t ON p.node = t.node
+       |  WHERE p.iter < 10)
+       |SELECT node, r AS rank_micro FROM pr WHERE iter = 10
+       |ORDER BY rank_micro DESC, node""".stripMargin
 }

@@ -53,6 +53,23 @@ class LinkGraphSpec extends SparkSpec {
     assert(one == many, "per-edge micro rounding makes sums order-free")
   }
 
+  test("personalized pageRank: restart mass steers authority") {
+    // two cliques; all teleport mass on a's side must rank a-side up
+    val edges = Seq(
+      ("a1", "a2", 1L), ("a2", "a1", 1L),
+      ("b1", "b2", 1L), ("b2", "b1", 1L)
+    ).toDF("src", "dst", "w")
+    val tele = Seq(("a1", 500000L), ("a2", 500000L))
+      .toDF("node", "tm")
+    val r = LinkGraph.pageRank(edges, 10, Some(tele)).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("a1") > r("b1") && r("a2") > r("b2"),
+      "zero-teleport nodes must fall below seeded ones")
+    assert(r("b1") == 0L && r("b2") == 0L,
+      "an unreachable-from-seed clique with zero restart drains to 0")
+    assert(r("a1") == r("a2"), "symmetric seeded nodes tie")
+  }
+
   test("degreeStats: sources are pure out-nodes, domains pure in-nodes") {
     val r = LinkGraph.queries("graph_degree_stats")(spark, sfCorrect)
       .collect()
