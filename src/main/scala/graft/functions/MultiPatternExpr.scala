@@ -92,7 +92,10 @@ object MultiPatternCount {
       out(node) += 1
     }
 
-    // --- BFS: fail links, cumulative counts, dense delta table
+    // --- BFS: fail links, cumulative counts, dense delta table.
+    // After this block only delta/cum are needed for matching; the
+    // build arrays are dropped so the serialized automaton shipped to
+    // executors carries exactly the two matching tables.
     private val cum = new Array[Long](nNodes)
     private val delta = new Array[Int](nNodes * 256)
     locally {
@@ -121,6 +124,8 @@ object MultiPatternCount {
           ch += 1
         }
       }
+      next = null
+      out = null
     }
 
     /** Total occurrences (overlapping included) of all patterns. */
