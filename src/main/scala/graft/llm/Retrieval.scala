@@ -28,9 +28,13 @@ import graft.Tables
   *  - the corpus is tokenized ONCE into a postings frame (explode +
   *    one map-side-combining groupBy — the same single-shuffle shape
   *    as [[TextAnalysis.idfScore]]);
-  *  - document frequencies are a VOCABULARY-sized frame — broadcast,
-  *    never shuffled onto the skewed term key (stopword reducers are
-  *    the classic BM25-at-scale trap; see the r4 idfScore advice);
+  *  - document frequencies are a VOCABULARY-sized frame — never
+  *    shuffled onto the skewed term key (stopword reducers are the
+  *    classic BM25-at-scale trap; see the r4 idfScore advice), and
+  *    never broadcast whole either: a web-corpus vocabulary is
+  *    billions of terms, so the df frame is first semi-joined down to
+  *    the (tiny, broadcastable) distinct query vocabulary — only THAT
+  *    pruned frame is broadcast;
   *  - query terms are tiny (|queries|·|terms/query|) — broadcast, so
   *    the inverted-index probe `qterms ⋈ postings ON term` is a
   *    broadcast hash join that streams the postings side with no
@@ -88,10 +92,19 @@ object Retrieval {
       sum("dl").cast("double").as("total_len"),
       (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // dfreq is VOCABULARY-sized (billions of terms on a web corpus) —
+    // broadcasting it whole is a driver/executor OOM at 100×. Only the
+    // query-vocabulary subset is ever consumed (the stream side is
+    // already pruned by `broadcast(qterms) ⋈ tf`), so semi-join it down
+    // to |query vocab| rows first; THAT frame is bounded and broadcast-
+    // safe. Contrast idfScore/lmScore, which score every token and must
+    // carry the full vocab by design.
+    val qdfreq = dfreq.join(
+      broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
     broadcast(qterms)
       .join(tf, "term")
       .filter(col("doc_id") =!= col("query_id"))
-      .join(broadcast(dfreq), "term")
+      .join(broadcast(qdfreq), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
@@ -151,6 +164,10 @@ object Retrieval {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val qterms = tf.filter(qPred)
       .select(col("doc_id").as("query_id"), col("term")).distinct()
+    // Same query-vocabulary pruning as the float path: never broadcast
+    // the full vocabulary-sized df frame.
+    val qdfreq = dfreq.join(
+      broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
     val num = lit(44L) * col("tf") * col("total_len")
     val den = lit(20L) * col("tf") * col("total_len") +
       lit(6L) * col("total_len") + lit(18L) * col("dl") * col("n_docs")
@@ -160,7 +177,7 @@ object Retrieval {
     broadcast(qterms)
       .join(tf, "term")
       .filter(col("doc_id") =!= col("query_id"))
-      .join(broadcast(dfreq), "term")
+      .join(broadcast(qdfreq), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("term_score_micro",
@@ -359,6 +376,8 @@ object Retrieval {
        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
        |qterms AS (SELECT DISTINCT doc_id AS query_id, term FROM tf
        |           WHERE $qPred),
+       |qdfreq AS (SELECT term, df FROM dfreq
+       |           WHERE term IN (SELECT term FROM qterms)),
        |partials AS (
        |  SELECT q.query_id, t.doc_id,
        |    CAST(ROUND(
@@ -371,7 +390,7 @@ object Retrieval {
        |  FROM qterms q
        |  JOIN tf t ON q.term = t.term AND t.doc_id <> q.query_id
        |  JOIN dl d ON t.doc_id = d.doc_id
-       |  JOIN dfreq f ON q.term = f.term
+       |  JOIN qdfreq f ON q.term = f.term
        |  CROSS JOIN stats s),
        |bm_scored AS (SELECT query_id, doc_id,
        |    CAST(SUM(term_score_micro) AS BIGINT) AS score_micro

@@ -125,6 +125,54 @@ class RetrievalSpec extends SparkSpec {
       }
   }
 
+  test("bm25 broadcasts only the query-vocabulary-pruned df frame") {
+    // The document-frequency frame is vocabulary-sized (billions of
+    // terms on a web corpus) — broadcasting it whole is the one plan
+    // that melts at 100×. Assert that every broadcast subtree carrying
+    // the df aggregate (grouping on exactly `term` WITH an aggregate
+    // function — the distinct() frames group on term with none) also
+    // carries the LeftSemi prune against the query vocabulary.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    // AQE wraps the plan in AdaptiveSparkPlanExec, a leaf node that
+    // tree traversals won't descend into — flatten through it (and any
+    // nested reused subtrees) to the concrete physical operators.
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.initialPlan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    def check(plan: SparkPlan, what: String): Unit = {
+      val nodes = flatten(plan)
+      val dfreqBroadcasts = nodes.collect {
+        case b: BroadcastExchangeExec if flatten(b).exists {
+          case h: HashAggregateExec =>
+            h.groupingExpressions.map(_.name) == Seq("term") &&
+              h.aggregateExpressions.nonEmpty
+          case _ => false
+        } => b
+      }
+      assert(dfreqBroadcasts.nonEmpty,
+        s"$what: expected the pruned df frame to be broadcast")
+      dfreqBroadcasts.foreach { b =>
+        assert(flatten(b).exists {
+            case j: BroadcastHashJoinExec => j.joinType == LeftSemi
+            case _ => false
+          },
+          s"$what: broadcast df frame is NOT semi-join pruned to query vocabulary:\n$b")
+      }
+    }
+    check(Retrieval.queries("retrieval_bm25_topk")(spark, sfCorrect)
+      .queryExecution.executedPlan, "micro twin")
+    val d = graft.Tables.load(spark, sfCorrect, "documents")
+    val q = d.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"), col("text"))
+    check(Retrieval.bm25TopK(d, q, 5).queryExecution.executedPlan, "float path")
+  }
+
   test("micro BM25 agrees with the float path on fixture ranks") {
     val d = graft.Tables.load(spark, sfCorrect, "documents")
     val q = d.filter(col("doc_id") % 100 === 0)
