@@ -36,7 +36,27 @@ object LinkGraph {
     * the "trusted seed domains" variant of the authority signal.
     * Nodes absent from the teleport frame get zero restart mass. */
   def pageRank(edges: DataFrame, iters: Int = 10,
-      teleport: Option[DataFrame] = None): DataFrame = {
+      teleport: Option[DataFrame] = None): DataFrame =
+    // wantReport=false: the fixed-iteration gated path pays zero extra
+    // jobs — deltas are only measured when a caller asks for them
+    prImpl(edges, iters, teleport, tolMicro = 0L, wantReport = false)._1
+
+  /** [[pageRank]] plus a convergence report: per-iteration L1 movement
+    * Σ|r_i − r_{i−1}| in micro-units — one tiny node-cardinality agg
+    * per round over the frames each iteration already materializes.
+    * With `tolMicro > 0` the loop stops at the first iteration whose
+    * movement falls to or below the tolerance (geometric decay at
+    * rate ≈ damping guarantees this terminates); the gated keys keep
+    * the fixed-iteration call so the DuckDB recursive-CTE oracle
+    * stays bit-identical. */
+  def pageRankWithReport(edges: DataFrame, maxIters: Int = 10,
+      teleport: Option[DataFrame] = None,
+      tolMicro: Long = 0L): (DataFrame, Seq[(Int, Long)]) =
+    prImpl(edges, maxIters, teleport, tolMicro, wantReport = true)
+
+  private def prImpl(edges: DataFrame, maxIters: Int,
+      teleport: Option[DataFrame], tolMicro: Long,
+      wantReport: Boolean): (DataFrame, Seq[(Int, Long)]) = {
     val e = edges.select(col("src"), col("dst"),
       col("w").cast("long").as("w"))
     val outw = e.groupBy("src").agg(sum("w").as("ow"))
@@ -56,8 +76,10 @@ object LinkGraph {
     }
     var ranks = nodes.select(col("node"), col("tm").as("r"))
       .localCheckpoint(true)
+    val deltas = Seq.newBuilder[(Int, Long)]
     var i = 0
-    while (i < iters) {
+    var converged = false
+    while (i < maxIters && !converged) {
       val contrib = ranks.join(e, col("node") === col("src"))
         .join(outw, "src")
         .select(col("dst").as("node"),
@@ -66,6 +88,7 @@ object LinkGraph {
         .groupBy("node").agg(sum("c").as("inflow"))
       val dang = ranks.join(outw, col("node") === col("src"), "left_anti")
         .agg(coalesce(sum("r"), lit(0L)).as("dang"))
+      val prev = ranks
       ranks = nodes
         .join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dang))
@@ -77,8 +100,15 @@ object LinkGraph {
             .as("r"))
         .localCheckpoint(true)
       i += 1
+      if (wantReport) {
+        val delta = ranks.join(prev.withColumnRenamed("r", "rp"), "node")
+          .agg(coalesce(sum(abs(col("r") - col("rp"))), lit(0L)).as("d"))
+          .head().getLong(0)
+        deltas += ((i, delta))
+        converged = tolMicro > 0 && delta <= tolMicro
+      }
     }
-    ranks
+    (ranks, deltas.result())
   }
 
   type Q = (SparkSession, String) => DataFrame
@@ -107,7 +137,7 @@ object LinkGraph {
     * link-count weights — the Spark side EXTRACTS links from text
     * (urlExtract) while the oracle re-derives the same planted edges
     * arithmetically, so the two paths cross-check each other. */
-  private def fixtureEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def fixtureEdges(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "documents")
     TextAnalysis.urlExtract(TextAnalysis.plantedUrls(s, dir))
       .join(d.select(col("doc_id"), col("source")), "doc_id")

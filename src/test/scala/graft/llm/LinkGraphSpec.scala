@@ -86,6 +86,34 @@ class LinkGraphSpec extends SparkSpec {
     }
   }
 
+  test("convergence report: geometric decay, 10-vs-11 within tolerance, early stop") {
+    val edges = LinkGraph.fixtureEdges(spark, sfCorrect)
+    val (r11, report) = LinkGraph.pageRankWithReport(edges, maxIters = 11)
+    assert(report.map(_._1) == (1 to 11), "one delta row per iteration")
+    // damped power iteration: L1 movement decays geometrically — the
+    // tail delta must sit far below the early ones
+    val d = report.map(_._2)
+    assert(d.last < d.head / 4, s"no decay visible: $d")
+    // the gated fixed-10 call is converged: iteration 11 moves the
+    // vector by under 1% of the 1e6 total mass
+    assert(d.last < 10000L, s"iter-11 L1 delta ${d.last} micro — not converged at 10")
+    // and the 10-iteration gated ranks agree with the 11-iteration
+    // ones within that same per-node tolerance
+    val r10 = LinkGraph.pageRank(edges, 10).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    val l1 = r11.collect().map(x => math.abs(x.getLong(1) - r10(x.getString(0)))).sum
+    assert(l1 == d.last, "reported delta IS the 10-vs-11 L1 distance")
+    // early stop: a generous tolerance halts before maxIters and the
+    // result matches the fixed-iteration call at the stop round
+    val (rEarly, repEarly) = LinkGraph.pageRankWithReport(
+      edges, maxIters = 50, tolMicro = 50000L)
+    assert(repEarly.size < 50, s"never converged: ${repEarly.size} iters")
+    val fixed = LinkGraph.pageRank(edges, repEarly.size).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    val early = rEarly.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(early == fixed, "early-stopped ranks = fixed-iteration ranks at the stop round")
+  }
+
   test("graph_domain_rank fixture returns every node once") {
     val r = LinkGraph.queries("graph_domain_rank")(spark, sfCorrect)
     val n = r.count()
