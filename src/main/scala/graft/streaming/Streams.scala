@@ -288,6 +288,37 @@ object Streams {
       key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key))
 
+  /** Streaming probe of the STANDING dedup index
+    * ([[graft.llm.Dedup.writeDedupIndex]]) — the production ingest
+    * shape: each micro-batch of (doc_id, text) is shingled, signed and
+    * probed against the stored `<prefix>_buckets` / `<prefix>_sets`
+    * tables via foreachBatch, so the live corpus pays zero per-batch
+    * work and the candidate join shuffles only the batch side (the
+    * stored scan's bucketing satisfies its half of the join
+    * distribution — the same single-exchange plan LlmSpec pins for the
+    * batch path). Pairs land under `outPath` with batch_id partition
+    * overwrite, so a crash-replayed batch overwrites its own output
+    * instead of duplicating pairs.
+    *
+    * Batch equivalence (StreamsSpec-pinned): candidates are strictly
+    * old×new and each pair's exact-Jaccard verify consults only that
+    * pair's shingle sets, so the union of per-batch outputs over ANY
+    * micro-batch split of an ingest equals
+    * [[graft.llm.Dedup.incrementalLshPairsFromIndex]] over the whole
+    * ingest at once. */
+  def startDedupIndexProbe(docs: DataFrame, prefix: String,
+      outPath: String, checkpoint: String, threshold: Double = 0.5,
+      numHashes: Int = 16, rowsPerBand: Int = 4, k: Int = 9) =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchIdempotent(
+          graft.llm.Dedup.incrementalLshPairsFromIndex(prefix, batch,
+            threshold, numHashes, rowsPerBand, k),
+          batchId, outPath)
+      }
+      .start()
+
   /** Idempotent micro-batch sink (the foreachBatch exactly-once
     * pattern for plain parquet): each batch lands in its own
     * `batch_id=N` directory with dynamic partition overwrite, so a

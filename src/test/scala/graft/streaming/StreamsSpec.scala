@@ -716,4 +716,48 @@ class StreamsSpec extends SparkSpec {
         "streaming gopher rules must score exactly the batch values")
     } finally out.stop()
   }
+
+  test("streaming probe of the standing dedup index equals the batch probe") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.llm.Dedup
+    val mk = (s: String) => s + " lorem ipsum dolor sit amet common pad"
+    val corpus = Seq(
+      (1L, mk("alpha bravo charlie delta echo foxtrot")),
+      (3L, mk("zulu yankee xray whiskey victor uniform")),
+      (5L, mk("golf hotel india juliett kilo lima")))
+      .toDF("doc_id", "text")
+    Dedup.writeDedupIndex(corpus, "stream_dedup_idx", numBuckets = 8)
+    // two ingest micro-batches: one dup of doc 1, then a dup of doc 5
+    // plus a genuinely new doc
+    val b1 = Seq((10L, mk("alpha bravo charlie delta echo foxtrot")))
+    val b2 = Seq((11L, mk("golf hotel india juliett kilo lima")),
+      (12L, mk("papa quebec romeo sierra tango unique")))
+    val out = java.nio.file.Files.createTempDirectory("graft_idx_probe")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_idx_ckpt")
+    val input = MemoryStream[(Long, String)]
+    val query = Streams.startDedupIndexProbe(
+      input.toDF().toDF("doc_id", "text"), "stream_dedup_idx",
+      out.toString, ckpt.toString)
+    try {
+      input.addData(b1: _*); query.processAllAvailable()
+      input.addData(b2: _*); query.processAllAvailable()
+      val streamed = spark.read.parquet(out.toString)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      // union of per-batch probes == one batch probe of the whole
+      // ingest (candidates are old×new only; verify is per-pair)
+      val direct = Dedup.incrementalLshPairsFromIndex("stream_dedup_idx",
+          (b1 ++ b2).toDF("doc_id", "text"), 0.5)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(streamed.toSeq === direct.toSeq)
+      assert(streamed.toSeq === Seq((1L, 10L), (5L, 11L)))
+      // a crash-replay of batch 1's body cannot duplicate pairs
+      Streams.writeBatchIdempotent(
+        Dedup.incrementalLshPairsFromIndex("stream_dedup_idx",
+          b1.toDF("doc_id", "text"), 0.5), 0L, out.toString)
+      assert(spark.read.parquet(out.toString).count() === 2)
+    } finally query.stop()
+  }
 }
