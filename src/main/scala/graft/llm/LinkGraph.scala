@@ -19,6 +19,20 @@ import graft.Tables
   * cutting lineage per round. Dangling mass (nodes without
   * out-edges) is one broadcast scalar per iteration.
   *
+  * Skew pre-flight (web graphs follow a power law — a few mega-hub
+  * domains receive a large share of all links, and the per-iteration
+  * inflow groupBy shuffles on exactly that dst key): BEFORE iterating
+  * a new graph, run [[graft.operators.Scale.keySkewReport]] on the
+  * edge frame's `dst` column ([[degreeStats]] gives the per-node
+  * in/out view of the same signal). A top key whose `skew_x`
+  * approaches the shuffle width means one reducer carries that hub's
+  * whole inflow; AQE skew splitting does not help a single-key
+  * aggregation, so swap the inflow sum to the two-phase
+  * [[graft.operators.Scale.saltedSum]] over the dst key — identical
+  * (integer-exact) inflows, hot key spread over `saltBuckets`
+  * reducers. LinkGraphSpec pins the equality on a deliberately
+  * hub-skewed graph.
+  *
   * Determinism: ranks live in integer micro-units; every per-edge
   * contribution is rounded to a BIGINT before the (order-free)
   * integer sum, and the only float steps are correctly-rounded IEEE

@@ -114,6 +114,33 @@ class LinkGraphSpec extends SparkSpec {
     assert(early == fixed, "early-stopped ranks = fixed-iteration ranks at the stop round")
   }
 
+  test("skew pre-flight: keySkewReport flags the hub; saltedSum matches the plain inflow") {
+    import graft.operators.Scale
+    import spark.implicits._
+    // web-graph shape: 900 of 1000 edges point at one mega-hub domain
+    val edges = (1L to 1000L).map { i =>
+      val dst = if (i <= 900) "hub.example.com" else s"site${i % 20}.example.com"
+      (s"src$i", dst, 1L + i % 3)
+    }.toDF("src", "dst", "w")
+    // 1. the pre-flight: the hub dominates the dst key distribution
+    val top = Scale.keySkewReport(edges, "dst").orderBy(col("n").desc)
+      .head()
+    assert(top.getString(0) == "hub.example.com")
+    assert(top.getDouble(3) > 5.0, // skew_x: count / mean-per-key
+      s"hub skew_x ${top.getDouble(3)} should scream")
+    // 2. the mitigation: the per-iteration inflow groupBy re-expressed
+    // as the two-phase salted sum — identical values, hot key spread
+    // over salt buckets instead of pinning one reducer
+    val contrib = edges.select(col("dst").as("node"), col("w").as("c"))
+    val plain = contrib.groupBy("node")
+      .agg(sum("c").cast("double").as("inflow"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val salted = Scale.saltedSum(contrib, Seq("node"), "c", "inflow",
+        saltBuckets = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(salted === plain)
+  }
+
   test("graph_domain_rank fixture returns every node once") {
     val r = LinkGraph.queries("graph_domain_rank")(spark, sfCorrect)
     val n = r.count()
