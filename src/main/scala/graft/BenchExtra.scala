@@ -217,6 +217,31 @@ object BenchExtra {
       // the xxhash64 production winnowing family beside the md5-gated
       // doc_winnow_fingerprint key — the usual portability-cost split
       graft.llm.TextAnalysis.winnowedFingerprintsXx(docs(s, dir))),
+    "bench_simhash64_xx_full" -> ((s, dir) =>
+      // the corpus-sized 64-bit SimHash production twin: 4×16-bit
+      // blocking bands (65,536 buckets each) where the 32-bit gated
+      // form has 256 — the fingerprint-width scale knob demonstrated;
+      // same pigeonhole guarantee at hamming ≤ 3
+      Dedup.simHashNearPairs64(
+        Dedup.simHash64Xx(Dedup.fixtureCorpus(docs(s, dir))))),
+    "bench_cosine_scaled_full" -> ((s, dir) => {
+      // sign-LSH with corpus-sized (bands, bits) instead of the fixed
+      // 4×8 default — the chance-collision mass stays ~linear in n on
+      // structure-free random vectors (the fixture's worst case)
+      val n = embs(s, dir).count()
+      val (bands, bits) = Dedup.scaledSignLshParams(n)
+      Dedup.cosineNearDupPairs(microElems(s, dir), 0.9, bands, bits)
+    }),
+    "bench_bm25_fixedq_full" -> ((s, dir) => {
+      // BM25 at CONSTANT query load (50 queries at sf0.1 and above):
+      // bench_bm25_full grows its query set with the corpus, so its
+      // decade step measures query·doc growth (100×), not corpus
+      // scaling — this twin isolates the corpus side
+      val d = docs(s, dir)
+      Retrieval.bm25TopK(d, d.filter(col("doc_id") % 100 === 0 &&
+          col("doc_id") < 5000)
+        .select(col("doc_id").as("query_id"), col("text")), 10)
+    }),
     "bench_synth_runner" -> ((s, dir) => {
       // Sequential workload-runner throughput on 48 reference-shaped
       // synthetic queries (join chains / IN-lists / CAST-LIKE) at the

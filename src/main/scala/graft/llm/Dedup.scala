@@ -565,11 +565,11 @@ object Dedup {
     simHashWith(df, idCol, textCol, xxhash64(_))
 
   private def simHashWith(df: DataFrame, idCol: String, textCol: String,
-      tokenHash: Column => Column): DataFrame = {
-    val votes = (0 until 32).map(j =>
+      tokenHash: Column => Column, bits: Int = 32): DataFrame = {
+    val votes = (0 until bits).map(j =>
       sum(when(expr(s"(shiftright(h60, $j) & 1)") === 1, lit(1))
         .otherwise(lit(-1))).as(s"v_$j"))
-    val assemble = (0 until 32).map(j =>
+    val assemble = (0 until bits).map(j =>
       when(col(s"v_$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
     df.select(col(idCol).as("id"),
         explode(TextAnalysis.tokensWs(lower(col(textCol)))).as("token"))
@@ -577,6 +577,41 @@ object Dedup {
       .groupBy("id")
       .agg(votes.head, votes.tail: _*)
       .select(col("id"), assemble.as("simhash"))
+  }
+
+  /** 64-bit xxhash64 SimHash — the CORPUS-SIZED production fingerprint.
+    * The 32-bit form's 4×8-bit blocking bands hold only 256 buckets
+    * each: once a corpus outgrows ~2^8·√(pairs-per-bucket-budget), the
+    * Σ|bucket|² candidate mass goes quadratic REGARDLESS of content
+    * (measured: the r6 sf1 decade step ran 12.7× for 10× data). The
+    * same pigeonhole guarantee over 64 bits gives 4×16-bit bands —
+    * 65,536 buckets each, 256× less chance-collision mass — so the
+    * fingerprint width, not the band count, is the scale knob: size
+    * 2^(bits/4) ≫ corpus. xxhash64's full 64-bit token hashes drive
+    * the votes (the md5 32-bit twin stays the DuckDB-oracle form).
+    * Note hamming ≤ 3 over 64 bits is a stricter relative similarity
+    * than over 32 — the 64-bit contract is the production one. */
+  def simHash64Xx(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    simHashWith(df, idCol, textCol, xxhash64(_), bits = 64)
+
+  /** Near-pairs over [[simHash64Xx]] fingerprints: hamming ≤ 3 pairs
+    * must agree on one of the 4 16-bit bands (pigeonhole) — the same
+    * equi-join blocking as [[simHashNearPairs]] with 65,536 buckets
+    * per band instead of 256. The arithmetic shiftright's sign-fill on
+    * the top band is masked off by `& 65535`. */
+  def simHashNearPairs64(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bands = hashes.withColumn("bi", explode(sequence(lit(0), lit(3))))
+      .withColumn("bv", expr("shiftright(simhash, bi * 16) & 65535"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.simhash").as("sh_a"),
+        col("b.id").as("id_b"), col("b.simhash").as("sh_b")).distinct()
+    cand.withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
   }
 
   /** SimHash near-pairs with 8-bit band blocking: pairs at hamming ≤ 3
@@ -709,6 +744,28 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
     verifyCosine(candidates, elems, threshold)
+  }
+
+  /** Corpus-sized sign-LSH parameters for [[cosineNearDupPairs]]: the
+    * default (4 bands × 8 bits) holds only 256 buckets per band, so on
+    * vectors WITHOUT near-dup structure the chance-collision mass
+    * Σ|bucket|² ≈ nBands·n²/2^bits goes quadratic once n ≫ 2^8
+    * (measured: the r6 sf1 decade step ran 19× for 10× data at the
+    * fixed default). Size bits so 2^bits tracks the corpus
+    * (bits ≈ log2 n − 3, floor 8 — at n ≤ 2k this IS the default) and
+    * double the bands when widening: per-band recall at angle θ is
+    * (1−θ/π)^bits, so extra bands buy back what extra bits cost — at
+    * cosine 0.9 (θ/π = 0.144), 8 bands × 12 bits keeps 74% any-band
+    * recall ≈ the default 4×8's 74.5% while carrying 8× less
+    * chance-collision mass at n = 20k. Near-identical pairs (the dedup
+    * target, cosine ≥ 0.99) stay ≥ 99% at either setting; marginal-
+    * threshold recall erodes as bits grow with the corpus — raise
+    * nBands further (cost is linear) when exact-threshold recall
+    * matters at scale. */
+  def scaledSignLshParams(n: Long): (Int, Int) = {
+    val bits = math.max(8,
+      math.ceil(math.log(math.max(2L, n).toDouble) / math.log(2)).toInt - 3)
+    (if (bits > 8) 8 else 4, bits)
   }
 
   // ------------------------------- incremental (batch-vs-corpus) dedup

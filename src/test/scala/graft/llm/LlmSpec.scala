@@ -406,6 +406,51 @@ class LlmSpec extends SparkSpec {
     assert(plan.contains("bucket"), "expected band-bucket candidate join")
   }
 
+  test("scaled sign-LSH params: default at small n, wider-banded at corpus scale; recall holds") {
+    // the sizing rule itself
+    assert(Dedup.scaledSignLshParams(2000L) === (4, 8))   // = the default
+    assert(Dedup.scaledSignLshParams(20000L) === (8, 12)) // 8x less collision mass
+    assert(Dedup.scaledSignLshParams(1L)._2 === 8)        // floor
+    // recall contract at the wider setting: near-identical pairs (the
+    // dedup target) are still all found — same fixture as the default
+    // equality test above
+    val base = graft.Tables.load(spark, sfSmoke, "embeddings")
+      .filter(col("vec_id") < 80)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "e")))
+      .select(col("vec_id").as("id"), (col("pos") + 1).as("i"),
+        round(col("e").cast("double") * 1e6).cast("long").as("e_micro"))
+    val variants = base.filter(col("id") % 5 === 0)
+      .select((col("id") + 10000).as("id"), col("i"),
+        (col("e_micro") + lit(10000) * ((col("i") % 3) - 1)).as("e_micro"))
+    val elems = base.unionByName(variants)
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val all = toSet(Dedup.cosinePairsMicro(elems, 0.9))
+    assert(all.nonEmpty)
+    assert(toSet(Dedup.cosineNearDupPairs(elems, 0.9, nBands = 8,
+      bitsPerBand = 12)) === all)
+  }
+
+  test("64-bit SimHash: pairs equal the brute-force hamming filter; copies collide") {
+    val corpus = Dedup.fixtureCorpus(
+      graft.Tables.load(spark, sfSmoke, "documents").filter(col("doc_id") < 60))
+    val hashes = Dedup.simHash64Xx(corpus)
+    val m = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact copies (id+20000) share the base doc's 64-bit simhash
+    m.keys.filter(id => id < 10000 && id % 7 == 0).foreach { id =>
+      assert(m(id + 20000) === m(id), s"copy of $id diverged")
+    }
+    // banded candidates + hamming verify == brute force over all pairs
+    val brute = (for {
+      a <- m.keys; b <- m.keys if a < b
+      h = java.lang.Long.bitCount(m(a) ^ m(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    val banded = Dedup.simHashNearPairs64(hashes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(brute.nonEmpty, "fixture must contain hamming<=3 pairs")
+    assert(banded === brute)
+  }
+
   test("simHash: identical docs collide, near docs are close, pairs found") {
     val df = textDf(
       (0L, "the quick brown fox jumps over the lazy dog again and again"),
