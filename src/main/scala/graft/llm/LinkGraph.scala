@@ -125,6 +125,70 @@ object LinkGraph {
     (ranks, deltas.result())
   }
 
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) over a weighted
+    * edge frame (src, dst, w), fixed `iters` rounds of the standard
+    * sequential update — authorities from CURRENT hubs, then hubs from
+    * the NEW authorities — each half-step L1-normalized to 1e6
+    * micro-units. Returns (node, hub_micro, auth_micro).
+    *
+    * Determinism: raw scores are exact integer sums of w·score
+    * products (order-free); each normalization is the single float
+    * expression round(1e6 · raw / total) — the same correctly-rounded
+    * IEEE multiply/divide discipline as [[pageRank]], so a fixed
+    * iteration count reproduces bit-identically on any partitioning
+    * and matches the DuckDB oracle, whose recursive CTE expresses the
+    * two half-steps as parity-alternating recursion levels.
+    *
+    * Scale shape: per half-step one src- or dst-keyed equi-join +
+    * groupBy over the domain-bounded edge frame, one broadcast scalar
+    * (the L1 total), eager localCheckpoint lineage cuts — the
+    * [[pageRank]] iteration shape with two shuffles per round instead
+    * of one. The same skew pre-flight applies (hub domains are hot
+    * dst keys by definition — see the object note). */
+  def hits(edges: DataFrame, iters: Int = 10): DataFrame = {
+    val e = edges.select(col("src"), col("dst"),
+      col("w").cast("long").as("w"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val nRow = nodes.agg(count(lit(1)).as("n"))
+    val init = nodes.crossJoin(broadcast(nRow))
+      .select(col("node"), round(lit(1e6) / col("n")).cast("long").as("s"))
+      .localCheckpoint(true)
+    // (node, raw) over the nodes WITH inflow; missing nodes score 0.
+    // One broadcast scalar for the L1 total, then the fixed float
+    // rounding step round(1e6 · raw / total) on every node.
+    def normalized(raw: DataFrame): DataFrame = {
+      val total = raw.agg(coalesce(sum("raw"), lit(0L)).as("t"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("node"),
+          when(col("t") > 0,
+            round(lit(1e6) * coalesce(col("raw"), lit(0L)) / col("t"))
+              .cast("long"))
+            .otherwise(lit(0L)).as("s"))
+        .localCheckpoint(true)
+    }
+    var hub = init
+    var auth = init
+    var i = 0
+    while (i < iters) {
+      auth = normalized(
+        hub.join(e, col("node") === col("src"))
+          .groupBy(col("dst").as("node2"))
+          .agg(sum(col("w") * col("s")).as("raw"))
+          .select(col("node2").as("node"), col("raw")))
+      hub = normalized(
+        auth.join(e, col("node") === col("dst"))
+          .groupBy(col("src").as("node2"))
+          .agg(sum(col("w") * col("s")).as("raw"))
+          .select(col("node2").as("node"), col("raw")))
+      i += 1
+    }
+    hub.select(col("node"), col("s").as("hub_micro"))
+      .join(auth.select(col("node"), col("s").as("auth_micro")), "node")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   /** Degree/strength report of a weighted edge frame — the data-card
@@ -183,10 +247,15 @@ object LinkGraph {
   private val graphDegreeStats: Q = (s, dir) =>
     degreeStats(fixtureEdges(s, dir)).orderBy("node")
 
+  private val graphHits: Q = (s, dir) =>
+    hits(fixtureEdges(s, dir), 10)
+      .orderBy(col("auth_micro").desc, col("hub_micro").desc, col("node"))
+
   val queries: Map[String, Q] = Map(
     "graph_domain_rank"  -> graphDomainRank,
     "graph_personalized_rank" -> graphPersonalizedRank,
     "graph_degree_stats" -> graphDegreeStats,
+    "graph_hits" -> graphHits,
   )
 
   /** Shared oracle edge derivation (arithmetic re-statement of the
@@ -232,6 +301,63 @@ object LinkGraph {
         |      CAST(ROUND(1e6 * COUNT(*) / (SELECT COUNT(*)
         |        FROM documents)) AS BIGINT) AS tm
         |    FROM documents GROUP BY source) s ON n.node = s.node""".stripMargin),
+
+    // HITS as a parity-alternating recursive CTE: iter 2k−1 is round
+    // k's authority half-step (from the CURRENT hubs), iter 2k its hub
+    // half-step (from the JUST-updated authorities) — the standard
+    // sequential update; 20 levels = 10 full rounds. Each half-step's
+    // L1 total is the same GROUP BY subquery the per-node numerator
+    // uses, so the normalization can never drift from the mass.
+    "graph_hits" ->
+      s"""WITH RECURSIVE $edgesSql,
+         |nodes AS (
+         |  SELECT DISTINCT src AS node FROM edges
+         |  UNION SELECT DISTINCT dst FROM edges),
+         |hits AS (
+         |  SELECT 0 AS iter, node,
+         |    CAST(ROUND(1e6 / (SELECT COUNT(*) FROM nodes)) AS BIGINT) AS h,
+         |    CAST(ROUND(1e6 / (SELECT COUNT(*) FROM nodes)) AS BIGINT) AS a
+         |  FROM nodes
+         |  UNION ALL
+         |  SELECT p.iter + 1, p.node,
+         |    CASE WHEN (p.iter % 2) = 1 THEN
+         |      CASE WHEN (SELECT SUM(raw) FROM (
+         |          SELECT CAST(SUM(e.w * p2.a) AS BIGINT) AS raw
+         |          FROM hits p2 JOIN edges e ON p2.node = e.dst
+         |          WHERE p2.iter = p.iter GROUP BY e.src) rh) > 0
+         |      THEN CAST(ROUND(1e6 * COALESCE((
+         |          SELECT CAST(SUM(e.w * p2.a) AS BIGINT)
+         |          FROM hits p2 JOIN edges e ON p2.node = e.dst
+         |            AND e.src = p.node
+         |          WHERE p2.iter = p.iter), 0)
+         |        / (SELECT SUM(raw) FROM (
+         |          SELECT CAST(SUM(e.w * p2.a) AS BIGINT) AS raw
+         |          FROM hits p2 JOIN edges e ON p2.node = e.dst
+         |          WHERE p2.iter = p.iter GROUP BY e.src) rh))
+         |        AS BIGINT)
+         |      ELSE 0 END
+         |    ELSE p.h END AS h,
+         |    CASE WHEN (p.iter % 2) = 0 THEN
+         |      CASE WHEN (SELECT SUM(raw) FROM (
+         |          SELECT CAST(SUM(e.w * p2.h) AS BIGINT) AS raw
+         |          FROM hits p2 JOIN edges e ON p2.node = e.src
+         |          WHERE p2.iter = p.iter GROUP BY e.dst) ra) > 0
+         |      THEN CAST(ROUND(1e6 * COALESCE((
+         |          SELECT CAST(SUM(e.w * p2.h) AS BIGINT)
+         |          FROM hits p2 JOIN edges e ON p2.node = e.src
+         |            AND e.dst = p.node
+         |          WHERE p2.iter = p.iter), 0)
+         |        / (SELECT SUM(raw) FROM (
+         |          SELECT CAST(SUM(e.w * p2.h) AS BIGINT) AS raw
+         |          FROM hits p2 JOIN edges e ON p2.node = e.src
+         |          WHERE p2.iter = p.iter GROUP BY e.dst) ra))
+         |        AS BIGINT)
+         |      ELSE 0 END
+         |    ELSE p.a END AS a
+         |  FROM hits p WHERE p.iter < 20)
+         |SELECT node, h AS hub_micro, a AS auth_micro
+         |FROM hits WHERE iter = 20
+         |ORDER BY auth_micro DESC, hub_micro DESC, node""".stripMargin,
   )
 
   /** Shared recursive-CTE PageRank oracle, parameterized ONLY by the

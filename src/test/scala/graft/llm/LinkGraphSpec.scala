@@ -114,6 +114,47 @@ class LinkGraphSpec extends SparkSpec {
     assert(early == fixed, "early-stopped ranks = fixed-iteration ranks at the stop round")
   }
 
+  test("HITS: matches a driver-side replica exactly; sources get zero authority") {
+    import spark.implicits._
+    val edgeSeq = Seq(("s1", "d1", 1L), ("s1", "d2", 2L), ("s2", "d1", 3L),
+      ("s2", "d3", 1L), ("s3", "d2", 5L))
+    val got = LinkGraph.hits(edgeSeq.toDF("src", "dst", "w"), 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // driver-side replica of the exact arithmetic: integer raw sums,
+    // round(1e6 * raw / total) per half-step
+    val nodes = (edgeSeq.map(_._1) ++ edgeSeq.map(_._2)).distinct.sorted
+    val init = math.round(1e6 / nodes.size).toDouble
+    var h = nodes.map(_ -> init).toMap
+    var a = nodes.map(_ -> init).toMap
+    def half(score: Map[String, Double], auth: Boolean): Map[String, Double] = {
+      val raw = edgeSeq.groupBy(e => if (auth) e._2 else e._1)
+        .map { case (v, es) =>
+          v -> es.map(e => e._3 * score(if (auth) e._1 else e._2).toLong).sum }
+      val t = raw.values.sum
+      nodes.map(v => v ->
+        math.round(1e6 * raw.getOrElse(v, 0L) / t.toDouble).toDouble).toMap
+    }
+    (1 to 10).foreach { _ => a = half(h, auth = true); h = half(a, auth = false) }
+    val expect = nodes.map(v => v -> (h(v).toLong, a(v).toLong)).toMap
+    assert(got === expect)
+    // pure sources hold zero authority; pure sinks zero hubness;
+    // each vector's mass is ~1e6 (rounding slack)
+    Seq("s1", "s2", "s3").foreach(v => assert(got(v)._2 === 0L))
+    Seq("d1", "d2", "d3").foreach(v => assert(got(v)._1 === 0L))
+    assert(math.abs(got.values.map(_._2).sum - 1000000L) <= 5)
+    assert(math.abs(got.values.map(_._1).sum - 1000000L) <= 5)
+  }
+
+  test("graph_hits fixture key returns every node once, totally ordered") {
+    val r = LinkGraph.queries("graph_hits")(spark, sfCorrect).collect()
+    val nodes = LinkGraph.fixtureEdges(spark, sfCorrect)
+      .selectExpr("src AS node").union(
+        LinkGraph.fixtureEdges(spark, sfCorrect).selectExpr("dst"))
+      .distinct().count()
+    assert(r.length.toLong === nodes)
+    assert(r.map(_.getString(0)).distinct.length === r.length)
+  }
+
   test("skew pre-flight: keySkewReport flags the hub; saltedSum matches the plain inflow") {
     import graft.operators.Scale
     import spark.implicits._
