@@ -6,20 +6,26 @@ authoritative — it carries every probe, the complete per-query map and
 the outlier re-time triples — while the driver's copy keeps whatever
 its stdout window caught.
 
-Usage: python3 scripts/fold_bench.py <BENCH_rN.json> [target/bench.json]
+Usage: python3 scripts/fold_bench.py [--force] <BENCH_rN.json> [target/bench.json]
 
 Writes the merged JSON back to <BENCH_rN.json> (keys from the bench
 artifact win; driver-side metadata like timestamps is preserved).
+Refuses to fold when the two artifacts disagree on sf or on query
+count (beyond the expected stdout truncation, which only ever LOSES
+driver-side queries) — a stale target/bench.json from an earlier run
+must not silently overwrite a driver record. Pass --force to override.
 """
 import json
 import sys
 
 
 def main() -> None:
-    if len(sys.argv) < 2:
+    argv = [a for a in sys.argv[1:] if a != "--force"]
+    force = "--force" in sys.argv[1:]
+    if not argv:
         sys.exit(__doc__)
-    driver_path = sys.argv[1]
-    bench_path = sys.argv[2] if len(sys.argv) > 2 else "target/bench.json"
+    driver_path = argv[0]
+    bench_path = argv[1] if len(argv) > 1 else "target/bench.json"
     with open(bench_path) as f:
         bench = json.load(f)
     try:
@@ -29,6 +35,24 @@ def main() -> None:
         driver = {}
     if not isinstance(driver, dict):
         driver = {"driver_raw": driver}
+    # Same-run sanity: the driver record (when parseable) must agree on sf,
+    # and the driver's query map — truncated stdout only ever drops queries —
+    # must be a subset count-wise of the file artifact's.
+    parsed = driver.get("parsed") if isinstance(driver.get("parsed"), dict) else driver
+    mismatches = []
+    dsf, bsf = parsed.get("sf"), bench.get("sf")
+    if dsf is not None and bsf is not None and dsf != bsf:
+        mismatches.append(f"sf mismatch: driver={dsf} bench={bsf}")
+    dq = parsed.get("queries")
+    if isinstance(dq, dict) and len(dq) > len(bench.get("queries", {})):
+        mismatches.append(
+            f"driver has MORE queries ({len(dq)}) than bench artifact "
+            f"({len(bench.get('queries', {}))}) — bench file looks stale")
+    if mismatches and not force:
+        sys.exit("refusing to fold (--force to override):\n  " +
+                 "\n  ".join(mismatches))
+    for m in mismatches:
+        print(f"WARNING (--force): {m}", file=sys.stderr)
     # the bench artifact is authoritative for every metric it carries;
     # a stale/truncated "parsed" blob is replaced wholesale
     merged = {k: v for k, v in driver.items() if k != "parsed"}
