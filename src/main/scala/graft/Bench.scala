@@ -28,7 +28,15 @@ object Bench {
     * 0.087-0.098 s against the stale r3-era 0.21); override with
     * SPARK_GRAFT_CALIBRATION_IDLE_S when the host changes. */
   private val CalibrationIdleS = sys.env
-    .get("SPARK_GRAFT_CALIBRATION_IDLE_S").map(_.toDouble).getOrElse(0.095)
+    .get("SPARK_GRAFT_CALIBRATION_IDLE_S")
+    .flatMap { v =>
+      val parsed = scala.util.Try(v.toDouble).toOption.filter(_ > 0)
+      if (parsed.isEmpty)
+        System.err.println(
+          s"[bench] ignoring unparseable SPARK_GRAFT_CALIBRATION_IDLE_S='$v'")
+      parsed
+    }
+    .getOrElse(0.095)
 
   /** Fixed data-independent CPU probe: hash-reduce a 200M range
     * (bit_xor cannot overflow under ANSI mode). One probe run. */

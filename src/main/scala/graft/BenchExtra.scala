@@ -66,6 +66,11 @@ object BenchExtra {
         Dedup.charShingles(Dedup.fixtureCorpus(docs(s, dir))), 0.5,
         Dedup.fixtureShingleDfCap)),
     "bench_cosine_full" -> ((s, dir) =>
+      // DEFAULT-parameter path: since r7 the defaults auto-size
+      // (bands, bits) from an approx_count_distinct of the corpus —
+      // this key and bench_cosine_scaled_full (explicit sizing) must
+      // track each other; the r6-era fixed-4×8 default measured 19.3×
+      // at the sf1 decade and is gone from the default path
       Dedup.cosineNearDupPairs(microElems(s, dir), 0.9)),
     "bench_minhash_rowlocal_full" -> ((s, dir) =>
       // zero-shuffle signature path, md5 family — delta vs
@@ -88,9 +93,26 @@ object BenchExtra {
       Similarity.lshTopK(e, e.filter(col("vec_id") % 50 === 0), 5)
     }),
     "bench_bm25_full" -> ((s, dir) => {
-      // BM25 float path over the full corpus: one postings shuffle,
-      // broadcast df/qterms/stats, per-query top-10 (the oracle key
-      // runs the micro-int twin at sf0.01)
+      // THE default BM25 bench (r7 swap): BM25 float path over the
+      // full corpus at CONSTANT query load (50 queries at sf0.1 and
+      // above) — one postings shuffle, broadcast df/qterms/stats,
+      // per-query top-10. Query-set sizing rule: a bench whose query
+      // set grows with the corpus measures query·doc growth (100× per
+      // decade — r6 read 16.8× and it looked like a regression), not
+      // corpus scaling; fix the query set to isolate the corpus side
+      // (r6 measured 3.5×/decade here). The grow-with-corpus form
+      // lives on as bench_bm25_growq_full; pre-r7 bench_bm25_full
+      // series are the grow-q numbers (BASELINE.md note).
+      val d = docs(s, dir)
+      Retrieval.bm25TopK(d, d.filter(col("doc_id") % 100 === 0 &&
+          col("doc_id") < 5000)
+        .select(col("doc_id").as("query_id"), col("text")), 10)
+    }),
+    "bench_bm25_growq_full" -> ((s, dir) => {
+      // query set grows with the corpus (every 100th doc): measures
+      // combined query·doc scaling — kept beside the fixed-q default
+      // because per-query cost under a growing load is also a real
+      // production question; its decade step is NOT corpus scaling
       val d = docs(s, dir)
       Retrieval.bm25TopK(d, d.filter(col("doc_id") % 100 === 0)
         .select(col("doc_id").as("query_id"), col("text")), 10)
@@ -218,12 +240,11 @@ object BenchExtra {
       // doc_winnow_fingerprint key — the usual portability-cost split
       graft.llm.TextAnalysis.winnowedFingerprintsXx(docs(s, dir))),
     "bench_simhash64_xx_full" -> ((s, dir) =>
-      // the corpus-sized 64-bit SimHash production twin: 4×16-bit
-      // blocking bands (65,536 buckets each) where the 32-bit gated
-      // form has 256 — the fingerprint-width scale knob demonstrated;
-      // same pigeonhole guarantee at hamming ≤ 3
-      Dedup.simHashNearPairs64(
-        Dedup.simHash64Xx(Dedup.fixtureCorpus(docs(s, dir))))),
+      // the corpus-sized 64-bit SimHash production entry
+      // (simHashNearDups = simHash64Xx + 4×16-bit bands, 65,536
+      // buckets each where the 32-bit gated form has 256 — the
+      // fingerprint-width scale knob); same pigeonhole at hamming ≤ 3
+      Dedup.simHashNearDups(Dedup.fixtureCorpus(docs(s, dir)))),
     "bench_cosine_scaled_full" -> ((s, dir) => {
       // sign-LSH with corpus-sized (bands, bits) instead of the fixed
       // 4×8 default — the chance-collision mass stays ~linear in n on
@@ -231,16 +252,6 @@ object BenchExtra {
       val n = embs(s, dir).count()
       val (bands, bits) = Dedup.scaledSignLshParams(n)
       Dedup.cosineNearDupPairs(microElems(s, dir), 0.9, bands, bits)
-    }),
-    "bench_bm25_fixedq_full" -> ((s, dir) => {
-      // BM25 at CONSTANT query load (50 queries at sf0.1 and above):
-      // bench_bm25_full grows its query set with the corpus, so its
-      // decade step measures query·doc growth (100×), not corpus
-      // scaling — this twin isolates the corpus side
-      val d = docs(s, dir)
-      Retrieval.bm25TopK(d, d.filter(col("doc_id") % 100 === 0 &&
-          col("doc_id") < 5000)
-        .select(col("doc_id").as("query_id"), col("text")), 10)
     }),
     "bench_synth_runner" -> ((s, dir) => {
       // Sequential workload-runner throughput on 48 reference-shaped

@@ -614,10 +614,28 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** THE production SimHash near-dup pair search: 64-bit xxhash64
+    * fingerprints ([[simHash64Xx]]) blocked on 4×16-bit bands
+    * ([[simHashNearPairs64]]). This is the entry point a
+    * corpus-scale caller should take — the 32-bit
+    * [[simHash]]/[[simHashNearPairs]] family exists for DuckDB oracle
+    * bit-parity and its 256-bucket bands were MEASURED going 12.7× at
+    * the r6 sf1 decade step, exactly the curve a 100× corpus must not
+    * inherit (the 64-bit form ran 2.0×). LlmSpec pins the banded
+    * 64-bit search == brute-force hamming on the fixture corpus. */
+  def simHashNearDups(df: DataFrame, maxHamming: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    simHashNearPairs64(simHash64Xx(df, idCol, textCol), maxHamming)
+
   /** SimHash near-pairs with 8-bit band blocking: pairs at hamming ≤ 3
     * must agree on one of the 4 bytes (pigeonhole), so candidates come
     * from equi-joins on (byte_index, byte_value) — shuffle-on-key, no
-    * all-pairs. */
+    * all-pairs.
+    *
+    * ORACLE TWIN, not the production default: 8-bit bands hold 256
+    * buckets and saturate once n ≫ 2^8 (measured 12.7× at one decade).
+    * Production pair search is [[simHashNearDups]] (64-bit, 16-bit
+    * bands); this form stays for the md5/32-bit DuckDB gate. */
   def simHashNearPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     val bands = hashes.withColumn("bi", explode(sequence(lit(0), lit(3))))
       .withColumn("bv", expr("shiftright(simhash, bi * 8) & 255"))
@@ -735,10 +753,24 @@ object Dedup {
     * threshold can be missed — raise nBands (or fall back to
     * [[cosinePairsMicro]]) when exact-threshold recall matters. The
     * fixture gate pins LSH output == all-pairs output on the shipped
-    * corpus (LlmSpec + DuckDB hash gate at both SFs). */
+    * corpus (LlmSpec + DuckDB hash gate at both SFs).
+    *
+    * DEFAULT PARAMETERS ARE CORPUS-SIZED: nBands/bitsPerBand ≤ 0 (the
+    * default) derives (bands, bits) from the corpus via ONE
+    * approx_count_distinct pass and [[scaledSignLshParams]] — the
+    * r6 sf1 decade measured the old fixed 4×8 default going 19.3× for
+    * 10× data (256 buckets/band saturate once n ≫ 2^8) while the
+    * sized form ran 4.7×; a 100×-scale caller taking defaults must
+    * inherit the sized curve, not the quadratic one. Sizing needs only
+    * log2(n), so the ±2% approximate count can never move bits by more
+    * than the rounding already allows. Pass both params explicitly to
+    * pin an exact configuration (the DuckDB-gated fixture twins do). */
   def cosineNearDupPairs(elems: DataFrame, threshold: Double,
-      nBands: Int = 4, bitsPerBand: Int = 8, dims: Int = 64): DataFrame = {
-    val buckets = signBandBuckets(elems, nBands, bitsPerBand, dims)
+      nBands: Int = 0, bitsPerBand: Int = 0, dims: Int = 64): DataFrame = {
+    val (bands, bits) =
+      if (nBands > 0 && bitsPerBand > 0) (nBands, bitsPerBand)
+      else autoSignLshParams(elems)
+    val buckets = signBandBuckets(elems, bands, bits, dims)
     val candidates = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
@@ -746,8 +778,9 @@ object Dedup {
     verifyCosine(candidates, elems, threshold)
   }
 
-  /** Corpus-sized sign-LSH parameters for [[cosineNearDupPairs]]: the
-    * default (4 bands × 8 bits) holds only 256 buckets per band, so on
+  /** Corpus-sized sign-LSH parameters for [[cosineNearDupPairs]] (and
+    * what its ≤0 defaults resolve through): the
+    * legacy fixed 4 bands × 8 bits holds only 256 buckets per band, so on
     * vectors WITHOUT near-dup structure the chance-collision mass
     * Σ|bucket|² ≈ nBands·n²/2^bits goes quadratic once n ≫ 2^8
     * (measured: the r6 sf1 decade step ran 19× for 10× data at the
@@ -767,6 +800,15 @@ object Dedup {
       math.ceil(math.log(math.max(2L, n).toDouble) / math.log(2)).toInt - 3)
     (if (bits > 8) 8 else 4, bits)
   }
+
+  /** What the ≤0 defaults of [[cosineNearDupPairs]] resolve to: one
+    * approx_count_distinct(id) pass over the element frame routed
+    * through [[scaledSignLshParams]]. Approximate is sufficient — the
+    * sizing consumes only ⌈log2 n⌉, so HLL's ±2% can shift bits only
+    * where exact rounding already could. */
+  def autoSignLshParams(elems: DataFrame): (Int, Int) =
+    scaledSignLshParams(
+      elems.agg(approx_count_distinct(col("id"))).head.getLong(0))
 
   // ------------------------------- incremental (batch-vs-corpus) dedup
 
@@ -847,6 +889,71 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
     verifyJaccardSets(candidates,
       oldSets.unionByName(shingleSetRows(hashShingles(newSh))), threshold)
+  }
+
+  /** Persist the STANDING sign-LSH index of a live embedding corpus —
+    * the dense-vector twin of [[writeDedupIndex]], so incremental
+    * ingest dedup covers embedding near-dups as well as lexical ones.
+    * Input is the exploded micro-int element frame (id, i, e_micro);
+    * written tables:
+    *  - `<prefix>_buckets` (id, band, bucket) from [[signBandBuckets]],
+    *    bucketed on the candidate-join key (band, bucket) — a batch
+    *    probe shuffles only the batch side (LlmSpec asserts the single
+    *    join-key exchange, the [[writeDedupIndex]] contract);
+    *  - `<prefix>_elems` the element rows, bucketed on id for the
+    *    exact-cosine verify joins;
+    *  - `<prefix>_meta` one row (n_bands, bits_per_band, dims): the
+    *    LSH parameters are pinned AT INDEX TIME — corpus-sized via
+    *    [[autoSignLshParams]] when left ≤ 0 — and the probe reads them
+    *    back, so writer and prober cannot silently disagree on the
+    *    projection family. */
+  def writeCosineIndex(elems: DataFrame, prefix: String,
+      nBands: Int = 0, bitsPerBand: Int = 0, dims: Int = 64,
+      numBuckets: Int = 32): Unit = {
+    val (bands, bits) =
+      if (nBands > 0 && bitsPerBand > 0) (nBands, bitsPerBand)
+      else autoSignLshParams(elems)
+    graft.sources.Ingest.writeBucketedTable(
+      signBandBuckets(elems, bands, bits, dims),
+      s"${prefix}_buckets", Seq("band", "bucket"), numBuckets)
+    graft.sources.Ingest.writeBucketedTable(
+      elems.select(col("id"), col("i"), col("e_micro")),
+      s"${prefix}_elems", Seq("id"), numBuckets)
+    val spark = elems.sparkSession
+    import spark.implicits._
+    graft.sources.Ingest.writeManagedTable(
+      Seq((bands, bits, dims)).toDF("n_bands", "bits_per_band", "dims"),
+      s"${prefix}_meta")
+  }
+
+  /** Probe the standing sign-LSH index with a new ingest batch of
+    * exploded micro-int elements: batch buckets (under the parameters
+    * read back from `<prefix>_meta`) equi-join the STORED bucket table
+    * — strictly old×new, never old×old — then the exact integer cosine
+    * kernel verifies each candidate against the stored elements ∪ the
+    * batch's own. Output is identical to [[cosineNearDupPairs]]
+    * restricted to cross pairs over (indexed ∪ batch) — LlmSpec pins
+    * equality with a whole-frame run — but the corpus pays no
+    * projection work at probe time. Ids must be disjoint across index
+    * and batch; each pair's verify consults only that pair's element
+    * rows, so per-batch outputs union to the whole-ingest probe on ANY
+    * micro-batch split (the [[incrementalLshPairsFromIndex]]
+    * batch-equivalence contract; the streaming form is
+    * [[graft.streaming.Streams.startCosineIndexProbe]]). */
+  def cosineNearDupPairsFromIndex(prefix: String, newElems: DataFrame,
+      threshold: Double): DataFrame = {
+    val spark = newElems.sparkSession
+    val meta = spark.table(s"${prefix}_meta").head()
+    val (bands, bits, dims) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val oldBuckets = spark.table(s"${prefix}_buckets")
+    val oldElems = spark.table(s"${prefix}_elems")
+    val newBuckets = signBandBuckets(newElems, bands, bits, dims)
+    val candidates = oldBuckets.as("a").join(newBuckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    verifyCosine(candidates,
+      oldElems.unionByName(newElems.select("id", "i", "e_micro")), threshold)
   }
 
   // ----------------------- exact duplicated-substring spans (Lee et al.)
@@ -1220,7 +1327,10 @@ object Dedup {
     val variants = base.filter(col("id") % 5 === 0)
       .select((col("id") + 10000).as("id"), col("i"),
         (col("e_micro") + lit(10000) * ((col("i") % 3) - 1)).as("e_micro"))
-    cosineNearDupPairs(base.unionByName(variants), 0.9)
+    // explicit (4, 8): the DuckDB-gated twin pins an exact LSH
+    // configuration for bit-parity; the production default auto-sizes
+    cosineNearDupPairs(base.unionByName(variants), 0.9,
+      nBands = 4, bitsPerBand = 8)
   }
 
   private val dedupEmbeddingCosine: Q = (s, dir) =>

@@ -145,7 +145,28 @@ object LinkGraph {
     * [[pageRank]] iteration shape with two shuffles per round instead
     * of one. The same skew pre-flight applies (hub domains are hot
     * dst keys by definition — see the object note). */
-  def hits(edges: DataFrame, iters: Int = 10): DataFrame = {
+  def hits(edges: DataFrame, iters: Int = 10): DataFrame =
+    // wantReport=false: the fixed-iteration gated path pays zero extra
+    // jobs — the oracle CTE's parity levels stay bit-identical
+    hitsImpl(edges, iters, tolMicro = 0L, wantReport = false)._1
+
+  /** [[hits]] plus a convergence report — the [[pageRankWithReport]]
+    * contract for the two-score iteration: per round, the L1 movement
+    * Σ|s_i − s_{i−1}| of EACH half-step (auth first, then hub) in
+    * micro-units, measured by one node-cardinality agg over the frames
+    * each half-step already materializes. With `tolMicro > 0` the loop
+    * stops after the first round where BOTH half-step movements fall
+    * to or below the tolerance (principal-eigenvector power iteration
+    * converges geometrically, so this terminates); the gated
+    * `graph_hits` key keeps the fixed-iteration [[hits]] call so the
+    * parity-alternating DuckDB recursive-CTE oracle stays
+    * bit-identical. Returns (scores, Seq((round, auth_l1, hub_l1))). */
+  def hitsWithReport(edges: DataFrame, maxIters: Int = 10,
+      tolMicro: Long = 0L): (DataFrame, Seq[(Int, Long, Long)]) =
+    hitsImpl(edges, maxIters, tolMicro, wantReport = true)
+
+  private def hitsImpl(edges: DataFrame, maxIters: Int, tolMicro: Long,
+      wantReport: Boolean): (DataFrame, Seq[(Int, Long, Long)]) = {
     val e = edges.select(col("src"), col("dst"),
       col("w").cast("long").as("w"))
     val nodes = e.select(col("src").as("node"))
@@ -169,10 +190,18 @@ object LinkGraph {
             .otherwise(lit(0L)).as("s"))
         .localCheckpoint(true)
     }
+    def l1Move(cur: DataFrame, prev: DataFrame): Long =
+      cur.join(prev.withColumnRenamed("s", "sp"), "node")
+        .agg(coalesce(sum(abs(col("s") - col("sp"))), lit(0L)).as("d"))
+        .head().getLong(0)
     var hub = init
     var auth = init
+    val deltas = Seq.newBuilder[(Int, Long, Long)]
     var i = 0
-    while (i < iters) {
+    var converged = false
+    while (i < maxIters && !converged) {
+      val prevAuth = auth
+      val prevHub = hub
       auth = normalized(
         hub.join(e, col("node") === col("src"))
           .groupBy(col("dst").as("node2"))
@@ -184,9 +213,16 @@ object LinkGraph {
           .agg(sum(col("w") * col("s")).as("raw"))
           .select(col("node2").as("node"), col("raw")))
       i += 1
+      if (wantReport) {
+        val da = l1Move(auth, prevAuth)
+        val dh = l1Move(hub, prevHub)
+        deltas += ((i, da, dh))
+        converged = tolMicro > 0 && da <= tolMicro && dh <= tolMicro
+      }
     }
-    hub.select(col("node"), col("s").as("hub_micro"))
-      .join(auth.select(col("node"), col("s").as("auth_micro")), "node")
+    (hub.select(col("node"), col("s").as("hub_micro"))
+      .join(auth.select(col("node"), col("s").as("auth_micro")), "node"),
+      deltas.result())
   }
 
   type Q = (SparkSession, String) => DataFrame

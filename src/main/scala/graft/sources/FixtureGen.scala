@@ -122,21 +122,267 @@ object FixtureGen {
       .select("vec_id", "embedding", "label")
   }
 
+  // ---------------------------------------------------- relational side
+
+  private val M = 1048576L
+
+  /** Hash-uniform in [0, 1), keyed by (seed, stream tag, id[, extra]).
+    * Offset by 0.5/2^20 keeps downstream log() off exact zero. */
+  private def unif01(seed: Long, tag: String,
+      id: org.apache.spark.sql.Column, extra: org.apache.spark.sql.Column*) =
+    (pmod(xxhash64((lit(seed) +: lit(tag) +: id +: extra): _*), lit(M))
+      .cast("double") + 0.5) / M.toDouble
+
+  /** Hash-uniform money in [lo, hi], 2 decimal places. */
+  private def money(seed: Long, tag: String, lo: Double, hi: Double,
+      id: org.apache.spark.sql.Column, extra: org.apache.spark.sql.Column*) =
+    round(lit(lo) + unif01(seed, tag, id, extra: _*) * (hi - lo), 2)
+
+  /** Scaled TPC-H-ish relational tables — the decade step for the SQL
+    * side (the reference's whole published baseline is TPC-DS at
+    * SF 10→1000; traces/study_1). Same contract as [[documents]]:
+    * every row is a pure function of (seed, id) via xxhash64, alias
+    * tables carry the EMPIRICAL categorical mixes of `srcDir` (order
+    * status/priority, returnflag×linestatus, market segments, brands,
+    * part-name vocabulary, event types, lines-per-order histogram),
+    * and continuous columns draw hash-uniform over the source's
+    * observed [min, max]. FK DISCIPLINE: parents are dense
+    * spark.range ids, so child FKs are pmod(xxhash64) into the SCALED
+    * parent range — every o_custkey/l_partkey/l_suppkey resolves, and
+    * l_orderkey inherits orders' own id space by generating lineitem
+    * FROM the order id range (per-order line counts alias-sampled from
+    * the source histogram, then posexploded — no join, no shuffle).
+    * region/nation are fixed-size dimensions and copy through
+    * unchanged. Generation is join-free and shuffle-free end to end:
+    * at any mult the cost is one linear write per table. */
+  def writeScaledRelational(spark: SparkSession, srcDir: String,
+      outDir: String, mult: Int, seed: Long = 61): Unit = {
+    def src(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
+    // cast every generated column to the SOURCE column's exact type
+    // (the shipped fixtures use TIMESTAMP_NTZ; int widths must match)
+    def aligned(df: DataFrame, table: String): DataFrame =
+      df.select(src(table).schema.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*)
+    def aliasOf(df: DataFrame, c: String): Array[String] =
+      aliasSlots(df.groupBy(c).count().orderBy(c).collect()
+        .map(r => (r.get(0).toString, r.getLong(1))).toSeq, Slots)
+    def minMax(df: DataFrame, c: String): (Double, Double) = {
+      val r = df.agg(min(col(c)), max(col(c))).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    // fixed-size dimensions pass through
+    Seq("region", "nation").foreach { t =>
+      src(t).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+
+    val nCust = src("customer").count() * mult
+    val nSupp = src("supplier").count() * mult
+    val nPart = src("part").count() * mult
+    val nOrd = src("orders").count() * mult
+    val nNation = src("nation").count()
+
+    val (cLo, cHi) = minMax(src("customer"), "c_acctbal")
+    val segLit = lit(aliasOf(src("customer"), "c_mktsegment"))
+    spark.range(nCust).toDF("c_custkey")
+      .withColumn("c_name", format_string("Customer#%09d", col("c_custkey")))
+      .withColumn("c_nationkey",
+        pmod(xxhash64(lit(seed), lit("cnat"), col("c_custkey")),
+          lit(nNation)).cast("int"))
+      .withColumn("c_acctbal", money(seed, "cbal", cLo, cHi, col("c_custkey")))
+      .withColumn("c_mktsegment",
+        element_at(segLit, slot(seed, "cseg", col("c_custkey"))))
+      .transform(aligned(_, "customer"))
+      .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+
+    val (sLo, sHi) = minMax(src("supplier"), "s_acctbal")
+    spark.range(nSupp).toDF("s_suppkey")
+      .withColumn("s_name", format_string("Supplier#%09d", col("s_suppkey")))
+      .withColumn("s_nationkey",
+        pmod(xxhash64(lit(seed), lit("snat"), col("s_suppkey")),
+          lit(nNation)).cast("int"))
+      .withColumn("s_acctbal", money(seed, "sbal", sLo, sHi, col("s_suppkey")))
+      .transform(aligned(_, "supplier"))
+      .write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
+
+    val pSrc = src("part")
+    val name1Lit = lit(aliasSlots(
+      pSrc.select(split(col("p_name"), " ").getItem(0).as("w"))
+        .groupBy("w").count().orderBy("w").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq, Slots))
+    val name2Lit = lit(aliasSlots(
+      pSrc.select(split(col("p_name"), " ").getItem(1).as("w"))
+        .groupBy("w").count().orderBy("w").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq, Slots))
+    val brandLit = lit(aliasOf(pSrc, "p_brand"))
+    val typeLit = lit(aliasOf(pSrc, "p_type"))
+    val (szLo, szHi) = {
+      val r = pSrc.agg(min("p_size"), max("p_size")).head()
+      (r.getInt(0), r.getInt(1))
+    }
+    val (rpLo, rpHi) = minMax(pSrc, "p_retailprice")
+    spark.range(nPart).toDF("p_partkey")
+      .withColumn("p_name", concat(
+        element_at(name1Lit, slot(seed, "pn1", col("p_partkey"))), lit(" "),
+        element_at(name2Lit, slot(seed, "pn2", col("p_partkey")))))
+      .withColumn("p_brand",
+        element_at(brandLit, slot(seed, "pbr", col("p_partkey"))))
+      .withColumn("p_type",
+        element_at(typeLit, slot(seed, "pty", col("p_partkey"))))
+      .withColumn("p_size",
+        (pmod(xxhash64(lit(seed), lit("psz"), col("p_partkey")),
+          lit((szHi - szLo + 1).toLong)) + szLo).cast("int"))
+      .withColumn("p_retailprice",
+        money(seed, "prp", rpLo, rpHi, col("p_partkey")))
+      .transform(aligned(_, "part"))
+      .write.mode("overwrite").parquet(s"$outDir/part.parquet")
+
+    val oSrc = src("orders")
+    val statusLit = lit(aliasOf(oSrc, "o_orderstatus"))
+    val prioLit = lit(aliasOf(oSrc, "o_orderpriority"))
+    val (tpLo, tpHi) = minMax(oSrc, "o_totalprice")
+    // date envelopes as (min-date string, inclusive day span) — kept
+    // off Row.getTimestamp so the java8-time collect types don't bite
+    def dateEnvelope(df: DataFrame, c: String): (String, Long) = {
+      val r = df.agg(date_format(min(col(c)), "yyyy-MM-dd").as("mn"),
+        (datediff(max(col(c)), min(col(c))) + 1).cast("long").as("days"))
+        .head()
+      (r.getString(0), r.getLong(1))
+    }
+    val (oMinD, oDays) = dateEnvelope(oSrc, "o_orderdate")
+    def orderDate(key: org.apache.spark.sql.Column) =
+      (to_date(lit(oMinD)) + make_dt_interval(
+        pmod(xxhash64(lit(seed), lit("odt"), key), lit(oDays))))
+        .cast("timestamp")
+    spark.range(nOrd).toDF("o_orderkey")
+      .withColumn("o_custkey",
+        pmod(xxhash64(lit(seed), lit("ocust"), col("o_orderkey")), lit(nCust)))
+      .withColumn("o_orderstatus",
+        element_at(statusLit, slot(seed, "ost", col("o_orderkey"))))
+      .withColumn("o_totalprice",
+        money(seed, "otp", tpLo, tpHi, col("o_orderkey")))
+      .withColumn("o_orderdate", orderDate(col("o_orderkey")))
+      .withColumn("o_orderpriority",
+        element_at(prioLit, slot(seed, "opr", col("o_orderkey"))))
+      .transform(aligned(_, "orders"))
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
+    val lSrc = src("lineitem")
+    // lines-per-order histogram of the source, alias-sampled per order
+    val perOrderLit = lit(aliasSlots(
+      lSrc.groupBy("l_orderkey").count()
+        .groupBy("count").count().orderBy("count").collect()
+        .map(r => (r.getLong(0).toInt, r.getLong(1))).toSeq, Slots))
+    // joint (returnflag, linestatus) mix — sampled as one packed value
+    val rflsLit = lit(aliasSlots(
+      lSrc.groupBy("l_returnflag", "l_linestatus").count()
+        .orderBy("l_returnflag", "l_linestatus").collect()
+        .map(r => (r.getString(0) + r.getString(1), r.getLong(2))).toSeq,
+      Slots))
+    val (lMinD, lDays) = dateEnvelope(lSrc, "l_shipdate")
+    val discLit = lit(lSrc.select("l_discount").distinct()
+      .orderBy("l_discount").collect().map(_.getDouble(0)))
+    val taxLit = lit(lSrc.select("l_tax").distinct()
+      .orderBy("l_tax").collect().map(_.getDouble(0)))
+    val (qLo, qHi) = minMax(lSrc, "l_quantity")
+    // extendedprice ≈ quantity × hash-uniform unit price: reproduces
+    // the source envelope [qLo·unit_lo, qHi·unit_hi] exactly
+    val (epLo, epHi) = minMax(lSrc, "l_extendedprice")
+    val (unitLo, unitHi) = (epLo / qLo, epHi / qHi)
+    val ln = col("l_linenumber")
+    spark.range(nOrd).toDF("l_orderkey")
+      .withColumn("l_linenumber", explode(sequence(lit(1),
+        element_at(perOrderLit, slot(seed, "lcnt", col("l_orderkey"))))))
+      .withColumn("l_partkey",
+        pmod(xxhash64(lit(seed), lit("lpart"), col("l_orderkey"), ln),
+          lit(nPart)))
+      .withColumn("l_suppkey",
+        pmod(xxhash64(lit(seed), lit("lsupp"), col("l_orderkey"), ln),
+          lit(nSupp)))
+      .withColumn("l_quantity",
+        (pmod(xxhash64(lit(seed), lit("lqty"), col("l_orderkey"), ln),
+          lit((qHi - qLo + 1).toLong)) + qLo).cast("double"))
+      .withColumn("l_extendedprice", round(col("l_quantity") *
+        (lit(unitLo) + unif01(seed, "lep", col("l_orderkey"), ln) *
+          (unitHi - unitLo)), 2))
+      .withColumn("l_discount", element_at(discLit,
+        (pmod(xxhash64(lit(seed), lit("ldsc"), col("l_orderkey"), ln),
+          size(discLit).cast("long")) + 1).cast("int")))
+      .withColumn("l_tax", element_at(taxLit,
+        (pmod(xxhash64(lit(seed), lit("ltax"), col("l_orderkey"), ln),
+          size(taxLit).cast("long")) + 1).cast("int")))
+      .withColumn("rfls", element_at(rflsLit,
+        slot(seed, "lrf", col("l_orderkey"), ln)))
+      .withColumn("l_returnflag", substring(col("rfls"), 1, 1))
+      .withColumn("l_linestatus", substring(col("rfls"), 2, 1))
+      .withColumn("l_shipdate",
+        (to_date(lit(lMinD)) + make_dt_interval(
+          pmod(xxhash64(lit(seed), lit("lsd"), col("l_orderkey"), ln),
+            lit(lDays)))).cast("timestamp"))
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .transform(aligned(_, "lineitem"))
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    val eSrc = src("events")
+    val nEvents = eSrc.count() * mult
+    val nUsers = (eSrc.agg(max("user_id")).head().getLong(0) + 1) * mult
+    val etypeLit = lit(aliasOf(eSrc, "event_type"))
+    val (vLo, vHi) = minMax(eSrc, "value")
+    val eTs = eSrc.agg(
+      unix_micros(min(col("ts")).cast("timestamp")).as("mn"),
+      unix_micros(max(col("ts")).cast("timestamp")).as("mx")).head()
+    val (baseMicros, spanMicros) = (eTs.getLong(0), eTs.getLong(1) - eTs.getLong(0))
+    val stepMicros = math.max(1L, spanMicros / math.max(1L, nEvents))
+    spark.range(nEvents).toDF("event_id")
+      // ts advances ~monotonically with event_id (the source's shape)
+      // with hash jitter inside each step
+      .withColumn("ts", timestamp_micros(lit(baseMicros) +
+        col("event_id") * stepMicros +
+        pmod(xxhash64(lit(seed), lit("ets"), col("event_id")),
+          lit(stepMicros))))
+      .withColumn("user_id",
+        pmod(xxhash64(lit(seed), lit("eusr"), col("event_id")), lit(nUsers)))
+      .withColumn("event_type",
+        element_at(etypeLit, slot(seed, "ety", col("event_id"))))
+      .withColumn("value", money(seed, "eval", vLo, vHi, col("event_id")))
+      .withColumn("props", format_string("{\"k\": %d}",
+        pmod(xxhash64(lit(seed), lit("eprp"), col("event_id")), lit(100L))))
+      .transform(aligned(_, "events"))
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+  }
+
   /** Write a scaled fixture dir: documents + embeddings at `mult`× the
-    * row counts of `srcDir` (sf0.1 × 10 = the sf1 decade). */
+    * row counts of `srcDir` (sf0.1 × 10 = the sf1 decade), plus — when
+    * the source dir carries them — the full relational side via
+    * [[writeScaledRelational]]. */
   def writeScaled(spark: SparkSession, srcDir: String, outDir: String,
       mult: Int, seed: Long = 61): Unit = {
+    val srcEmb = spark.read.parquet(s"$srcDir/embeddings.parquet")
     val nDocs = spark.read.parquet(s"$srcDir/documents.parquet").count() * mult
-    val nVecs = spark.read.parquet(s"$srcDir/embeddings.parquet").count() * mult
+    val nVecs = srcEmb.count() * mult
+    // derive the embedding dim from the source fixture, never assume
+    val dim = srcEmb.select(size(col("embedding"))).head().getInt(0)
     documents(spark, srcDir, nDocs, seed)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    embeddings(spark, nVecs, seed = seed)
+    embeddings(spark, nVecs, dim = dim, seed = seed)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    if (new java.io.File(s"$srcDir/orders.parquet").exists())
+      writeScaledRelational(spark, srcDir, outDir, mult, seed)
   }
 
   /** CLI: FixtureGen <srcDir> <outDir> <mult>. */
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, outDir, mult) = args.take(3)
+    if (args.length < 3) {
+      System.err.println("usage: FixtureGen <srcDir> <outDir> <mult>")
+      sys.exit(2)
+    }
+    val Array(srcDir, outDir, multStr) = args.take(3)
+    val mult = scala.util.Try(multStr.toInt).toOption
+      .filter(_ >= 1).getOrElse {
+        System.err.println(s"FixtureGen: mult must be a positive int, got '$multStr'")
+        sys.exit(2)
+      }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -145,7 +391,7 @@ object FixtureGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    writeScaled(spark, srcDir, outDir, mult.toInt)
+    writeScaled(spark, srcDir, outDir, mult)
     println(s"[fixturegen] wrote ${mult}x of $srcDir to $outDir")
     spark.stop()
   }

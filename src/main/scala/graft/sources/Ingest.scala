@@ -129,12 +129,11 @@ object Ingest {
     * tables bucketed the same way on the join key join WITHOUT a
     * shuffle — at 100 TB that is the difference between a map-side
     * sort-merge and re-shuffling both fact tables every query. */
-  def writeBucketedTable(df: org.apache.spark.sql.DataFrame, table: String,
-      bucketCols: Seq[String], numBuckets: Int = 32,
-      sortCols: Seq[String] = Nil): Unit = {
-    val spark = df.sparkSession
-    // true create-or-replace: drop the catalog entry AND any orphaned
-    // warehouse location a previous session left behind
+  /** True create-or-replace for a managed table: drop the catalog
+    * entry AND any orphaned warehouse location a previous session
+    * left behind. */
+  private def dropTableAndLocation(spark: SparkSession,
+      table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val warehouse = new java.net.URI(
       spark.conf.get("spark.sql.warehouse.dir")).getPath
@@ -146,6 +145,12 @@ object Ingest {
       }
       rm(loc)
     }
+  }
+
+  def writeBucketedTable(df: org.apache.spark.sql.DataFrame, table: String,
+      bucketCols: Seq[String], numBuckets: Int = 32,
+      sortCols: Seq[String] = Nil): Unit = {
+    dropTableAndLocation(df.sparkSession, table)
     val w = df.write.format("parquet").mode("overwrite")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     val sorted = if (sortCols.nonEmpty)
@@ -160,21 +165,19 @@ object Ingest {
     * files and scanning the table. */
   def writePartitionedTable(df: org.apache.spark.sql.DataFrame, table: String,
       partitionCols: Seq[String]): Unit = {
-    val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val warehouse = new java.net.URI(
-      spark.conf.get("spark.sql.warehouse.dir")).getPath
-    val loc = new java.io.File(warehouse, table.toLowerCase)
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      rm(loc)
-    }
+    dropTableAndLocation(df.sparkSession, table)
     df.write.format("parquet").mode("overwrite")
       .partitionBy(partitionCols: _*)
       .saveAsTable(table)
+  }
+
+  /** Unbucketed managed table with the same true create-or-replace
+    * semantics — for small metadata frames that ride beside an index
+    * (e.g. a standing LSH index's pinned parameters). */
+  def writeManagedTable(df: org.apache.spark.sql.DataFrame,
+      table: String): Unit = {
+    dropTableAndLocation(df.sparkSession, table)
+    df.write.format("parquet").mode("overwrite").saveAsTable(table)
   }
 
   /** Per-run NDJSON workload-log sink (run_workload.py:66-80): one JSON

@@ -319,6 +319,30 @@ object Streams {
       }
       .start()
 
+  /** Streaming probe of the STANDING sign-LSH embedding index
+    * ([[graft.llm.Dedup.writeCosineIndex]]) — the dense-vector twin of
+    * [[startDedupIndexProbe]]: each micro-batch of exploded micro-int
+    * elements (id, i, e_micro) is projected under the parameters
+    * pinned in `<prefix>_meta` and probed against the stored
+    * `<prefix>_buckets` / `<prefix>_elems` tables via foreachBatch.
+    * Candidates are strictly old×new and each pair's exact-cosine
+    * verify consults only that pair's element rows, so the union of
+    * per-batch outputs over ANY micro-batch split equals
+    * [[graft.llm.Dedup.cosineNearDupPairsFromIndex]] over the whole
+    * ingest at once (StreamsSpec-pinned). Same idempotent batch_id
+    * partition-overwrite sink as the lexical probe. */
+  def startCosineIndexProbe(elems: DataFrame, prefix: String,
+      outPath: String, checkpoint: String, threshold: Double = 0.9) =
+    elems.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchIdempotent(
+          graft.llm.Dedup.cosineNearDupPairsFromIndex(prefix, batch,
+            threshold),
+          batchId, outPath)
+      }
+      .start()
+
   /** Idempotent micro-batch sink (the foreachBatch exactly-once
     * pattern for plain parquet): each batch lands in its own
     * `batch_id=N` directory with dynamic partition overwrite, so a

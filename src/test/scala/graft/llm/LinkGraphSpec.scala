@@ -145,6 +145,33 @@ class LinkGraphSpec extends SparkSpec {
     assert(math.abs(got.values.map(_._1).sum - 1000000L) <= 5)
   }
 
+  test("HITS convergence report: decaying half-step deltas, early stop == fixed-count") {
+    import spark.implicits._
+    val edges = Seq(("s1", "d1", 1L), ("s1", "d2", 2L), ("s2", "d1", 3L),
+      ("s2", "d3", 1L), ("s3", "d2", 5L)).toDF("src", "dst", "w")
+    val (r10, report) = LinkGraph.hitsWithReport(edges, maxIters = 10)
+    assert(report.map(_._1) == (1 to 10), "one (auth, hub) delta row per round")
+    // power iteration toward the principal eigenvectors: the tail
+    // round must move far less than the first on both half-steps
+    assert(report.last._2 < math.max(1L, report.head._2),
+      s"auth deltas not decaying: $report")
+    assert(report.last._2 + report.last._3 <
+      (report.head._2 + report.head._3) / 4, s"no decay visible: $report")
+    // report path == plain fixed-iteration path (wantReport adds
+    // measurement jobs, never different arithmetic)
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m(r10) === m(LinkGraph.hits(edges, 10)))
+    // early stop: a generous tolerance halts before maxIters and the
+    // scores equal the fixed-iteration call at the stop round (the
+    // gated graph_hits key keeps fixed 10 for the CTE oracle)
+    val (rEarly, repEarly) = LinkGraph.hitsWithReport(
+      edges, maxIters = 50, tolMicro = 20000L)
+    assert(repEarly.size < 50, s"never converged: ${repEarly.size} rounds")
+    assert(m(rEarly) === m(LinkGraph.hits(edges, repEarly.size)),
+      "early-stopped scores = fixed-iteration scores at the stop round")
+  }
+
   test("graph_hits fixture key returns every node once, totally ordered") {
     val r = LinkGraph.queries("graph_hits")(spark, sfCorrect).collect()
     val nodes = LinkGraph.fixtureEdges(spark, sfCorrect)

@@ -429,6 +429,31 @@ class LlmSpec extends SparkSpec {
     assert(all.nonEmpty)
     assert(toSet(Dedup.cosineNearDupPairs(elems, 0.9, nBands = 8,
       bitsPerBand = 12)) === all)
+    // DEFAULTS ARE CORPUS-SIZED (r7): the no-param call resolves its
+    // (bands, bits) through autoSignLshParams and must equal the
+    // explicitly-sized call — a caller taking defaults gets the sized
+    // curve, never the r6-measured quadratic fixed-4×8 one
+    val auto = Dedup.autoSignLshParams(elems)
+    assert(auto === Dedup.scaledSignLshParams(
+      elems.select("id").distinct().count()))
+    assert(toSet(Dedup.cosineNearDupPairs(elems, 0.9)) ===
+      toSet(Dedup.cosineNearDupPairs(elems, 0.9, auto._1, auto._2)))
+    // auto-resolution departs from (4, 8) once the corpus outgrows the
+    // 256-bucket bands — pinned on a synthetic 20k-id element frame
+    val big = spark.range(20000).select(col("id"), lit(1L).as("i"),
+      lit(0L).as("e_micro"))
+    assert(Dedup.autoSignLshParams(big) === (8, 12))
+  }
+
+  test("simHashNearDups production entry == 64-bit banded pair search") {
+    val corpus = Dedup.fixtureCorpus(
+      graft.Tables.load(spark, sfSmoke, "documents").filter(col("doc_id") < 60))
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaEntry = toSet(Dedup.simHashNearDups(corpus))
+    val composed = toSet(Dedup.simHashNearPairs64(Dedup.simHash64Xx(corpus)))
+    assert(viaEntry.nonEmpty)
+    assert(viaEntry === composed)
   }
 
   test("64-bit SimHash: pairs equal the brute-force hamming filter; copies collide") {
@@ -813,6 +838,24 @@ class LlmSpec extends SparkSpec {
     assert(r1.toSeq === run().toSeq, "PQ search must be deterministic")
   }
 
+  test("trainPqCodebooks: hash-capped sample path is deterministic and full-shape") {
+    import spark.implicits._
+    // 9000 vectors > the 4096 cap — the deterministic xxhash64 sample
+    // and the concurrent per-subspace fits are both on this path
+    val corpus = spark.range(9000).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), i -> cast(sin(id * 0.7 + i) as double))")
+        .as("embedding"))
+    def run() = Similarity.trainPqCodebooks(corpus, m = 4, k = 8)
+      .orderBy("sub", "code").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+    val cb = run()
+    assert(cb.length === 4 * 8, "k codewords per subspace")
+    assert(cb.map(_._1).distinct.sorted.toSeq === Seq(0, 1, 2, 3))
+    cb.foreach { case (_, _, e) => assert(e.length === 16) }
+    assert(cb.toSeq === run().toSeq,
+      "sampled codebook training must be reproducible")
+  }
+
   test("bpeEncode: corpus token counts match a driver-side reference encoder") {
     def refMerge(s: Vector[String], a: String, b: String): Vector[String] = {
       val out = Vector.newBuilder[String]
@@ -857,6 +900,55 @@ class LlmSpec extends SparkSpec {
     val kept = TextAnalysis.domainFilter(df, Seq("spam.example.org"))
       .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
     assert(kept.toSeq === Seq(1L, 2L))
+  }
+
+  test("standing cosine index: probe equals whole-frame cross pairs; stored side unshuffled") {
+    import spark.implicits._
+    def vec(seed: Int): Array[Long] =
+      Array.tabulate(8)(i => (((seed * 31 + i * 17) % 2001) - 1000).toLong * 1000L)
+    val old = Seq(1L -> vec(1), 2L -> vec(2), 3L -> vec(3))
+    val batch = Seq(10L -> vec(1).map(_ + 5L), 11L -> vec(9))
+    def elems(rows: Seq[(Long, Array[Long])]) =
+      rows.flatMap { case (id, v) =>
+        v.zipWithIndex.map { case (e, i) => (id, (i + 1).toLong, e) }
+      }.toDF("id", "i", "e_micro")
+    Dedup.writeCosineIndex(elems(old), "cos_idx_t",
+      nBands = 4, bitsPerBand = 8, dims = 8, numBuckets = 8)
+    // parameters are pinned at index time and read back by the probe
+    val meta = spark.table("cos_idx_t_meta").head()
+    assert((meta.getInt(0), meta.getInt(1), meta.getInt(2)) === ((4, 8, 8)))
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaIndex = toSet(Dedup.cosineNearDupPairsFromIndex("cos_idx_t",
+      elems(batch), 0.9).select("id_a", "id_b"))
+    // == the whole-frame pair search restricted to old×batch pairs
+    // (old ids < 10 ≤ batch ids, and pairs are emitted id_a < id_b)
+    val direct = toSet(Dedup.cosineNearDupPairs(elems(old ++ batch), 0.9,
+        nBands = 4, bitsPerBand = 8, dims = 8)
+      .filter(col("id_a") < 10 && col("id_b") >= 10)
+      .select("id_a", "id_b"))
+    assert(viaIndex === direct)
+    assert(viaIndex.contains((1L, 10L)), "near-copy of doc 1 must be found")
+    assert(!viaIndex.exists { case (a, b) => a >= 10 || b < 10 },
+      "probe must emit strictly old×new pairs")
+    // the candidate join must read the stored buckets bucket-aligned:
+    // with broadcast off, the only join-key hash exchange is the
+    // batch side's (the writeDedupIndex single-exchange contract)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val stored = spark.table("cos_idx_t_buckets")
+      val nb = Dedup.signBandBuckets(elems(batch), 4, 8, dims = 8)
+      val joined = stored.as("a").join(nb.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      val plan = joined.queryExecution.executedPlan.toString
+      val nJoinKeyExchanges = "Exchange hashpartitioning\\(band".r
+        .findAllIn(plan).length
+      assert(nJoinKeyExchanges === 1,
+        s"expected only the batch-side join exchange, got $nJoinKeyExchanges:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"stored side must scan bucketed:\n$plan")
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
   test("standing dedup index: probe equals direct incremental; stored side unshuffled") {

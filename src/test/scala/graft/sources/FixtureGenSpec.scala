@@ -58,6 +58,68 @@ class FixtureGenSpec extends SparkSpec {
     assert(lens.getInt(0) >= 10 && lens.getInt(1) <= 100, lens.toString)
   }
 
+  test("relational up-scaler: schemas identical, counts scale, FKs resolve, envelopes hold") {
+    val out = java.nio.file.Files.createTempDirectory("graft_fixgen_rel")
+      .toString
+    FixtureGen.writeScaledRelational(spark, sfSmoke, out, mult = 3)
+    def src(t: String) = spark.read.parquet(s"$sfSmoke/$t.parquet")
+    def gen(t: String) = spark.read.parquet(s"$out/$t.parquet")
+    // schema parity on every table, including pass-through dims
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events").foreach { t =>
+      assert(gen(t).schema.map(f => (f.name, f.dataType)) ==
+        src(t).schema.map(f => (f.name, f.dataType)),
+        s"schema drift in $t: ${gen(t).schema} vs ${src(t).schema}")
+    }
+    // dims copy through; scaled parents multiply exactly; lineitem
+    // multiplies to within the histogram-sampling tolerance
+    assert(gen("region").count() === src("region").count())
+    assert(gen("nation").count() === src("nation").count())
+    Seq("customer", "supplier", "part", "orders", "events").foreach { t =>
+      assert(gen(t).count() === src(t).count() * 3, s"$t count")
+    }
+    val liRatio = gen("lineitem").count().toDouble / src("lineitem").count()
+    assert(math.abs(liRatio - 3.0) < 0.3, s"lineitem ratio $liRatio")
+    // FK discipline: every child key must resolve in the SCALED parent
+    def orphans(child: org.apache.spark.sql.DataFrame, ck: String,
+        parent: org.apache.spark.sql.DataFrame, pk: String) =
+      child.select(col(ck).as("k")).distinct()
+        .join(parent.select(col(pk).as("k")), Seq("k"), "left_anti").count()
+    assert(orphans(gen("orders"), "o_custkey", gen("customer"), "c_custkey") === 0)
+    assert(orphans(gen("lineitem"), "l_orderkey", gen("orders"), "o_orderkey") === 0)
+    assert(orphans(gen("lineitem"), "l_partkey", gen("part"), "p_partkey") === 0)
+    assert(orphans(gen("lineitem"), "l_suppkey", gen("supplier"), "s_suppkey") === 0)
+    assert(orphans(gen("customer"), "c_nationkey", gen("nation"), "n_nationkey") === 0)
+    // FKs actually USE the scaled range (not just the source range):
+    // at mult=3, some o_custkey must land beyond the source max
+    val srcMaxCust = src("customer").agg(max("c_custkey")).head().getLong(0)
+    assert(gen("orders").filter(col("o_custkey") > srcMaxCust).count() > 0,
+      "o_custkey never exceeds the unscaled parent range — FKs not scaled")
+    // value envelopes: dates inside the source envelope, categorical
+    // supports equal
+    val env = src("orders").agg(min("o_orderdate").as("mn"),
+      max("o_orderdate").as("mx"))
+    val outside = gen("orders").crossJoin(env)
+      .filter(col("o_orderdate") < col("mn") ||
+        col("o_orderdate") > col("mx")).count()
+    assert(outside === 0, s"$outside orderdates outside the source envelope")
+    def support(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.select(c).distinct().collect().map(_.get(0).toString).toSet
+    assert(support(gen("orders"), "o_orderstatus") ===
+      support(src("orders"), "o_orderstatus"))
+    assert(support(gen("lineitem"), "l_returnflag") ===
+      support(src("lineitem"), "l_returnflag"))
+    assert(support(gen("events"), "event_type") ===
+      support(src("events"), "event_type"))
+    // per-order line counts stay inside the source histogram support
+    val srcMaxLines = src("lineitem").groupBy("l_orderkey").count()
+      .agg(max("count")).head().getLong(0)
+    val genMaxLines = gen("lineitem").groupBy("l_orderkey").count()
+      .agg(max("count")).head().getLong(0)
+    assert(genMaxLines <= srcMaxLines,
+      s"per-order line count $genMaxLines exceeds source max $srcMaxLines")
+  }
+
   test("embeddings: unit norms, shipped schema, labels 0-9") {
     val shipped = spark.read.parquet(s"$sfCorrect/embeddings.parquet")
     val gen = FixtureGen.embeddings(spark, 1000L)

@@ -760,4 +760,51 @@ class StreamsSpec extends SparkSpec {
       assert(spark.read.parquet(out.toString).count() === 2)
     } finally query.stop()
   }
+
+  test("streaming probe of the standing cosine index equals the batch probe") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.llm.Dedup
+    def vec(seed: Int): Array[Long] =
+      Array.tabulate(8)(i => (((seed * 31 + i * 17) % 2001) - 1000).toLong * 1000L)
+    def rows(vs: Seq[(Long, Array[Long])]): Seq[(Long, Long, Long)] =
+      vs.flatMap { case (id, v) =>
+        v.zipWithIndex.map { case (e, i) => (id, (i + 1).toLong, e) } }
+    val old = Seq(1L -> vec(1), 2L -> vec(2), 3L -> vec(3))
+    Dedup.writeCosineIndex(rows(old).toDF("id", "i", "e_micro"),
+      "stream_cos_idx", nBands = 4, bitsPerBand = 8, dims = 8,
+      numBuckets = 8)
+    // two ingest micro-batches: a near-copy of vector 1, then a
+    // near-copy of vector 3 plus a genuinely new vector
+    val b1 = rows(Seq(10L -> vec(1).map(_ + 5L)))
+    val b2 = rows(Seq(11L -> vec(3).map(_ - 7L), 12L -> vec(9)))
+    val out = java.nio.file.Files.createTempDirectory("graft_cos_probe")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cos_ckpt")
+    val input = MemoryStream[(Long, Long, Long)]
+    val query = Streams.startCosineIndexProbe(
+      input.toDF().toDF("id", "i", "e_micro"), "stream_cos_idx",
+      out.toString, ckpt.toString)
+    try {
+      input.addData(b1: _*); query.processAllAvailable()
+      input.addData(b2: _*); query.processAllAvailable()
+      val streamed = spark.read.parquet(out.toString)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      // union of per-batch probes == one probe of the whole ingest
+      // (candidates are old×new only; the cosine verify is per-pair)
+      val direct = Dedup.cosineNearDupPairsFromIndex("stream_cos_idx",
+          (b1 ++ b2).toDF("id", "i", "e_micro"), 0.9)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(streamed.toSeq === direct.toSeq)
+      assert(streamed.toSeq.contains((1L, 10L)))
+      assert(streamed.toSeq.contains((3L, 11L)))
+      // a crash-replay of batch 0's body cannot duplicate pairs
+      val before = spark.read.parquet(out.toString).count()
+      Streams.writeBatchIdempotent(
+        Dedup.cosineNearDupPairsFromIndex("stream_cos_idx",
+          b1.toDF("id", "i", "e_micro"), 0.9), 0L, out.toString)
+      assert(spark.read.parquet(out.toString).count() === before)
+    } finally query.stop()
+  }
 }
