@@ -891,6 +891,33 @@ object Dedup {
       oldSets.unionByName(shingleSetRows(hashShingles(newSh))), threshold)
   }
 
+  /** Incremental sign-LSH near-dup detection over embeddings — the
+    * dense-vector twin of [[incrementalLshPairs]]: the existing corpus
+    * and the ingest batch are projected under the SAME plane family,
+    * candidates come from the old×new (band, bucket) equi-join ONLY
+    * (never old×old — per-batch candidate work scales with the batch),
+    * and the exact integer cosine kernel verifies each candidate
+    * against the union's element rows. Ids must be disjoint across the
+    * two frames. Parameters ≤ 0 auto-size from the CORPUS side
+    * ([[autoSignLshParams]] — the corpus is what saturates buckets;
+    * the standing-index form pins the same parameters in its `_meta`
+    * table). Output: (id_a = existing, id_b = new, cosine ≥
+    * threshold). Oracle-gated as `dedup_embedding_incremental` (the
+    * all-pairs cross-restricted cosine in DuckDB). */
+  def incrementalCosinePairs(oldElems: DataFrame, newElems: DataFrame,
+      threshold: Double, nBands: Int = 0, bitsPerBand: Int = 0,
+      dims: Int = 64): DataFrame = {
+    val (bands, bits) =
+      if (nBands > 0 && bitsPerBand > 0) (nBands, bitsPerBand)
+      else autoSignLshParams(oldElems)
+    val oldBuckets = signBandBuckets(oldElems, bands, bits, dims)
+    val newBuckets = signBandBuckets(newElems, bands, bits, dims)
+    val candidates = oldBuckets.as("a").join(newBuckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    verifyCosine(candidates, oldElems.unionByName(newElems), threshold)
+  }
+
   /** Persist the STANDING sign-LSH index of a live embedding corpus —
     * the dense-vector twin of [[writeDedupIndex]], so incremental
     * ingest dedup covers embedding near-dups as well as lexical ones.
@@ -1319,7 +1346,10 @@ object Dedup {
         col("hamming").cast("long").as("hamming"))
       .orderBy("id_a", "id_b")
 
-  private def cosineFixturePairs(s: SparkSession, dir: String): DataFrame = {
+  /** Shared cosine fixture: (base corpus elems, planted near-dup
+    * variant elems with ids offset by 10000). */
+  private def cosineFixtureElems(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val base = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 200)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "e")))
       .select(col("vec_id").as("id"), (col("pos") + 1).as("i"),
@@ -1327,10 +1357,25 @@ object Dedup {
     val variants = base.filter(col("id") % 5 === 0)
       .select((col("id") + 10000).as("id"), col("i"),
         (col("e_micro") + lit(10000) * ((col("i") % 3) - 1)).as("e_micro"))
+    (base, variants)
+  }
+
+  private def cosineFixturePairs(s: SparkSession, dir: String): DataFrame = {
+    val (base, variants) = cosineFixtureElems(s, dir)
     // explicit (4, 8): the DuckDB-gated twin pins an exact LSH
     // configuration for bit-parity; the production default auto-sizes
     cosineNearDupPairs(base.unionByName(variants), 0.9,
       nBands = 4, bitsPerBand = 8)
+  }
+
+  /** Incremental dense dedup gate: the base fixture embeddings are the
+    * standing corpus, the planted variants the ingest batch — the
+    * old×new candidate join only; the DuckDB twin is the exact
+    * cross-restricted all-pairs cosine over the same union. */
+  private val dedupEmbeddingIncremental: Q = (s, dir) => {
+    val (base, variants) = cosineFixtureElems(s, dir)
+    incrementalCosinePairs(base, variants, 0.9, nBands = 4, bitsPerBand = 8)
+      .orderBy("id_a", "id_b")
   }
 
   private val dedupEmbeddingCosine: Q = (s, dir) =>
@@ -1434,6 +1479,7 @@ object Dedup {
     "dedup_simhash"          -> dedupSimHash,
     "dedup_simhash_pairs"    -> dedupSimHashPairs,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
+    "dedup_embedding_incremental" -> dedupEmbeddingIncremental,
     "dedup_cosine_clusters"  -> dedupCosineClusters,
   )
 
@@ -1688,6 +1734,30 @@ object Dedup {
 
   private val cosineOracleSql: String = cosinePairParts.sql
 
+  /** Cross-restricted twin of [[cosinePairParts]]: same base/variant
+    * CTEs, dots computed ONLY for (existing, ingested) pairs — the
+    * declarative refold of the old×new candidate discipline. */
+  private val cosineIncrementalParts: OracleParts = OracleParts(
+    ctes = """base AS (
+        |  SELECT vec_id AS id, i,
+        |    CAST(ROUND(embedding[i] * 1e6) AS BIGINT) AS e_micro
+        |  FROM embeddings e, generate_series(1, 64) t(i)
+        |  WHERE vec_id < 200),
+        |elems AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT id + 10000, i, e_micro + 10000 * ((i % 3) - 1)
+        |  FROM base WHERE id % 5 = 0),
+        |norms AS (
+        |  SELECT id, SUM(e_micro * e_micro) AS norm2 FROM elems GROUP BY id),
+        |dots AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, SUM(a.e_micro * b.e_micro) AS dot
+        |  FROM elems a JOIN elems b
+        |    ON a.i = b.i AND a.id < 10000 AND b.id >= 10000
+        |  GROUP BY a.id, b.id)""".stripMargin,
+    finalSelect = cosinePairParts.finalSelect,
+    orderBy = "id_a, id_b")
+
   /** Shared CTE chain of the CDC twin: planted prefix-edited
     * revisions, k=9 gram hashes, cut positions (hash ≡ 0 mod 64),
     * span assembly, one row per non-empty chunk. */
@@ -1935,6 +2005,7 @@ object Dedup {
          |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_embedding_cosine" -> cosineOracleSql,
+    "dedup_embedding_incremental" -> cosineIncrementalParts.sql,
 
     "dedup_cosine_clusters" ->
       clustersOverPairOracle(cosinePairParts).sql,

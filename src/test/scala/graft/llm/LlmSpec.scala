@@ -928,6 +928,11 @@ class LlmSpec extends SparkSpec {
       .filter(col("id_a") < 10 && col("id_b") >= 10)
       .select("id_a", "id_b"))
     assert(viaIndex === direct)
+    // and == the table-free direct incremental path (the gated
+    // dedup_embedding_incremental shape)
+    assert(viaIndex === toSet(Dedup.incrementalCosinePairs(elems(old),
+      elems(batch), 0.9, nBands = 4, bitsPerBand = 8, dims = 8)
+      .select("id_a", "id_b")))
     assert(viaIndex.contains((1L, 10L)), "near-copy of doc 1 must be found")
     assert(!viaIndex.exists { case (a, b) => a >= 10 || b < 10 },
       "probe must emit strictly old×new pairs")
