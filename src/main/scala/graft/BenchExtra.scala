@@ -214,6 +214,11 @@ object BenchExtra {
         .select((col("doc_id") + 50000).as("doc_id"), col("text"))
       Dedup.incrementalLshPairsFromIndex("bench_dedup_idx", batch, 0.5)
     }),
+    "bench_qerror_approx_full" -> ((s, dir) =>
+      // production q-error: percentile_approx sketch (bounded
+      // mergeable state) beside the exact-percentile gated twin whose
+      // single global sort buffer is corpus-sized at 100 TB
+      graft.analytics.Metrics.qerrorApprox(s, dir)),
     "bench_containment_full" -> ((s, dir) =>
       // asymmetric containment pairs over the UNclamped dedup corpus
       // at bench SF: same capped candidate join as the jaccard row,

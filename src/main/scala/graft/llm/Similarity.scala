@@ -282,7 +282,9 @@ object Similarity {
     val sample =
       if (n <= cap) corpus
       else {
-        val denom = math.max(1L, n / cap)
+        // ceil division: floor kept up to 2× the cap (n=20k, cap=4096
+        // → denom 4 → ~5k sampled); ceil honors the cap as a cap
+        val denom = (n + cap - 1) / cap
         corpus.filter(pmod(xxhash64(col(idCol)), lit(denom)) === 0)
       }
     val cached = sample.persist()

@@ -7,6 +7,18 @@ import java.nio.file.Files
   * list parsing, row selection, positive masking, metric math. */
 class MetricsSpec extends SparkSpec {
 
+  test("qerrorApprox tracks the exact gated percentiles on the fixture") {
+    import org.apache.spark.sql.functions._
+    val exact = Metrics.queries("metric_qerror")(spark, sfCorrect).head()
+    val approx = Metrics.qerrorApprox(spark, sfCorrect).head()
+    assert(approx.getLong(2) === exact.getLong(2), "same pair count")
+    // sketch rank error at accuracy 10k is far inside 1% on this n
+    Seq(0, 1).foreach { i =>
+      val (e, a) = (exact.getDouble(i), approx.getDouble(i))
+      assert(math.abs(a - e) / e < 0.01, s"col $i: approx $a vs exact $e")
+    }
+  }
+
   test("loadValLists parses stringified lists from a CSV row into (idx, label, pred)") {
     val dir = Files.createTempDirectory("graft_gnn_csv")
     val csv = dir.resolve("test_Baseline_TPCDS.csv")
