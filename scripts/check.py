@@ -3,11 +3,22 @@
 parquet dumps against DuckDB executing oracle_sql.json on the same
 fixture tables, sort columns by name, sort rows, and compare values.
 
-Usage: python3 scripts/check.py <sfDir> <outDir> [name ...]
+Usage: python3 scripts/check.py [--rel-tol=R] <sfDir> <outDir> [name ...]
+
+--rel-tol is for the LARGE-scale sweeps only (the driver's sf0.01 gate
+is exact, and this script stays exact by default): at sf1 magnitudes
+(decimal sums ~4e11) DuckDB's decimal->double conversion lands 1 ULP
+off the correctly-rounded double the JVM produces (verified against
+python Decimal: Spark's cells are the correctly-rounded ones), so a
+rel-tol of 1e-12 admits that conversion artifact while still failing
+any real arithmetic divergence by four orders of magnitude.
 """
 import sys, json, math, glob
 import duckdb
 import pandas as pd
+
+REL_TOL = 0.0
+ABS_TOL = 0.0
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -26,13 +37,29 @@ def cmp_cell(a, b):
             return False, float("inf")
         if isinstance(a, float) and math.isnan(a):
             return True, 0.0
-        eq = (a == b)
-        return eq, abs(float(a) - float(b))
+        d = abs(float(a) - float(b))
+        eq = (a == b) or (REL_TOL > 0 and
+                          d <= REL_TOL * max(abs(float(a)), abs(float(b)))) \
+            or (ABS_TOL > 0 and d <= ABS_TOL)
+        return eq, d
     return a == b, 0.0
 
 def main():
-    sfdir, outdir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    global REL_TOL, ABS_TOL
+    args = []
+    for a in sys.argv[1:]:
+        if a.startswith("--rel-tol="):
+            REL_TOL = float(a.split("=", 1)[1])
+        elif a.startswith("--abs-tol="):
+            # for cancellation shapes (x - global_avg): the oracle
+            # avg's 1-ULP conversion error is a constant ABSOLUTE
+            # offset that dwarfs the relative scale of a near-zero
+            # difference column
+            ABS_TOL = float(a.split("=", 1)[1])
+        else:
+            args.append(a)
+    sfdir, outdir = args[0], args[1]
+    only = set(args[2:])
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
