@@ -89,8 +89,12 @@ object BenchExtra {
       Dedup.nearDupClusters(Dedup.minHashLshPairsXxFromShingles(
         Dedup.charShingles(Dedup.fixtureCorpus(docs(s, dir))), 0.5))),
     "bench_ann_lsh_full" -> ((s, dir) => {
+      // constant query load above sf0.1 (the query-set sizing rule:
+      // a query set growing with the corpus measures query·doc
+      // growth, not corpus scaling) — 40 queries at sf0.1 and beyond
       val e = embs(s, dir)
-      Similarity.lshTopK(e, e.filter(col("vec_id") % 50 === 0), 5)
+      Similarity.lshTopK(e,
+        e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000), 5)
     }),
     "bench_bm25_full" -> ((s, dir) => {
       // THE default BM25 bench (r7 swap): BM25 float path over the
@@ -168,11 +172,13 @@ object BenchExtra {
             lit("FTR "), col("source")).as("text")))),
     "bench_ann_pq_full" -> ((s, dir) => {
       // trained PQ end-to-end over the UNclamped embedding corpus:
-      // per-subspace k-means + one-broadcast-join encode + ADC search
-      // for every 50th vector as query — the compressed-index path
-      // whose corpus side is touched once per stage
+      // per-subspace k-means (√n-capped sample, concurrent fits) +
+      // one-broadcast-join encode + ADC search; query load constant
+      // above sf0.1 (40 queries) per the query-set sizing rule —
+      // the corpus side is what must scale
       val e = embs(s, dir)
-      Similarity.pqSearch(e, e.filter(col("vec_id") % 50 === 0), 5,
+      Similarity.pqSearch(e,
+        e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000), 5,
         kCodes = 16)
     }),
     "bench_substring_spans_full" -> ((s, dir) =>
