@@ -40,7 +40,21 @@ def main() -> None:
     # must be a subset count-wise of the file artifact's.
     parsed = driver.get("parsed") if isinstance(driver.get("parsed"), dict) else driver
     mismatches = []
-    dsf, bsf = parsed.get("sf"), bench.get("sf")
+
+    def norm_sf(v):
+        # Bench historically emitted sf as a float (0.1) or as the fixture
+        # dir path ("/root/testdata/sf0.1"); compare the numeric scale.
+        if isinstance(v, str):
+            import re
+            m = re.search(r"sf([0-9.]+)/?$", v)
+            if m:
+                try:
+                    return float(m.group(1))
+                except ValueError:
+                    return v
+        return float(v) if isinstance(v, (int, float)) else v
+
+    dsf, bsf = norm_sf(parsed.get("sf")), norm_sf(bench.get("sf"))
     if dsf is not None and bsf is not None and dsf != bsf:
         mismatches.append(f"sf mismatch: driver={dsf} bench={bsf}")
     dq = parsed.get("queries")
