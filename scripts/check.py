@@ -3,7 +3,8 @@
 parquet dumps against DuckDB executing oracle_sql.json on the same
 fixture tables, sort columns by name, sort rows, and compare values.
 
-Usage: python3 scripts/check.py [--rel-tol=R] <sfDir> <outDir> [name ...]
+Usage: python3 scripts/check.py [--rel-tol=R] [--abs-tol=A[:name,...]]
+       <sfDir> <outDir> [name ...]
 
 --rel-tol is for the LARGE-scale sweeps only (the driver's sf0.01 gate
 is exact, and this script stays exact by default): at sf1 magnitudes
@@ -19,6 +20,7 @@ import pandas as pd
 
 REL_TOL = 0.0
 ABS_TOL = 0.0
+ABS_TOL_ONLY = None  # set of query names the abs tolerance applies to
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -29,7 +31,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
                         ignore_index=True, na_position="last")
     return df
 
-def cmp_cell(a, b):
+def cmp_cell(a, b, abs_tol=0.0):
     if a is None and b is None:
         return True, 0.0
     if isinstance(a, float) or isinstance(b, float):
@@ -40,12 +42,12 @@ def cmp_cell(a, b):
         d = abs(float(a) - float(b))
         eq = (a == b) or (REL_TOL > 0 and
                           d <= REL_TOL * max(abs(float(a)), abs(float(b)))) \
-            or (ABS_TOL > 0 and d <= ABS_TOL)
+            or (abs_tol > 0 and d <= abs_tol)
         return eq, d
     return a == b, 0.0
 
 def main():
-    global REL_TOL, ABS_TOL
+    global REL_TOL, ABS_TOL, ABS_TOL_ONLY
     args = []
     for a in sys.argv[1:]:
         if a.startswith("--rel-tol="):
@@ -54,8 +56,21 @@ def main():
             # for cancellation shapes (x - global_avg): the oracle
             # avg's 1-ULP conversion error is a constant ABSOLUTE
             # offset that dwarfs the relative scale of a near-zero
-            # difference column
-            ABS_TOL = float(a.split("=", 1)[1])
+            # difference column. Scope it to the named queries
+            # (--abs-tol=1e-9:qA,qB) — applied globally it can mask
+            # genuine divergence in any small-magnitude cell; unscoped
+            # use warns and reports per-query max deltas either way.
+            spec = a.split("=", 1)[1]
+            if ":" in spec:
+                tol, names = spec.split(":", 1)
+                ABS_TOL = float(tol)
+                ABS_TOL_ONLY = set(n for n in names.split(",") if n)
+            else:
+                ABS_TOL = float(spec)
+                print("WARNING: --abs-tol without :name,... applies to "
+                      "EVERY numeric cell of every query — scope it "
+                      "(--abs-tol=1e-9:qname) to keep small-magnitude "
+                      "cells honest", file=sys.stderr)
         else:
             args.append(a)
     sfdir, outdir = args[0], args[1]
@@ -91,11 +106,13 @@ def main():
         if len(got) != len(exp):
             print(f"FAIL {name}: rows spark={len(got)} duck={len(exp)}")
             n_fail += 1; continue
+        q_abs_tol = ABS_TOL if (ABS_TOL_ONLY is None
+                                or name in ABS_TOL_ONLY) else 0.0
         bad = 0; maxdiff = 0.0; first = None
         ga, ea = got.to_numpy(), exp.to_numpy()
         for i in range(len(got)):
             for j in range(len(got.columns)):
-                ok, d = cmp_cell(ga[i][j], ea[i][j])
+                ok, d = cmp_cell(ga[i][j], ea[i][j], q_abs_tol)
                 maxdiff = max(maxdiff, d if d != float("inf") else 0)
                 if not ok:
                     bad += 1
@@ -105,7 +122,12 @@ def main():
             print(f"FAIL {name}: {bad} cells differ, first={first}, maxfloatdiff={maxdiff:.3g}")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(got)} rows)")
+            # keep tolerance-masked deltas visible (r7 ADVICE): report
+            # the max float delta whenever a tolerance admitted cells
+            tol_note = (f" (maxfloatdiff={maxdiff:.3g} under tol)"
+                        if maxdiff > 0 and (REL_TOL > 0 or q_abs_tol > 0)
+                        else "")
+            print(f"PASS {name} ({len(got)} rows){tol_note}")
             n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)

@@ -35,6 +35,21 @@ def main() -> None:
                  for b1, b2 in zip(vals, vals[1:])]
         print(f"{b:14s} " + " -> ".join(str(v) for v in vals) +
               "   steps " + str(steps))
+    # Workload-revision guard: a key that keeps its name but changes
+    # workload (clamped query set, fixed probe batch, ...) is stamped in
+    # the artifact's workload_rev map; legs that disagree — including a
+    # pre-stamp leg missing the field for a later-rev'd key — are two
+    # different workloads and their step ratio is meaningless.
+    rev_keys = set().union(*(d.get("workload_rev", {}) for d in legs))
+    for k in sorted(rev_keys):
+        # rev defaults to 1 for legs that timed the key before stamping
+        # existed; legs that didn't run the key at all don't vote
+        series = [d.get("workload_rev", {}).get(k, 1)
+                  for d in legs if k in d.get("queries", {})]
+        if len(set(series)) > 1:
+            print(f"WARNING: {k} straddles a workload-semantics change "
+                  f"(revs {series}) — step ratios mix two workloads",
+                  file=sys.stderr)
     qs = [d.get("queries", {}) for d in legs]
     common = set(qs[0])
     for q in qs[1:]:

@@ -57,6 +57,12 @@ def main() -> None:
     dsf, bsf = norm_sf(parsed.get("sf")), norm_sf(bench.get("sf"))
     if dsf is not None and bsf is not None and dsf != bsf:
         mismatches.append(f"sf mismatch: driver={dsf} bench={bsf}")
+    # run-identity nonce (both sides emit it since r8): the strongest
+    # same-run signal — a stale bench file with equal sf and query
+    # count previously folded silently
+    drid, brid = parsed.get("run_id"), bench.get("run_id")
+    if drid is not None and brid is not None and drid != brid:
+        mismatches.append(f"run_id mismatch: driver={drid} bench={brid}")
     dq = parsed.get("queries")
     if isinstance(dq, dict) and len(dq) > len(bench.get("queries", {})):
         mismatches.append(

@@ -191,8 +191,14 @@ object Bench {
     // FINAL line must stay well under the window: summary totals + the
     // 20 slowest queries only.
     println(s"""{"metric":"per_query_full","queries":${dict(corrected)},"sf":"$sfDir"}""")
+    // per-run nonce: fold_bench.py refuses to fold a driver record and
+    // a target/bench.json from DIFFERENT runs (a stale file with equal
+    // sf and query count previously folded silently — r7 ADVICE); the
+    // nonce rides the short final stdout line so it survives the
+    // driver's tail truncation
+    val runId = System.currentTimeMillis()
     val slowest = corrected.sortBy(-_._2).take(20).sortBy(_._1)
-    val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","oracle_total":${r3(oracleTotal)},"core_total":${r3(coreTotal)},"tpcds_total":${r3(tpcdsTotal)},"curate_total":${r3(curateTotal)},"llm_total":${r3(llmTotal)},"extra_total":${r3(total - oracleTotal)},"n_queries":${corrected.size},"n_failed":${corrected.count(_._2 < 0)},"n_retimed":${outliers.size},"calibration_s":${r3(calibrationS)},"calibration_end_s":${r3(calibrationEndS)},"calibration_max_s":${r3(calibrationMaxS)},"n_probes":${probes.size},"host_load_factor":${r3(hostLoadFactor2)},"queries":${dict(slowest)},"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","oracle_total":${r3(oracleTotal)},"core_total":${r3(coreTotal)},"tpcds_total":${r3(tpcdsTotal)},"curate_total":${r3(curateTotal)},"llm_total":${r3(llmTotal)},"extra_total":${r3(total - oracleTotal)},"n_queries":${corrected.size},"n_failed":${corrected.count(_._2 < 0)},"n_retimed":${outliers.size},"calibration_s":${r3(calibrationS)},"calibration_end_s":${r3(calibrationEndS)},"calibration_max_s":${r3(calibrationMaxS)},"n_probes":${probes.size},"host_load_factor":${r3(hostLoadFactor2)},"run_id":$runId,"queries":${dict(slowest)},"sf":"$sfDir"}"""
     println(summary)
     // Machine-diffable artifact: the FULL summary (totals, every probe,
     // the complete per-query map — not just the 20 slowest) at a stable
@@ -202,7 +208,13 @@ object Bench {
     val outlierJson = outliers.map { case (k, (f, rt, w)) =>
       s"\"" + k + s"\":{\"first\":${r3(f)},\"retime\":${r3(rt)},\"warmup\":${r3(w)}}"
     }.mkString("{", ",", "}")
-    val fileJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","oracle_total":${r3(oracleTotal)},"core_total":${r3(coreTotal)},"tpcds_total":${r3(tpcdsTotal)},"curate_total":${r3(curateTotal)},"llm_total":${r3(llmTotal)},"extra_total":${r3(total - oracleTotal)},"n_queries":${corrected.size},"n_failed":${corrected.count(_._2 < 0)},"n_retimed":${outliers.size},"outliers":$outlierJson,"calibration_s":${r3(calibrationS)},"calibration_end_s":${r3(calibrationEndS)},"calibration_max_s":${r3(calibrationMaxS)},"n_probes":${probes.size},"probes":[${probes.map(r3).mkString(",")}],"host_load_factor":${r3(hostLoadFactor2)},"queries":${dict(corrected)},"sf":"$sfDir"}"""
+    // workload_rev: only keys actually in this run, so curve.py can
+    // detect legs straddling a documented key-semantics change
+    val revJson = BenchExtra.workloadRev.toSeq.sortBy(_._1)
+      .filter { case (k, _) => corrected.exists(_._1 == k) }
+      .map { case (k, v) => s"\"" + k + s"\":$v" }
+      .mkString("{", ",", "}")
+    val fileJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","oracle_total":${r3(oracleTotal)},"core_total":${r3(coreTotal)},"tpcds_total":${r3(tpcdsTotal)},"curate_total":${r3(curateTotal)},"llm_total":${r3(llmTotal)},"extra_total":${r3(total - oracleTotal)},"n_queries":${corrected.size},"n_failed":${corrected.count(_._2 < 0)},"n_retimed":${outliers.size},"outliers":$outlierJson,"calibration_s":${r3(calibrationS)},"calibration_end_s":${r3(calibrationEndS)},"calibration_max_s":${r3(calibrationMaxS)},"n_probes":${probes.size},"probes":[${probes.map(r3).mkString(",")}],"host_load_factor":${r3(hostLoadFactor2)},"workload_rev":$revJson,"run_id":$runId,"queries":${dict(corrected)},"sf":"$sfDir"}"""
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
     Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))

@@ -14,10 +14,60 @@ import graft.llm.{Dedup, Retrieval, Similarity}
 object BenchExtra {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Per-key workload revision, bumped whenever a key KEEPS its name
+    * but changes workload (the r7 ADVICE item: curve.py comparing legs
+    * across such a boundary under one key silently mixes two different
+    * workloads). Keys absent here are rev 1. Bench emits this as
+    * `workload_rev` in target/bench.json; curve.py warns when legs
+    * disagree. History:
+    *  - r7: bench_bm25_full grow-with-corpus → constant 50 queries;
+    *    bench_ann_lsh_full / bench_ann_pq_full → constant 40 queries;
+    *    retrieval_bm25_topk / retrieval_pipeline_e2e fixture query
+    *    load clamped to 50 above sf0.1.
+    *  - r8: bench_incremental_full / bench_index_probe_full probe
+    *    batch clamped to 5k docs AND re-keyed by a corpus-derived
+    *    disjoint offset (the +50000 id collision at sf10). */
+  val workloadRev: Map[String, Int] = Map(
+    "bench_bm25_full" -> 2,
+    "bench_ann_lsh_full" -> 2,
+    "bench_ann_pq_full" -> 2,
+    "retrieval_bm25_topk" -> 2,
+    "retrieval_pipeline_e2e" -> 2,
+    "bench_incremental_full" -> 2,
+    "bench_index_probe_full" -> 2,
+  )
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
+
+  /** Probe batch for the incremental-dedup bench rows, clamped to a
+    * CONSTANT size above sf0.1 (every 10th doc among the first 50,000
+    * ids → 5,000 docs; the r7 query-set sizing rule: a probe batch
+    * growing with the corpus measures batch×corpus growth — r7's
+    * sf1→sf10 step read 20.9× and looked like a scaling defect) and
+    * re-keyed past the corpus id space by a corpus-derived offset.
+    * The r7-era fixed `doc_id + 50000` offset COLLIDED at sf ≥ 10
+    * (corpus ids 0–499,999 vs batch ids 50,000–549,999), silently
+    * violating the incremental operators' id-disjointness contract
+    * (Dedup.incrementalLshPairs doc) and corrupting the verify stage,
+    * which unions element rows of two different documents under one
+    * id. The offset is now max(doc_id)+1 — disjoint at every sf by
+    * construction, and asserted here rather than assumed. */
+  private def disjointProbeBatch(corpus: DataFrame,
+      clamp: Boolean = true): DataFrame = {
+    val maxId = corpus.agg(max("doc_id")).head().getLong(0)
+    require(maxId >= 0 && maxId < Long.MaxValue - 600000L,
+      s"probe batch: corpus doc_id range unusable (max=$maxId)")
+    val base =
+      if (clamp) corpus.filter(col("doc_id") % 10 === 0 &&
+        col("doc_id") < 50000)
+      else corpus.filter(col("doc_id") % 10 === 0)
+    // batch ids start at maxId+1 ⇒ min(batch) > max(corpus): disjoint.
+    base.select((col("doc_id") + lit(maxId + 1L)).as("doc_id"),
+      col("text"))
+  }
 
   private def microElems(s: SparkSession, dir: String): DataFrame =
     embs(s, dir)
@@ -193,12 +243,22 @@ object BenchExtra {
       Dedup.removeDuplicatedSpans(Dedup.fixtureCorpus(docs(s, dir)))),
     "bench_incremental_full" -> ((s, dir) => {
       // batch-vs-corpus dedup at bench SF: the full corpus is the
-      // standing side, every 10th doc re-ingested (+50000) as the
-      // batch — candidate work must track the BATCH size
+      // standing side, a CONSTANT 5k-doc batch (disjoint ids — see
+      // disjointProbeBatch) re-ingested as the probe — candidate work
+      // must track the BATCH size, so with the batch fixed the decade
+      // step isolates the corpus side (r8 fixture fix; pre-r8 series
+      // grew the batch with the corpus AND collided ids at sf10)
       val corpus = docs(s, dir).select(col("doc_id"), col("text"))
-      val batch = corpus.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 50000).as("doc_id"), col("text"))
-      Dedup.incrementalLshPairs(corpus, batch, 0.5)
+      Dedup.incrementalLshPairs(corpus, disjointProbeBatch(corpus), 0.5)
+    }),
+    "bench_incremental_growbatch_full" -> ((s, dir) => {
+      // growing-batch contrast row (every 10th doc of the WHOLE
+      // corpus): measures batch×corpus candidate growth — its decade
+      // step is NOT corpus scaling (the bench_bm25_growq_full
+      // precedent); the clamped default above isolates the corpus side
+      val corpus = docs(s, dir).select(col("doc_id"), col("text"))
+      Dedup.incrementalLshPairs(corpus,
+        disjointProbeBatch(corpus, clamp = false), 0.5)
     }),
     "bench_bpe_encode_full" -> ((s, dir) => {
       // tokenizer train + apply at bench SF: 8 merge rounds over the
@@ -211,14 +271,29 @@ object BenchExtra {
     }),
     "bench_index_probe_full" -> ((s, dir) => {
       // standing-index probe at bench SF: the full corpus signed and
-      // STORED once (cost included here), then every 10th doc
-      // re-ingested as the probing batch — the steady-state cost is
-      // the probe side only (see LlmSpec's single-exchange plan pin)
+      // STORED once (cost included here — linear by design), then a
+      // CONSTANT 5k-doc disjoint-id batch probes it — the steady-state
+      // cost is the probe side only (see LlmSpec's single-exchange
+      // plan pin); with the batch fixed, the decade step above the
+      // index write isolates corpus-side scaling (r8 fixture fix)
       val corpus = docs(s, dir).select(col("doc_id"), col("text"))
       Dedup.writeDedupIndex(corpus, "bench_dedup_idx")
-      val batch = corpus.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 50000).as("doc_id"), col("text"))
-      Dedup.incrementalLshPairsFromIndex("bench_dedup_idx", batch, 0.5)
+      Dedup.incrementalLshPairsFromIndex("bench_dedup_idx",
+        disjointProbeBatch(corpus), 0.5)
+    }),
+    "bench_hits_report_full" -> ((s, dir) => {
+      // production HITS path: convergence-reported early stop beside
+      // the fixed-10-iteration gated twin (graph_hits) — the report
+      // costs one node-cardinality agg per half-step, and once both
+      // half-step L1 movements settle under tolMicro the remaining
+      // rounds are refunded (the geometric-convergence contract,
+      // LinkGraph.hitsWithReport doc); tolMicro 20000 micro = the
+      // LinkGraphSpec early-stop pin
+      val (scores, report) = graft.llm.LinkGraph.hitsWithReport(
+        graft.llm.LinkGraph.fixtureEdges(s, dir), maxIters = 10,
+        tolMicro = 20000L)
+      require(report.nonEmpty, "bench_hits_report_full: empty report")
+      scores
     }),
     "bench_qerror_approx_full" -> ((s, dir) =>
       // production q-error: percentile_approx sketch (bounded

@@ -282,8 +282,14 @@ object Similarity {
     val sample =
       if (n <= cap) corpus
       else {
-        // ceil division: floor kept up to 2× the cap (n=20k, cap=4096
-        // → denom 4 → ~5k sampled); ceil honors the cap as a cap
+        // ceil division so the EXPECTED sample size n/denom never
+        // exceeds the cap (n=20k, cap=4096 → denom 5 → ~4k expected;
+        // floor division would give denom 4 → ~5k, over the cap). The
+        // hash sample is expected-size, not exact: n/denom can
+        // undershoot the cap by up to ~2× just above a denom boundary
+        // (n=5000, cap=4096 → denom 2 → ~2.5k) — the cap is an
+        // expected UPPER bound on sample size, not a target (fine for
+        // k ≤ 16 codebook fits, which need hundreds of points).
         val denom = (n + cap - 1) / cap
         corpus.filter(pmod(xxhash64(col(idCol)), lit(denom)) === 0)
       }

@@ -133,10 +133,16 @@ object FixtureGen {
     (pmod(xxhash64((lit(seed) +: lit(tag) +: id +: extra): _*), lit(M))
       .cast("double") + 0.5) / M.toDouble
 
-  /** Hash-uniform money in [lo, hi], 2 decimal places. */
+  /** Hash-uniform money in [lo, hi], 2 decimal places. Clamped AFTER
+    * rounding: when the source envelope is not 2-decimal aligned,
+    * round(lo + u·(hi−lo), 2) can step outside [lo, hi] (e.g. lo=1.004
+    * rounds draws near lo down to 1.00) — the shipped fixtures are
+    * aligned so the clamp is a no-op there, but the generator must be
+    * envelope-safe for arbitrary sources (r7 ADVICE). */
   private def money(seed: Long, tag: String, lo: Double, hi: Double,
       id: org.apache.spark.sql.Column, extra: org.apache.spark.sql.Column*) =
-    round(lit(lo) + unif01(seed, tag, id, extra: _*) * (hi - lo), 2)
+    least(lit(hi), greatest(lit(lo),
+      round(lit(lo) + unif01(seed, tag, id, extra: _*) * (hi - lo), 2)))
 
   /** Scaled TPC-H-ish relational tables — the decade step for the SQL
     * side (the reference's whole published baseline is TPC-DS at
@@ -240,19 +246,25 @@ object FixtureGen {
     val statusLit = lit(aliasOf(oSrc, "o_orderstatus"))
     val prioLit = lit(aliasOf(oSrc, "o_orderpriority"))
     val (tpLo, tpHi) = minMax(oSrc, "o_totalprice")
-    // date envelopes as (min-date string, inclusive day span) — kept
-    // off Row.getTimestamp so the java8-time collect types don't bite
-    def dateEnvelope(df: DataFrame, c: String): (String, Long) = {
-      val r = df.agg(date_format(min(col(c)), "yyyy-MM-dd").as("mn"),
-        (datediff(max(col(c)), min(col(c))) + 1).cast("long").as("days"))
-        .head()
-      (r.getString(0), r.getLong(1))
+    // date envelopes as (min epoch-micros, inclusive day span) over the
+    // FULL timestamp — a date-floored base precedes the source min when
+    // source timestamps carry time-of-day (r7 ADVICE; the shipped
+    // fixtures are midnight-aligned so values are unchanged), and the
+    // span is sized so base + (days−1)·1d never exceeds the source max.
+    // Kept off Row.getTimestamp so the java8-time collect types don't
+    // bite.
+    val MicrosPerDay = 86400000000L
+    def dateEnvelope(df: DataFrame, c: String): (Long, Long) = {
+      val r = df.agg(
+        unix_micros(min(col(c)).cast("timestamp")).as("mn"),
+        unix_micros(max(col(c)).cast("timestamp")).as("mx")).head()
+      (r.getLong(0), (r.getLong(1) - r.getLong(0)) / MicrosPerDay + 1)
     }
-    val (oMinD, oDays) = dateEnvelope(oSrc, "o_orderdate")
+    val (oMinMicros, oDays) = dateEnvelope(oSrc, "o_orderdate")
     def orderDate(key: org.apache.spark.sql.Column) =
-      (to_date(lit(oMinD)) + make_dt_interval(
-        pmod(xxhash64(lit(seed), lit("odt"), key), lit(oDays))))
-        .cast("timestamp")
+      timestamp_micros(lit(oMinMicros) +
+        pmod(xxhash64(lit(seed), lit("odt"), key), lit(oDays)) *
+          MicrosPerDay)
     spark.range(nOrd).toDF("o_orderkey")
       .withColumn("o_custkey",
         pmod(xxhash64(lit(seed), lit("ocust"), col("o_orderkey")), lit(nCust)))
@@ -278,7 +290,7 @@ object FixtureGen {
         .orderBy("l_returnflag", "l_linestatus").collect()
         .map(r => (r.getString(0) + r.getString(1), r.getLong(2))).toSeq,
       Slots))
-    val (lMinD, lDays) = dateEnvelope(lSrc, "l_shipdate")
+    val (lMinMicros, lDays) = dateEnvelope(lSrc, "l_shipdate")
     val discLit = lit(lSrc.select("l_discount").distinct()
       .orderBy("l_discount").collect().map(_.getDouble(0)))
     val taxLit = lit(lSrc.select("l_tax").distinct()
@@ -315,9 +327,9 @@ object FixtureGen {
       .withColumn("l_returnflag", substring(col("rfls"), 1, 1))
       .withColumn("l_linestatus", substring(col("rfls"), 2, 1))
       .withColumn("l_shipdate",
-        (to_date(lit(lMinD)) + make_dt_interval(
+        timestamp_micros(lit(lMinMicros) +
           pmod(xxhash64(lit(seed), lit("lsd"), col("l_orderkey"), ln),
-            lit(lDays)))).cast("timestamp"))
+            lit(lDays)) * MicrosPerDay))
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
         "l_returnflag", "l_linestatus", "l_shipdate")

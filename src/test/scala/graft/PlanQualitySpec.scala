@@ -21,7 +21,6 @@ class PlanQualitySpec extends SparkSpec {
     "config_delta",          // two one-row config aggregates compared
     "sched_realised_carbon", // one-row schedule summary x prefix frame
     "uncorrelated_scalar_subquery", // one-row aggregate attached to the fact
-    "tpcds_q88_band_counts", // 8-way cross of one-row COUNT aggregates
     "tpcds_q28_band_probes", // 6 one-row band probes cross-joined
     "tpcds_q61_promo_ratio", // promo/total: two one-row aggregates crossed
     "curate_mix_temperature", // one-row pow-sum normalizer crossed onto per-domain counts
@@ -106,7 +105,9 @@ class PlanQualitySpec extends SparkSpec {
     *  - INTERSECT / UNION channel stacks the reference also rescans
     *    per arm: q5 q9 q10 q73 q43
     *  - scalar-subquery stacks and band probes over one fact (TPC-DS
-    *    q9/q28/q88): q6 q7 q65
+    *    q9/q28): q6 q65 (q7, the q88 shape, was collapsed r8 to
+    *    single-scan conditional aggregation — contiguous disjoint
+    *    bands over one identical join admit the q76-class rewrite)
     *  - dim re-use in a wide star or double geography lookup:
     *    q8 q46 q57
     *  - date-window IN-subquery arms per year (TPC-DS q83):
@@ -118,7 +119,6 @@ class PlanQualitySpec extends SparkSpec {
     "q4"  -> Map("orders" -> 2),
     "q5"  -> Map("orders" -> 5),
     "q6"  -> Map("lineitem" -> 15),
-    "q7"  -> Map("lineitem" -> 8),
     "q8"  -> Map("region" -> 3, "nation" -> 3),
     "q9"  -> Map("orders" -> 3, "lineitem" -> 2),
     "q10" -> Map("part" -> 2, "lineitem" -> 6),

@@ -64,14 +64,21 @@ class TpcdsLikeWorkloadSpec extends SparkSpec {
         finalPlan.take(1500))
   }
 
-  test("q7 (q88-shape cross of counts) pushes quantity filters to the scans") {
+  test("q7 (q88-shape band counts) is a single lineitem scan after the r8 collapse") {
     graft.Tables.registerAll(spark, sfSmoke)
     val plan = planOf("q7")
     assert(plan.contains("PushedFilters: ["), "filters must reach parquet")
     assert(plan.contains("l_quantity"), "quantity range must be pushed")
-    // the 8 one-row counts cross-join for free
-    assert(plan.contains("BroadcastNestedLoopJoin")
-      || plan.contains("CartesianProduct"))
+    // the canon's 8 band subqueries are now conditional aggregates
+    // over ONE scan: exactly one lineitem file scan, no cross product
+    val lineitemScans = "Scan parquet [^\\n]*lineitem".r
+      .findAllIn(plan).size
+    assert(lineitemScans === 1,
+      s"expected a single lineitem scan, found $lineitemScans:\n" +
+        plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("CartesianProduct"),
+      "band counts must not cross-join anymore")
   }
 
   test("q6 (q9-shape) plans all subqueries as reused/independent scalar aggregates") {
