@@ -68,8 +68,19 @@ object Bench {
     // driver passes no args and gets the full suite
     val all: Seq[(String, (SparkSession, String) => DataFrame)] =
       (SparkEntry.queries ++ BenchExtra.queries).toSeq.sortBy(_._1)
-    val suite = if (args.isEmpty) all
-      else all.filter { case (k, _) => args.contains(k) }
+    // SPARK_GRAFT_BENCH_EXCLUDE: comma-separated keys to drop — used
+    // by the scaling-curve legs to skip the growing-load CONTRAST rows
+    // (bench_bm25_growq_full, bench_incremental_growbatch_full) at
+    // sf ≥ 10 where they measure load growth, not corpus scaling, at
+    // tens of minutes apiece. Exclusions are logged (no silent caps).
+    val excluded = sys.env.get("SPARK_GRAFT_BENCH_EXCLUDE")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    excluded.toSeq.sorted.foreach(k =>
+      Console.err.println(s"[bench] EXCLUDED by env: $k"))
+    val included = all.filterNot { case (k, _) => excluded.contains(k) }
+    val suite = if (args.isEmpty) included
+      else included.filter { case (k, _) => args.contains(k) }
     // Warmup pass: every query end-to-end once, so the timed pass
     // measures the plan, not first-use JVM costs. Run it in REVERSE
     // suite order: with ~10 min between a query's warmup and its

@@ -25,8 +25,13 @@ object BenchExtra {
     *    retrieval_bm25_topk / retrieval_pipeline_e2e fixture query
     *    load clamped to 50 above sf0.1.
     *  - r8: bench_incremental_full / bench_index_probe_full probe
-    *    batch clamped to 5k docs AND re-keyed by a corpus-derived
-    *    disjoint offset (the +50000 id collision at sf10). */
+    *    batch clamped to a constant 500 docs AND re-keyed by a
+    *    corpus-derived disjoint offset (the +50000 id collision at
+    *    sf10); all fixtureCorpus-based bench keys moved to
+    *    fixtureCorpusScaled (the +10000/+20000 variant offsets
+    *    collide with base ids at sf ≥ 1 — identical doc sets at
+    *    sf0.1, so that series stays comparable); bench_cdc_full's
+    *    revision offset corpus-derived (+900000 collides at sf ≥ ~18). */
   val workloadRev: Map[String, Int] = Map(
     "bench_bm25_full" -> 2,
     "bench_ann_lsh_full" -> 2,
@@ -35,6 +40,20 @@ object BenchExtra {
     "retrieval_pipeline_e2e" -> 2,
     "bench_incremental_full" -> 2,
     "bench_index_probe_full" -> 2,
+    "bench_minhash_full" -> 2,
+    "bench_minhash_xx_full" -> 2,
+    "bench_minhash_rowlocal_full" -> 2,
+    "bench_minhash_rowlocal_xx_full" -> 2,
+    "bench_simhash_full" -> 2,
+    "bench_simhash_xx_full" -> 2,
+    "bench_simhash64_xx_full" -> 2,
+    "bench_fingerprint_xx_full" -> 2,
+    "bench_jaccard_full" -> 2,
+    "bench_containment_full" -> 2,
+    "bench_clusters_full" -> 2,
+    "bench_substring_spans_full" -> 2,
+    "bench_substring_clean_full" -> 2,
+    "bench_cdc_full" -> 2,
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -43,10 +62,12 @@ object BenchExtra {
     Tables.load(s, dir, "embeddings")
 
   /** Probe batch for the incremental-dedup bench rows, clamped to a
-    * CONSTANT size above sf0.1 (every 10th doc among the first 50,000
-    * ids → 5,000 docs; the r7 query-set sizing rule: a probe batch
-    * growing with the corpus measures batch×corpus growth — r7's
-    * sf1→sf10 step read 20.9× and looked like a scaling defect) and
+    * CONSTANT size from sf0.1 up (every 10th doc among the first
+    * 5,000 ids → 500 docs; a no-op at sf0.1 where the corpus IS 5,000
+    * docs, so the recorded sf0.1 series stays comparable — the r7
+    * query-set sizing rule: a probe batch growing with the corpus
+    * measures batch×corpus growth — r7's sf1→sf10 step read 20.9×
+    * and looked like a scaling defect) and
     * re-keyed past the corpus id space by a corpus-derived offset.
     * The r7-era fixed `doc_id + 50000` offset COLLIDED at sf ≥ 10
     * (corpus ids 0–499,999 vs batch ids 50,000–549,999), silently
@@ -62,7 +83,7 @@ object BenchExtra {
       s"probe batch: corpus doc_id range unusable (max=$maxId)")
     val base =
       if (clamp) corpus.filter(col("doc_id") % 10 === 0 &&
-        col("doc_id") < 50000)
+        col("doc_id") < 5000)
       else corpus.filter(col("doc_id") % 10 === 0)
     // batch ids start at maxId+1 ⇒ min(batch) > max(corpus): disjoint.
     base.select((col("doc_id") + lit(maxId + 1L)).as("doc_id"),
@@ -84,36 +105,37 @@ object BenchExtra {
   val queries: Map[String, Q] = Map(
     "bench_minhash_full" -> ((s, dir) =>
       Dedup.minHashLshPairsFromShingles(
-        Dedup.charShingles(Dedup.fixtureCorpus(docs(s, dir))), 0.5)),
+        Dedup.charShingles(Dedup.fixtureCorpusScaled(docs(s, dir))), 0.5)),
     "bench_minhash_xx_full" -> ((s, dir) =>
       // the production hash family (xxhash64 seeds, no md5 in the
       // per-shingle loop) — same banding + exact verify; the delta vs
       // bench_minhash_full is the md5 portability cost the oracle
       // -verified twin pays
       Dedup.minHashLshPairsXxFromShingles(
-        Dedup.charShingles(Dedup.fixtureCorpus(docs(s, dir))), 0.5)),
+        Dedup.charShingles(Dedup.fixtureCorpusScaled(docs(s, dir))), 0.5)),
     "bench_simhash_full" -> ((s, dir) =>
-      Dedup.simHashNearPairs(Dedup.simHash(Dedup.fixtureCorpus(docs(s, dir))))),
+      Dedup.simHashNearPairs(Dedup.simHash(Dedup.fixtureCorpusScaled(docs(s, dir))))),
     "bench_simhash_xx_full" -> ((s, dir) =>
-      Dedup.simHashNearPairs(Dedup.simHashXx(Dedup.fixtureCorpus(docs(s, dir))))),
+      Dedup.simHashNearPairs(Dedup.simHashXx(Dedup.fixtureCorpusScaled(docs(s, dir))))),
     "bench_fingerprint_xx_full" -> ((s, dir) =>
       // production twin of the core-suite doc_fingerprint (md5 min-
       // shingle + md5Long token hashing stay the oracle-gated forms)
-      Dedup.fixtureCorpus(docs(s, dir)).select(col("doc_id"),
+      Dedup.fixtureCorpusScaled(docs(s, dir)).select(col("doc_id"),
         graft.llm.TextAnalysis.rollingHash(col("text")).as("rolling_hash"),
         graft.llm.TextAnalysis.minShingleFingerprintXx(col("text"))
           .as("min_shingle_xx"))),
     "bench_jaccard_full" -> ((s, dir) =>
       // Measures capped-candidate Jaccard at THE SAME cap the oracle
       // gate verifies (df ≤ 20). The synthetic corpus is heavily
-      // templated — 27k distinct shingles over 1.9M shingle rows at
-      // sf0.1, min df ~40, NO rare tail — so candidate work explodes
-      // super-linearly in the cap (measured upper bounds: 1.0M pairs
-      // at cap 20, 10M at 200, 240M at 500). On such a corpus the df
-      // cap IS the recall/cost knob and MinHash-LSH
-      // (bench_minhash_full) is the production-scale path.
+      // templated (bounded ~32k-shingle vocabulary), so the cap-20
+      // candidate mass is bounded by cap²·|vocab| independent of n
+      // and empirically FALLS with corpus growth (186k pairs at sf1
+      // → 12k at sf10 — BASELINE.md r8 analysis); the decade step is
+      // the linear shingle-mass stages, exactly linear by design. On
+      // such a corpus the df cap IS the recall/cost knob and
+      // MinHash-LSH (bench_minhash_xx_full) is the production path.
       Dedup.jaccardPairs(
-        Dedup.charShingles(Dedup.fixtureCorpus(docs(s, dir))), 0.5,
+        Dedup.charShingles(Dedup.fixtureCorpusScaled(docs(s, dir))), 0.5,
         Dedup.fixtureShingleDfCap)),
     "bench_cosine_full" -> ((s, dir) =>
       // DEFAULT-parameter path: since r7 the defaults auto-size
@@ -128,16 +150,16 @@ object BenchExtra {
       // shuffles (signature agg + verify-set rebuild) the row-local
       // plan removes
       Dedup.minHashLshPairsRowLocal(
-        Dedup.fixtureCorpus(docs(s, dir)), 0.5)),
+        Dedup.fixtureCorpusScaled(docs(s, dir)), 0.5)),
     "bench_minhash_rowlocal_xx_full" -> ((s, dir) =>
       Dedup.minHashLshPairsRowLocal(
-        Dedup.fixtureCorpus(docs(s, dir)), 0.5, xx = true)),
+        Dedup.fixtureCorpusScaled(docs(s, dir)), 0.5, xx = true)),
     "bench_clusters_full" -> ((s, dir) =>
       // connected components over the FULL-corpus xx pair graph — the
       // iterative label-propagation loop measured at bench volume
       // (the oracle key runs it on the clamped fixture only)
       Dedup.nearDupClusters(Dedup.minHashLshPairsXxFromShingles(
-        Dedup.charShingles(Dedup.fixtureCorpus(docs(s, dir))), 0.5))),
+        Dedup.charShingles(Dedup.fixtureCorpusScaled(docs(s, dir))), 0.5))),
     "bench_ann_lsh_full" -> ((s, dir) => {
       // constant query load above sf0.1 (the query-set sizing rule:
       // a query set growing with the corpus measures query·doc
@@ -192,15 +214,20 @@ object BenchExtra {
       // threshold stage must stay corpus-size-independent (its frame
       // is capped by the [0,1e6] score range)
       graft.llm.Curation.perplexityBuckets(docs(s, dir))),
-    "bench_cdc_full" -> ((s, dir) =>
+    "bench_cdc_full" -> ((s, dir) => {
       // content-defined chunking dedup report over the full corpus
       // with every 10th doc re-ingested as a prefix-edited revision:
-      // the row-local chunk pass dominates and must scale linearly
-      Dedup.cdcDedupReport(docs(s, dir)
-        .select(col("doc_id"), col("text"))
-        .unionByName(docs(s, dir).filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 900000).as("doc_id"),
-            concat(lit("REV2 "), col("text")).as("text"))))),
+      // the row-local chunk pass dominates and must scale linearly.
+      // Revision ids are corpus-derived (the old literal +900000
+      // collides with base ids at sf ≥ ~18 — same class as the
+      // fixtureCorpusScaled fix)
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val off = d.agg(max("doc_id")).head().getLong(0) + 1L
+      Dedup.cdcDedupReport(d.unionByName(
+        d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + lit(off)).as("doc_id"),
+            concat(lit("REV2 "), col("text")).as("text"))))
+    }),
     "bench_lm_score_full" -> ((s, dir) =>
       // train + score the bigram LM over the full corpus at bench SF:
       // two token-key groupBys (map-side combined) + one broadcast
@@ -236,11 +263,11 @@ object BenchExtra {
       // corpus at bench SF: the corpus×n gram explode + gram-hash
       // election + per-doc island merge — the dominant cost is the
       // map-side gram projection, which must scale linearly
-      Dedup.substringSpanStats(Dedup.fixtureCorpus(docs(s, dir)))),
+      Dedup.substringSpanStats(Dedup.fixtureCorpusScaled(docs(s, dir)))),
     "bench_substring_clean_full" -> ((s, dir) =>
       // the corpus REWRITE on top of the same spans: collected per-doc
       // ranges applied as a row-local indexed array filter
-      Dedup.removeDuplicatedSpans(Dedup.fixtureCorpus(docs(s, dir)))),
+      Dedup.removeDuplicatedSpans(Dedup.fixtureCorpusScaled(docs(s, dir)))),
     "bench_incremental_full" -> ((s, dir) => {
       // batch-vs-corpus dedup at bench SF: the full corpus is the
       // standing side, a CONSTANT 5k-doc batch (disjoint ids — see
@@ -305,7 +332,7 @@ object BenchExtra {
       // at bench SF: same capped candidate join as the jaccard row,
       // verify divides by the smaller set instead of the union
       Dedup.containmentPairs(
-        Dedup.charShingles(Dedup.fixtureCorpus(docs(s, dir))), 0.9,
+        Dedup.charShingles(Dedup.fixtureCorpusScaled(docs(s, dir))), 0.9,
         Dedup.fixtureShingleDfCap)),
     "bench_gopher_full" -> ((s, dir) => {
       // the full Gopher rule battery over every doc at bench SF —
@@ -330,7 +357,7 @@ object BenchExtra {
       // (simHashNearDups = simHash64Xx + 4×16-bit bands, 65,536
       // buckets each where the 32-bit gated form has 256 — the
       // fingerprint-width scale knob); same pigeonhole at hamming ≤ 3
-      Dedup.simHashNearDups(Dedup.fixtureCorpus(docs(s, dir)))),
+      Dedup.simHashNearDups(Dedup.fixtureCorpusScaled(docs(s, dir)))),
     "bench_cosine_scaled_full" -> ((s, dir) => {
       // sign-LSH with corpus-sized (bands, bits) instead of the fixed
       // 4×8 default — the chance-collision mass stays ~linear in n on

@@ -1103,6 +1103,31 @@ object Dedup {
     base.unionByName(near).unionByName(copies)
   }
 
+  /** [[fixtureCorpus]] with CORPUS-DERIVED variant id offsets — the
+    * bench-scale twin. The gated fixture's literal +10000/+20000 stays
+    * (it is mirrored verbatim in oracle SQL and provably disjoint at
+    * the `doc_id < 200` gate clamp), but on the UNclamped corpus those
+    * literals collide with base ids once the corpus exceeds 10k docs
+    * (sf ≥ 1: ids to 49,999/499,999) — two documents then share one id
+    * and every per-id set union downstream (shingle frames, element
+    * frames, signature groupBys) silently merges them, the same
+    * corruption class the r7 verdict caught in the +50000 probe batch.
+    * Here near variants take max(doc_id)+1+doc_id and exact copies
+    * 2·(max(doc_id)+1)+doc_id: disjoint at every scale by
+    * construction, one cheap single-column agg to derive. Same doc
+    * SETS as [[fixtureCorpus]] at any scale — only variant id labels
+    * differ. */
+  def fixtureCorpusScaled(docs: DataFrame): DataFrame = {
+    val off = docs.agg(max("doc_id")).head().getLong(0) + 1L
+    val base = docs.select(col("doc_id"), col("text"))
+    val near = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + lit(off)).as("doc_id"),
+        concat(col("text"), lit(" graft near dup tail")).as("text"))
+    val copies = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + lit(2L * off)).as("doc_id"), col("text"))
+    base.unionByName(near).unionByName(copies)
+  }
+
   // ------------------------------------------------ bloom-probe dedup
 
   /** Bloom-filter batch-vs-corpus EXACT dedup — the sketch member of

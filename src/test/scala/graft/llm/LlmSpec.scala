@@ -293,6 +293,30 @@ class LlmSpec extends SparkSpec {
     assert(kept.toSeq === Seq(1L, 3L))
   }
 
+  test("fixtureCorpusScaled: same doc sets as fixtureCorpus, ids disjoint at ANY base range") {
+    import spark.implicits._
+    // base ids deliberately straddle 10000 — the literal +10000/+20000
+    // offsets of the gated fixtureCorpus COLLIDE here (the sf ≥ 1
+    // corpus shape); the scaled twin must stay disjoint
+    val docs = Seq((0L, "alpha bravo"), (5L, "charlie delta"),
+      (7L, "echo foxtrot"), (9995L, "golf hotel"), (12600L, "india juliet"))
+      .toDF("doc_id", "text")
+    val scaled = Dedup.fixtureCorpusScaled(docs)
+    // one row per id: no silent set-union under a shared id
+    assert(scaled.count() === scaled.select("doc_id").distinct().count(),
+      "scaled fixture must never reuse an id")
+    // identical text multiset to the literal-offset form
+    val texts = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("text").collect().map(_.getString(0)).sorted.toSeq
+    assert(texts(scaled) === texts(Dedup.fixtureCorpus(docs)))
+    // variants land strictly above the base id range
+    val maxBase = 12600L
+    val variantIds = scaled.filter(col("doc_id") > maxBase)
+      .count()
+    assert(variantIds === 7,
+      "expected 4 near variants (ids %5==0) + 3 exact copies (ids %7==0)")
+  }
+
   test("minHashLsh finds the same near-dup pairs as all-pairs Jaccard on the fixture") {
     val corpus = Dedup.fixtureCorpus(
       graft.Tables.load(spark, sfSmoke, "documents").filter(col("doc_id") < 60))
