@@ -17,7 +17,12 @@ WITH base AS (
   GROUP BY ROLLUP (r_name, n_name, p_type)
   HAVING COUNT(*) >= 5)
 SELECT r_name, n_name, p_type, lvl, rev,
-       CAST(rev * 100 / CAST(SUM(CAST(rev AS DECIMAL(18,6)))
+       -- rev is a CORPUS-SCALE aggregate here (the rollup grand-total
+       -- row is the whole filtered revenue), so its exact re-sum for
+       -- the level share must be DECIMAL(38,6): (18,6) overflows past
+       -- 1e12 — hit at sf10 under ANSI mode (r8). Per-row INPUT casts
+       -- to (18,6) elsewhere in the canon are safe (sums widen).
+       CAST(rev * 100 / CAST(SUM(CAST(rev AS DECIMAL(38,6)))
          OVER (PARTITION BY lvl) AS DOUBLE) AS DOUBLE)
          AS lvl_share,
        RANK() OVER (PARTITION BY lvl ORDER BY rev DESC) AS rnk
