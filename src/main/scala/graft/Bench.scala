@@ -54,14 +54,45 @@ object Bench {
     Seq.fill(3)(calibrateOnce(spark, parallelism)).sorted.apply(1)
   }
 
+  /** Recursive on-disk size of a fixture dir (parquet "files" may be
+    * directories in FixtureGen output). */
+  private def dirBytes(f: java.io.File): Long =
+    if (f.isFile) f.length
+    else Option(f.listFiles).map(_.map(dirBytes).sum).getOrElse(0L)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_SHUFFLE: scale-aware shuffle parallelism (the r8
+    // verdict's suite-wide weak: shuffle.partitions pinned to 32 at
+    // EVERY sf leaves the heaviest sf10 rows running 32 tasks over
+    // ~30-60 M-row shuffle/sort inputs — no cluster deployment leaves
+    // the task count at 32 across a 100× data range). "auto" sizes
+    // AQE's pre-coalesce partition count from the input dir: one task
+    // per ~16 MB of source parquet (≈50-64 MB in-flight per task at
+    // parquet's typical 3-4× compression), cpus as the floor, 4096 as
+    // a sanity cap; an integer pins it explicitly (experiment legs).
+    // AQE then coalesces small post-shuffle stages back down, so the
+    // gate-scale plans are unchanged — only genuinely large shuffles
+    // fan wider. Unset = the historical fixed-32 behavior (anchor
+    // comparability; BASELINE.md r9 records the measured delta).
+    val shuffleInit: Option[Int] = sys.env.get("SPARK_GRAFT_SHUFFLE").map {
+      case "auto" =>
+        val bytes = dirBytes(new java.io.File(sfDir))
+        math.min(4096L, math.max(cpus.toLong, bytes / (16L << 20))).toInt
+      case n => n.toInt
+    }
+    shuffleInit.foreach(n => Console.err.println(
+      s"[bench] scale-aware shuffle: AQE initialPartitionNum=$n " +
+        s"(floor ${cpus})"))
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    val spark = shuffleInit.fold(builder)(n => builder.config(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        n.toString))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional name filter (args) for targeted perf iteration; the
@@ -208,8 +239,12 @@ object Bench {
     // nonce rides the short final stdout line so it survives the
     // driver's tail truncation
     val runId = System.currentTimeMillis()
+    // shuffle_init: the AQE pre-coalesce partition count this run used
+    // (0 = unset, the historical fixed-cpus behavior) — legs at
+    // different parallelism must be distinguishable in the artifact
+    val shuffleJson = s""","shuffle_init":${shuffleInit.getOrElse(0)}"""
     val slowest = corrected.sortBy(-_._2).take(20).sortBy(_._1)
-    val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","oracle_total":${r3(oracleTotal)},"core_total":${r3(coreTotal)},"tpcds_total":${r3(tpcdsTotal)},"curate_total":${r3(curateTotal)},"llm_total":${r3(llmTotal)},"extra_total":${r3(total - oracleTotal)},"n_queries":${corrected.size},"n_failed":${corrected.count(_._2 < 0)},"n_retimed":${outliers.size},"calibration_s":${r3(calibrationS)},"calibration_end_s":${r3(calibrationEndS)},"calibration_max_s":${r3(calibrationMaxS)},"n_probes":${probes.size},"host_load_factor":${r3(hostLoadFactor2)},"run_id":$runId,"queries":${dict(slowest)},"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","oracle_total":${r3(oracleTotal)},"core_total":${r3(coreTotal)},"tpcds_total":${r3(tpcdsTotal)},"curate_total":${r3(curateTotal)},"llm_total":${r3(llmTotal)},"extra_total":${r3(total - oracleTotal)},"n_queries":${corrected.size},"n_failed":${corrected.count(_._2 < 0)},"n_retimed":${outliers.size},"calibration_s":${r3(calibrationS)},"calibration_end_s":${r3(calibrationEndS)},"calibration_max_s":${r3(calibrationMaxS)},"n_probes":${probes.size},"host_load_factor":${r3(hostLoadFactor2)}$shuffleJson,"run_id":$runId,"queries":${dict(slowest)},"sf":"$sfDir"}"""
     println(summary)
     // Machine-diffable artifact: the FULL summary (totals, every probe,
     // the complete per-query map — not just the 20 slowest) at a stable
@@ -225,7 +260,7 @@ object Bench {
       .filter { case (k, _) => corrected.exists(_._1 == k) }
       .map { case (k, v) => s"\"" + k + s"\":$v" }
       .mkString("{", ",", "}")
-    val fileJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","oracle_total":${r3(oracleTotal)},"core_total":${r3(coreTotal)},"tpcds_total":${r3(tpcdsTotal)},"curate_total":${r3(curateTotal)},"llm_total":${r3(llmTotal)},"extra_total":${r3(total - oracleTotal)},"n_queries":${corrected.size},"n_failed":${corrected.count(_._2 < 0)},"n_retimed":${outliers.size},"outliers":$outlierJson,"calibration_s":${r3(calibrationS)},"calibration_end_s":${r3(calibrationEndS)},"calibration_max_s":${r3(calibrationMaxS)},"n_probes":${probes.size},"probes":[${probes.map(r3).mkString(",")}],"host_load_factor":${r3(hostLoadFactor2)},"workload_rev":$revJson,"run_id":$runId,"queries":${dict(corrected)},"sf":"$sfDir"}"""
+    val fileJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","oracle_total":${r3(oracleTotal)},"core_total":${r3(coreTotal)},"tpcds_total":${r3(tpcdsTotal)},"curate_total":${r3(curateTotal)},"llm_total":${r3(llmTotal)},"extra_total":${r3(total - oracleTotal)},"n_queries":${corrected.size},"n_failed":${corrected.count(_._2 < 0)},"n_retimed":${outliers.size},"outliers":$outlierJson,"calibration_s":${r3(calibrationS)},"calibration_end_s":${r3(calibrationEndS)},"calibration_max_s":${r3(calibrationMaxS)},"n_probes":${probes.size},"probes":[${probes.map(r3).mkString(",")}],"host_load_factor":${r3(hostLoadFactor2)}$shuffleJson,"workload_rev":$revJson,"run_id":$runId,"queries":${dict(corrected)},"sf":"$sfDir"}"""
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
     Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))

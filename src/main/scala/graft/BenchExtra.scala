@@ -90,6 +90,17 @@ object BenchExtra {
       col("text"))
   }
 
+  /** sfDir the standing bm25 postings index was last built for IN THIS
+    * JVM — [[bench_bm25_index_probe_full]] rebuilds on first use (or a
+    * dir change) and probes-only thereafter, so its TIMED pass (which
+    * always follows the warmup pass in the same JVM) measures the
+    * steady-state serving cost, not build+probe. Never trusts an index
+    * left in spark-warehouse by another JVM/leg: the memo starts empty
+    * every run, so a stale on-disk index from a different SF can never
+    * serve a probe. */
+  private val bm25IdxBuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+
   private def microElems(s: SparkSession, dir: String): DataFrame =
     embs(s, dir)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "e")))
@@ -307,6 +318,36 @@ object BenchExtra {
       Dedup.writeDedupIndex(corpus, "bench_dedup_idx")
       Dedup.incrementalLshPairsFromIndex("bench_dedup_idx",
         disjointProbeBatch(corpus), 0.5)
+    }),
+    "bench_bm25_index_build_full" -> ((s, dir) => {
+      // standing lexical index BUILD at bench SF: the one-time linear
+      // cost a corpus snapshot pays (postings shuffle + dl denorm join
+      // + df agg + meta, all persisted bucketed on their join keys) —
+      // the write-side row of the build/probe split, the lexical twin
+      // of bench_index_probe_full's write stage. Returns the meta row.
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      Retrieval.writePostingsIndex(d, "bench_bm25_idx")
+      bm25IdxBuiltFor.set(dir)
+      s.table("bench_bm25_idx_meta")
+    }),
+    "bench_bm25_index_probe_full" -> ((s, dir) => {
+      // standing lexical index PROBE at bench SF: a CONSTANT 50-query
+      // batch (the bench_bm25_full query set) against the stored
+      // postings — the steady-state serving path, paying NO corpus
+      // re-tokenization (the r8 plan audit attributed the whole linear
+      // term of bench_bm25_full to exactly that per-run cost). The
+      // index is built on first use per JVM/dir (the warmup pass, or
+      // this timed call itself when run alone) and reused thereafter —
+      // see bm25IdxBuiltFor; delta vs bench_bm25_full at each scale is
+      // what the standing index saves per batch.
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      if (bm25IdxBuiltFor.get != dir) {
+        Retrieval.writePostingsIndex(d, "bench_bm25_idx")
+        bm25IdxBuiltFor.set(dir)
+      }
+      Retrieval.bm25TopKFromIndex("bench_bm25_idx",
+        d.filter(col("doc_id") % 100 === 0 && col("doc_id") < 5000)
+          .select(col("doc_id").as("query_id"), col("text")), 10)
     }),
     "bench_hits_report_full" -> ((s, dir) => {
       // production HITS path: convergence-reported early stop beside

@@ -31,7 +31,13 @@ object Metrics {
   private val metricMae: Q = (s, dir) =>
     pairs(s, dir).agg(davg(abs(col("pred") - col("label"))).as("mae"))
 
-  /** Q-error = max(y,ŷ)/max(min(y,ŷ),1e-3), positives only, P50/P99. */
+  /** Q-error = max(y,ŷ)/max(min(y,ŷ),1e-3), positives only, P50/P99 —
+    * the EXACT-percentile oracle twin, kept solely for DuckDB parity
+    * (`quantile_cont` is exact). Do NOT call this at corpus scale:
+    * exact global `percentile` pulls every value into one aggregation
+    * buffer (14.7×/decade measured at sf10, the suite's worst step —
+    * a documented anti-pattern twin, BASELINE.md). [[qerrorApprox]]
+    * is THE default q-error report; this form exists for the gate. */
   private val metricQerror: Q = (s, dir) => {
     val p = pairs(s, dir).filter(col("pred") > 0 && col("label") > 0)
     p.select((greatest(col("pred"), col("label")) /
@@ -42,14 +48,17 @@ object Metrics {
         count(lit(1)).as("n"))
   }
 
-  /** Production q-error report: `percentile_approx` (t-digest-style
-    * sketch, bounded map-side state, mergeable) instead of the exact
-    * `percentile` the gated twin pays — exact global percentile pulls
-    * EVERY value into one aggregation buffer (corpus-sized at 100 TB;
-    * the r7 sf1 leg measured the exact form 5.9×/decade as that buffer
-    * sort grows). Accuracy 10k bounds rank error at ~0.01% — far
-    * inside the reference's reported precision. The gated
-    * `metric_qerror` keeps the exact form for DuckDB parity. */
+  /** THE default q-error report (the r7 `simHashNearDups` precedent:
+    * sketch form is the production default, exact form stays the
+    * oracle twin): `percentile_approx` — a mergeable bounded-state
+    * rank sketch — instead of the exact `percentile` the gated twin
+    * pays, whose single global aggregation buffer is corpus-sized at
+    * 100 TB (measured: 14.7×/decade at sf10 and 112.3 s vs this
+    * form's 9.8 s at 5.2×/decade — BASELINE.md r8). Accuracy 10k
+    * bounds rank error at ~0.01% — far inside the reference's
+    * reported precision. Callers at any real scale use this; the
+    * exact `metric_qerror` exists only because DuckDB's
+    * `quantile_cont` gate needs a deterministic exact twin. */
   def qerrorApprox(s: SparkSession, dir: String,
       accuracy: Int = 10000): DataFrame = {
     val p = pairs(s, dir).filter(col("pred") > 0 && col("label") > 0)

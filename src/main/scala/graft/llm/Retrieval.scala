@@ -135,6 +135,108 @@ object Retrieval {
       .select("query_id", "rank", "doc_id", "rrf", "n_lists")
   }
 
+  // ------------------------------------------ standing lexical index
+
+  /** Persist the STANDING BM25 postings index of a live corpus — the
+    * lexical twin of [[Dedup.writeCosineIndex]]/[[Dedup.writeDedupIndex]],
+    * so the serving path ([[bm25TopKFromIndex]]) stops re-paying the
+    * corpus tokenization every query batch (the r8 plan audit: the
+    * whole linear term of `bench_bm25_full` and the three retrieval
+    * composite keys IS that per-run re-tokenization — the reference's
+    * run_workload loop repeatedly queries a static corpus, exactly the
+    * standing-index shape). Written tables:
+    *  - `<prefix>_postings` (term, doc_id, tf, dl) bucketed on term —
+    *    the doc length is DENORMALIZED into the posting row (Lucene's
+    *    norms-beside-postings discipline), so probe-time scoring never
+    *    joins the corpus-sized doc-length frame;
+    *  - `<prefix>_doclen` (doc_id, dl) bucketed on doc_id — for
+    *    callers composing other per-doc statistics against the same
+    *    corpus snapshot;
+    *  - `<prefix>_df` (term, df) bucketed on term — VOCABULARY-sized
+    *    (billions of terms on a web corpus), never broadcast whole:
+    *    the probe semi-joins it down to the query vocabulary first
+    *    (the [[bm25PartialsF]] pruning discipline, stored form);
+    *  - `<prefix>_meta` one row (k1, b, n_docs, avgdl, total_len):
+    *    scoring parameters AND corpus statistics pinned AT INDEX TIME
+    *    and read back by the probe, so writer and prober cannot
+    *    silently disagree (the [[Dedup.writeCosineIndex]] `_meta`
+    *    contract — a probe scoring under a different k1/b or a stale
+    *    N/avgdl is a silent ranking drift).
+    * Build cost: the same single postings shuffle [[bm25TopK]] pays
+    * once per run, plus one doc-key join to denormalize dl — linear,
+    * paid once per corpus snapshot instead of per query batch. */
+  def writePostingsIndex(corpus: DataFrame, prefix: String,
+      k1: Double = 1.2, b: Double = 0.75, numBuckets: Int = 32): Unit = {
+    val toks = corpus
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    graft.sources.Ingest.writeBucketedTable(
+      tf.join(dl, "doc_id").select("term", "doc_id", "tf", "dl"),
+      s"${prefix}_postings", Seq("term"), numBuckets)
+    graft.sources.Ingest.writeBucketedTable(dl,
+      s"${prefix}_doclen", Seq("doc_id"), numBuckets)
+    graft.sources.Ingest.writeBucketedTable(
+      tf.groupBy("term").agg(count(lit(1)).as("df")),
+      s"${prefix}_df", Seq("term"), numBuckets)
+    graft.sources.Ingest.writeManagedTable(
+      dl.agg(count(lit(1)).as("n_docs"),
+          sum("dl").cast("double").as("total_len"))
+        .select(lit(k1).as("k1"), lit(b).as("b"), col("n_docs"),
+          (col("total_len") / col("n_docs")).as("avgdl"), col("total_len")),
+      s"${prefix}_meta")
+  }
+
+  /** Probe the standing postings index with a query batch: query
+    * terms broadcast onto the STORED postings — no corpus
+    * tokenization, no corpus-side shuffle at probe time. The df frame
+    * is semi-joined to the query vocabulary before broadcast exactly
+    * as in [[bm25PartialsF]]; k1/b/N/avgdl come from `<prefix>_meta`
+    * (pinned at index time), and the per-posting arithmetic is the
+    * SAME expression chain as [[bm25TopK]], so the two agree rank-
+    * for-rank on the indexed corpus (RetrievalSpec pins equality).
+    * The only exchanges in the plan are survivor-sized: the partial-
+    * score groupBy and the per-query top-k window — both bounded by
+    * the postings MATCHING the query vocabulary, never the corpus.
+    * Were the batch too large to broadcast, the term-key shuffle join
+    * exchanges only the batch side — the stored scan's bucketing
+    * satisfies its half of the join distribution (spec-pinned, the
+    * [[Dedup.incrementalLshPairsFromIndex]] single-exchange
+    * contract). Self-match suppression as in [[bm25TopK]]. */
+  def bm25TopKFromIndex(prefix: String, queries: DataFrame,
+      k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val meta = spark.table(s"${prefix}_meta").head()
+    val (k1, b, nDocs, avgdl) = (meta.getDouble(0), meta.getDouble(1),
+      meta.getLong(2), meta.getDouble(3))
+    val postings = spark.table(s"${prefix}_postings")
+    val dfreq = spark.table(s"${prefix}_df")
+    val qterms = queries
+      .select(col("query_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "").distinct()
+    val qdfreq = dfreq.join(
+      broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
+    val scored = broadcast(qterms)
+      .join(postings, "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(qdfreq), "term")
+      .withColumn("idf",
+        log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))))
+      .withColumn("bm25_term",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl") / lit(avgdl))))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("bm25_term").as("bm25"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("bm25").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "bm25")
+  }
+
   // ------------------------------------------- micro-int gated twins
 
   private def docs(s: SparkSession, dir: String): DataFrame =

@@ -173,6 +173,64 @@ class RetrievalSpec extends SparkSpec {
     check(Retrieval.bm25TopK(d, q, 5).queryExecution.executedPlan, "float path")
   }
 
+  test("standing postings index: probe equals direct bm25TopK; meta pins k1/b") {
+    val d = graft.Tables.load(spark, sfCorrect, "documents")
+      .select(col("doc_id"), col("text"))
+    val q = d.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"), col("text"))
+    // non-default k1/b at index time: the probe must score under the
+    // STORED parameters, not its own defaults (the _meta contract)
+    Retrieval.writePostingsIndex(d, "bm25_idx_t", k1 = 2.0, b = 0.5,
+      numBuckets = 8)
+    val meta = spark.table("bm25_idx_t_meta").head()
+    assert(meta.getDouble(0) === 2.0 && meta.getDouble(1) === 0.5)
+    assert(meta.getLong(2) === d.count(), "n_docs pinned at index time")
+    val viaIndex = Retrieval.bm25TopKFromIndex("bm25_idx_t", q, 5)
+      .select("query_id", "rank", "doc_id")
+    val direct = Retrieval.bm25TopK(d, q, 5, k1 = 2.0, b = 0.5)
+      .select("query_id", "rank", "doc_id")
+    assert(viaIndex.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(viaIndex).count() == 0,
+      "index probe must reproduce the direct BM25 ranking exactly")
+    // and the pinned parameters actually BIND: probe scores differ
+    // from a default-parameter probe of the same corpus (rank flips
+    // are fixture luck, but k1/b enter every term score)
+    val viaScores = Retrieval.bm25TopKFromIndex("bm25_idx_t", q, 5)
+      .select("query_id", "rank", "doc_id", "bm25")
+    val defScores = Retrieval.bm25TopK(d, q, 5)
+      .select("query_id", "rank", "doc_id", "bm25")
+    assert(viaScores.exceptAll(defScores).count() > 0,
+      "stored k1/b must actually change scores vs defaults")
+  }
+
+  test("standing postings index: stored side unshuffled under a term-key join") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha bravo charlie common pad words"),
+      (2L, "delta echo foxtrot common pad words"),
+      (3L, "alpha delta golf common pad words"),
+    ).toDF("doc_id", "text")
+    Retrieval.writePostingsIndex(d, "bm25_idx_x", numBuckets = 8)
+    // the serving plan broadcasts the query batch — but were the batch
+    // too big to broadcast, the term-key shuffle join must exchange
+    // ONLY the batch side: the stored postings scan's bucketing on
+    // term satisfies its half of the join distribution (the
+    // incrementalLshPairsFromIndex single-exchange contract)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val qterms = Seq((9L, "alpha"), (9L, "golf")).toDF("query_id", "term")
+      val joined = spark.table("bm25_idx_x_postings").join(qterms, "term")
+      val plan = joined.queryExecution.executedPlan.toString
+      val nJoinKeyExchanges = "Exchange hashpartitioning\\(term".r
+        .findAllIn(plan).length
+      assert(nJoinKeyExchanges === 1,
+        s"expected only the batch-side join exchange, got $nJoinKeyExchanges:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"stored postings must scan bucketed:\n$plan")
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("micro BM25 agrees with the float path on fixture ranks") {
     val d = graft.Tables.load(spark, sfCorrect, "documents")
     val q = d.filter(col("doc_id") % 100 === 0)
