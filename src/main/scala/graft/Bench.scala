@@ -76,10 +76,17 @@ object Bench {
     // gate-scale plans are unchanged — only genuinely large shuffles
     // fan wider. Unset = the historical fixed-32 behavior (anchor
     // comparability; BASELINE.md r9 records the measured delta).
+    // auto ROUNDS UP to a multiple of the core count: the r9 sf10
+    // sweep measured a raw 114 (3.56 waves on 32 cores) WORSE than
+    // both 32 and 256 on most keys — a ragged final wave idles 28% of
+    // the machine for the tail of every shuffle stage; task counts
+    // must quantize to whole waves.
     val shuffleInit: Option[Int] = sys.env.get("SPARK_GRAFT_SHUFFLE").map {
       case "auto" =>
         val bytes = dirBytes(new java.io.File(sfDir))
-        math.min(4096L, math.max(cpus.toLong, bytes / (16L << 20))).toInt
+        val raw = math.min(4096L, math.max(cpus.toLong, bytes / (16L << 20)))
+        val c = cpus.toLong
+        (((raw + c - 1) / c) * c).toInt
       case n => n.toInt
     }
     shuffleInit.foreach(n => Console.err.println(

@@ -794,7 +794,26 @@ object Dedup {
     * target, cosine ≥ 0.99) stay ≥ 99% at either setting; marginal-
     * threshold recall erodes as bits grow with the corpus — raise
     * nBands further (cost is linear) when exact-threshold recall
-    * matters at scale. */
+    * matters at scale.
+    *
+    * WORST-CASE DECADE BOUND (r9, the documented integer-bit
+    * granularity): bits move in whole steps while linearity wants
+    * log2 10 ≈ 3.32 per decade, so the chance-collision mass
+    * nBands·n²/2^bits steps 100/2^Δbits per 10× of corpus with
+    * Δbits ∈ {3, 4} (÷2 once more at the single 4→8 band widening):
+    * 12.5× in a Δ=3 decade, 6.25× in a Δ=4 decade — worst case
+    * 1.25× ABOVE exact linear for one decade, 0.625× below in the
+    * compensating one, long-run exactly linear (the deficit
+    * bits − (log2 n − 3) is confined to [0, 1)). The shipped fixture's
+    * n-sequence (2k → 20k → 200k → 2M) happens to land Δ=3 three times
+    * in a row (bits 8 → 12 → 15 → 18), so its measured curve sits on
+    * the 12.5× edge of the band (bench_cosine_scaled_full 12.9× at
+    * sf10 — BASELINE.md r9 confirms the residual over 12.5× is run
+    * context, not sizing); the first compensating Δ=4 decade arrives
+    * at n = 20M. Accepting the ±25% oscillation is the design choice:
+    * smoothing it (mixed-width bands interpolating fractional bits)
+    * buys back at most 1.25× in the worst decade at the cost of a
+    * second banding family in every probe/writer pair. */
   def scaledSignLshParams(n: Long): (Int, Int) = {
     val bits = math.max(8,
       math.ceil(math.log(math.max(2L, n).toDouble) / math.log(2)).toInt - 3)
