@@ -319,6 +319,19 @@ object BenchExtra {
       Dedup.incrementalLshPairsFromIndex("bench_dedup_idx",
         disjointProbeBatch(corpus), 0.5)
     }),
+    "bench_approx_distinct_full" -> ((s, dir) =>
+      // the PRODUCTION half of agg_approx_distinct: the HLL sketch
+      // alone. The gated key ALSO computes two exact countDistinct
+      // columns purely to verify the sketch against the oracle, and
+      // Spark plans a multi-column distinct agg via a 3x row EXPAND +
+      // two shuffles — that verification-side cost is what stepped
+      // 12.8x/decade in the r9 isolated sf10 legs (and got WORSE at
+      // 256 partitions), not the mergeable sketch this row measures
+      graft.Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+        .orderBy("l_returnflag")),
     "bench_bm25_index_build_full" -> ((s, dir) => {
       // standing lexical index BUILD at bench SF: the one-time linear
       // cost a corpus snapshot pays (postings shuffle + dl denorm join

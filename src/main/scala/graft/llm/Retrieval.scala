@@ -172,14 +172,22 @@ object Retrieval {
       .filter(col("term") =!= "")
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    // postings and df are SORTED by term inside each bucket: on a
+    // real (large-vocabulary) corpus a term-selective probe then
+    // prunes parquet row groups via min/max on the sort key on top of
+    // bucket pruning — the fixture's bounded ~31-word vocabulary makes
+    // every bucket/row-group match (no measurable win at gate scales),
+    // so this is the 100 TB serving layout, exercised for layout
+    // correctness here and for selectivity on real data
     graft.sources.Ingest.writeBucketedTable(
       tf.join(dl, "doc_id").select("term", "doc_id", "tf", "dl"),
-      s"${prefix}_postings", Seq("term"), numBuckets)
+      s"${prefix}_postings", Seq("term"), numBuckets, sortCols = Seq("term"))
     graft.sources.Ingest.writeBucketedTable(dl,
-      s"${prefix}_doclen", Seq("doc_id"), numBuckets)
+      s"${prefix}_doclen", Seq("doc_id"), numBuckets,
+      sortCols = Seq("doc_id"))
     graft.sources.Ingest.writeBucketedTable(
       tf.groupBy("term").agg(count(lit(1)).as("df")),
-      s"${prefix}_df", Seq("term"), numBuckets)
+      s"${prefix}_df", Seq("term"), numBuckets, sortCols = Seq("term"))
     graft.sources.Ingest.writeManagedTable(
       dl.agg(count(lit(1)).as("n_docs"),
           sum("dl").cast("double").as("total_len"))
