@@ -34,16 +34,27 @@ case "${1:?mode}" in
     run_leg 32g /tmp/sf10 bench/r9/r9_shuf_sf10_p256.json  256     $TENX
     ;;
   bm25idx)
-    K="bench_bm25_index_build_full bench_bm25_index_probe_full bench_bm25_full"
+    # NOTE: legs must be separated by >=120 s settles (see the verify
+    # skill's leg-hygiene rule) — the recorded r9 runs were; the sf10
+    # leg was re-run as r9_bm25idx_sf10b.json after a contaminated
+    # start probe.
+    K="bench_bm25_index_build_full bench_bm25_index_probe_full \
+bench_bm25_full bench_approx_distinct_full agg_approx_distinct"
     run_leg 32g /root/testdata/sf0.1 bench/r9/r9_bm25idx_sf01.json default $K
+    sleep 120
     run_leg 32g /tmp/sf1             bench/r9/r9_bm25idx_sf1.json  default $K
+    sleep 120
     run_leg 32g /tmp/sf10            bench/r9/r9_bm25idx_sf10.json default $K
     ;;
   sf100)
     # flat/index families only (a full sf100 suite does not fit the
-    # round); default shuffle for r8-curve comparability
+    # round); default shuffle for r8-curve comparability. The two
+    # index-probe keys FAILED at sf100 on the 49 GB disk-spill
+    # ceiling (BASELINE.md r9) — kept here so a larger-volume rerun
+    # measures them.
     K="ann_lsh_bucketed ann_pq dedup_embedding_incremental \
 bench_index_probe_full bench_bm25_index_probe_full \
+bench_approx_distinct_full \
 graph_degree_stats graph_domain_rank graph_hits graph_personalized_rank \
 tpcds_q3_star_probe tpcds_q55_brand_probe tpcds_q88_band_counts \
 tpcds_q96_pinpoint_count tpcds_q98_revenue_share"
