@@ -1,0 +1,120 @@
+#!/bin/bash
+# r10 measurement legs — run SEQUENTIALLY on an idle host (no sbt lock:
+# invokes graft mains via plain java on the compiled classes).
+#
+#   scripts/r10_legs.sh fold       # fold newest BENCH_r*.json from target/bench.json
+#   scripts/r10_legs.sh zipfgen    # generate the Zipf-vocabulary bench fixtures
+#   scripts/r10_legs.sh bm25zipf   # task-1 bm25 build/probe/full on zipf fixtures
+#   scripts/r10_legs.sh starprobe  # task-2 sf100 star probes, SPARK_GRAFT_BROADCAST=auto
+#   scripts/r10_legs.sh minhash128 # task-4 128-partition anomaly, AQE logs, 160 bracket
+#   scripts/r10_legs.sh sf100idx   # task-5 fifth-decade standing-index probe legs
+#   scripts/r10_legs.sh hits100    # task-6 early-stop HITS fifth-decade row
+#
+# Leg hygiene (the verify skill's rules, r9 ADVICE medium): >=150 s
+# settle between 32g bench JVMs — a big JVM's exit triggers minutes of
+# kernel page reclaim that inflates the next leg's early keys up to
+# ~2x; and a leg JVM's own exit status is checked (set -o pipefail plus
+# `| grep || true` silently swallowed an OOMed leg — r9 ADVICE low).
+set -euo pipefail
+cd /root/repo
+ADDOPENS=$(cat scripts/addopens.txt)   # checked in (r9 ADVICE: /tmp copy was unreproducible)
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+
+run_main() { # heap class args...
+  local heap="$1" cls="$2"; shift 2
+  java -Xmx"$heap" $ADDOPENS \
+    -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+    -cp "$CP" "$cls" "$@"
+}
+
+run_leg() { # heap sfdir out shuffle keys...
+  local heap="$1" sfdir="$2" out="$3" shuffle="$4"; shift 4
+  local envs=(SPARK_GRAFT_SF_DIR="$sfdir" SPARK_GRAFT_BENCH_OUT="$out")
+  [ "$shuffle" != "default" ] && envs+=(SPARK_GRAFT_SHUFFLE="$shuffle")
+  echo "=== leg: $out (heap=$heap shuffle=$shuffle) $*"
+  local log
+  log=$(mktemp /tmp/r10_leg.XXXXXX.log)
+  # capture the JVM's own exit status — never masked by the grep below
+  local st=0
+  env "${envs[@]}" ${LEG_EXTRA_ENV:+env $LEG_EXTRA_ENV} java -Xmx"$heap" $ADDOPENS \
+    -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+    -cp "$CP" graft.Bench "$@" >"$log" 2>&1 || st=$?
+  if [ "$st" -ne 0 ]; then
+    echo "LEG FAILED (exit $st): $out — tail of log:" >&2
+    tail -30 "$log" >&2
+    exit 1
+  fi
+  grep -E "\[bench\]" "$log" || true
+  rm -f "$log"
+}
+
+settle() { echo "--- settle 150 s (leg hygiene)"; sleep 150; }
+
+# constant key sets
+BM25K="bench_bm25_index_build_full bench_bm25_index_probe_full bench_bm25_full"
+
+case "${1:?mode}" in
+  fold)
+    # task-3 automation: driver BENCH_r{N}.json stdout tails truncate
+    # (three rounds running); target/bench.json is authoritative for
+    # the same run_id. Run this at round start for the previous
+    # round's record (the driver writes it after the build turns end).
+    latest=$(ls BENCH_r*.json | sort | tail -1)
+    python3 scripts/fold_bench.py "$latest" target/bench.json
+    ;;
+  zipfgen)
+    # Zipf-vocabulary documents-only bench fixtures (task 1): the
+    # gated sf dirs stay untouched. Heaps vocab: 50k terms at zf01,
+    # x sqrt(10) per decade.
+    run_main 16g graft.sources.FixtureGen /root/testdata/sf0.1 /tmp/zf01 1    zipf
+    run_main 16g graft.sources.FixtureGen /root/testdata/sf0.1 /tmp/zf1  10   zipf
+    run_main 16g graft.sources.FixtureGen /root/testdata/sf0.1 /tmp/zf10 100  zipf
+    run_main 32g graft.sources.FixtureGen /root/testdata/sf0.1 /tmp/zf100 1000 zipf
+    du -sh /tmp/zf*
+    ;;
+  bm25zipf)
+    run_leg 32g /tmp/zf01 bench/r10/r10_bm25z_zf01.json default $BM25K
+    settle
+    run_leg 32g /tmp/zf1  bench/r10/r10_bm25z_zf1.json  default $BM25K
+    settle
+    run_leg 32g /tmp/zf10 bench/r10/r10_bm25z_zf10.json default $BM25K
+    ;;
+  bm25zipf100)
+    # fifth decade of the bm25 standing index on the zipf fixture —
+    # separated from bm25zipf so the disk high-water mark is observable
+    run_leg 32g /tmp/zf100 bench/r10/r10_bm25z_zf100.json default $BM25K
+    ;;
+  starprobe)
+    # the r9 weak: q3 star probe crossed the broadcast->SMJ cliff at
+    # sf100 (2.25 s -> 60.5 s). auto scales autoBroadcastJoinThreshold
+    # with input bytes (dirBytes/64, 10 MB floor, 512 MB cap).
+    LEG_EXTRA_ENV="SPARK_GRAFT_BROADCAST=auto" \
+      run_leg 32g /tmp/sf100 bench/r10/r10_star_sf100_bauto.json default \
+      tpcds_q3_star_probe tpcds_q55_brand_probe tpcds_q98_revenue_share
+    ;;
+  minhash128)
+    # the unexplained reproducible 155 s at initialPartitionNum=128 vs
+    # ~92 s at 32/256 (BASELINE.md r9): one leg at 128 with AQE
+    # coalesce logging, one at 160 to bracket
+    LEG_EXTRA_ENV="SPARK_GRAFT_AQE_LOG=1" \
+      run_leg 32g /tmp/sf10 bench/r10/r10_mh128_sf10.json 128 \
+      bench_minhash_rowlocal_full
+    settle
+    LEG_EXTRA_ENV="SPARK_GRAFT_AQE_LOG=1" \
+      run_leg 32g /tmp/sf10 bench/r10/r10_mh160_sf10.json 160 \
+      bench_minhash_rowlocal_full
+    ;;
+  sf100idx)
+    # fifth-decade standing-index probe (task 5): the minhash dedup
+    # index family on the relational sf100 fixture (the r9 attempt hit
+    # the 49 GB scratch ceiling on the degenerate-vocabulary spill)
+    run_leg 32g /tmp/sf100 bench/r10/r10_idxprobe_sf100.json default \
+      bench_index_probe_full bench_approx_distinct_full
+    ;;
+  hits100)
+    run_leg 32g /tmp/sf100 bench/r10/r10_hits_sf100.json default \
+      bench_hits_report_full graph_hits
+    ;;
+  *) echo "unknown mode $1"; exit 2;;
+esac
+echo "done"

@@ -9,7 +9,9 @@
 # Artifacts land in bench/r9/. Every leg stamps shuffle_init + run_id.
 set -euo pipefail
 cd /root/repo
-ADDOPENS=$(cat /tmp/r9/addopens.txt)
+# addopens checked into the repo (r9 ADVICE: the /tmp/r9 copy made the
+# recorded legs unreproducible from the repo alone)
+ADDOPENS=$(cat scripts/addopens.txt)
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 
 run_leg() { # heap sfdir out shuffle keys...
@@ -17,9 +19,20 @@ run_leg() { # heap sfdir out shuffle keys...
   local envs=(SPARK_GRAFT_SF_DIR="$sfdir" SPARK_GRAFT_BENCH_OUT="$out")
   [ "$shuffle" != "default" ] && envs+=(SPARK_GRAFT_SHUFFLE="$shuffle")
   echo "=== leg: $out (heap=$heap shuffle=$shuffle) $*"
+  # capture the JVM's own exit status (r9 ADVICE: `| grep || true`
+  # under pipefail silently swallowed a crashed/OOMed leg)
+  local log st=0
+  log=$(mktemp /tmp/r9_leg.XXXXXX.log)
   env "${envs[@]}" java -Xmx"$heap" $ADDOPENS \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-    -cp "$CP" graft.Bench "$@" 2>&1 | grep -E "\[bench\]" || true
+    -cp "$CP" graft.Bench "$@" >"$log" 2>&1 || st=$?
+  if [ "$st" -ne 0 ]; then
+    echo "LEG FAILED (exit $st): $out — tail of log:" >&2
+    tail -30 "$log" >&2
+    exit 1
+  fi
+  grep -E "\[bench\]" "$log" || true
+  rm -f "$log"
 }
 
 # the r8 >10x/decade members (VERDICT r8 finding 1)
@@ -29,8 +42,15 @@ bench_minhash_rowlocal_xx_full bench_winnow_xx_full"
 
 case "${1:?mode}" in
   shuffle)
+    # NOTE: >=120 s settles between the 32g legs (r9 ADVICE medium —
+    # a big JVM's exit triggers minutes of kernel reclaim that can
+    # inflate the next leg's early keys ~2x). The RECORDED r9 shuffle
+    # legs ran back-to-back; their start probes were in the idle band
+    # (BASELINE.md r9), but reruns must settle.
     run_leg 32g /tmp/sf10 bench/r9/r9_shuf_sf10_p32.json   default $TENX
+    sleep 150
     run_leg 32g /tmp/sf10 bench/r9/r9_shuf_sf10_auto.json  auto    $TENX
+    sleep 150
     run_leg 32g /tmp/sf10 bench/r9/r9_shuf_sf10_p256.json  256     $TENX
     ;;
   bm25idx)

@@ -84,24 +84,62 @@ object Bench {
     val shuffleInit: Option[Int] = sys.env.get("SPARK_GRAFT_SHUFFLE").map {
       case "auto" =>
         val bytes = dirBytes(new java.io.File(sfDir))
-        val raw = math.min(4096L, math.max(cpus.toLong, bytes / (16L << 20)))
+        val raw = math.max(cpus.toLong, bytes / (16L << 20))
         val c = cpus.toLong
-        (((raw + c - 1) / c) * c).toInt
+        // round UP to a whole core-wave first, THEN cap at the largest
+        // core-multiple <= 4096: capping before rounding exceeded the
+        // documented 4096 on hosts whose core count does not divide it
+        // (48/96-core: 4096 -> 4128; r9 ADVICE)
+        math.min(4096L / c * c, ((raw + c - 1) / c) * c).toInt
       case n => n.toInt
     }
     shuffleInit.foreach(n => Console.err.println(
       s"[bench] scale-aware shuffle: AQE initialPartitionNum=$n " +
         s"(floor ${cpus})"))
+    // SPARK_GRAFT_BROADCAST: scale-aware autoBroadcastJoinThreshold
+    // (the r9 verdict's one weak: at sf100 the p_type-filtered part
+    // dim outgrows the fixed 10 MB default and tpcds_q3_star_probe
+    // flips broadcast -> SortMergeJoin, shuffling the whole 611M-row
+    // fact on l_partkey — 26.9x/decade, THE canonical star-join
+    // scale-killer; it hits every canon star probe as dims outgrow
+    // the threshold). "auto" sizes the threshold from the input dir:
+    // dirBytes/64 with a 10 MB floor (gate-scale plans unchanged —
+    // sf0.1 is ~30 MB source) and a 512 MB cap (a hashed relation
+    // must fit beside execution memory in each task; ~100 MB hashed
+    // dims are routine on real executors). An integer pins the
+    // threshold in MB explicitly (experiment legs). Unset = Spark's
+    // fixed 10 MB default (anchor comparability). The alternative for
+    // dims beyond any sane threshold is the pre-bucketed co-located
+    // layout (Ingest.writeBucketedTable) — BASELINE.md r10 records
+    // the decision rule.
+    val broadcastMb: Option[Long] = sys.env.get("SPARK_GRAFT_BROADCAST").map {
+      case "auto" =>
+        val bytes = dirBytes(new java.io.File(sfDir))
+        math.min(512L << 20, math.max(10L << 20, bytes / 64)) >> 20
+      case n => n.toLong
+    }
+    broadcastMb.foreach(m => Console.err.println(
+      s"[bench] scale-aware broadcast: autoBroadcastJoinThreshold=${m}MB"))
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-    val spark = shuffleInit.fold(builder)(n => builder.config(
-        "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        n.toString))
+    val withShuffle = shuffleInit.fold(builder)(n => builder.config(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+      n.toString))
+    val spark = broadcastMb.fold(withShuffle)(m => withShuffle.config(
+        "spark.sql.autoBroadcastJoinThreshold", s"${m}MB"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_AQE_LOG: surface AQE's coalesce/replan decisions on
+    // stderr for diagnosis legs (the r9 128-partition minhash anomaly:
+    // a reproducible 155 s at initialPartitionNum=128 vs ~92 s at both
+    // 32 and 256 needed the coalesce boundary made visible)
+    if (sys.env.contains("SPARK_GRAFT_AQE_LOG"))
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.adaptive",
+        org.apache.logging.log4j.Level.DEBUG)
     // optional name filter (args) for targeted perf iteration; the
     // driver passes no args and gets the full suite
     val all: Seq[(String, (SparkSession, String) => DataFrame)] =
@@ -249,7 +287,10 @@ object Bench {
     // shuffle_init: the AQE pre-coalesce partition count this run used
     // (0 = unset, the historical fixed-cpus behavior) — legs at
     // different parallelism must be distinguishable in the artifact
-    val shuffleJson = s""","shuffle_init":${shuffleInit.getOrElse(0)}"""
+    // broadcast_mb: the autoBroadcastJoinThreshold this run used in MB
+    // (0 = unset, Spark's 10 MB default) — same leg-distinguishability
+    // contract as shuffle_init
+    val shuffleJson = s""","shuffle_init":${shuffleInit.getOrElse(0)},"broadcast_mb":${broadcastMb.getOrElse(0L)}"""
     val slowest = corrected.sortBy(-_._2).take(20).sortBy(_._1)
     val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","oracle_total":${r3(oracleTotal)},"core_total":${r3(coreTotal)},"tpcds_total":${r3(tpcdsTotal)},"curate_total":${r3(curateTotal)},"llm_total":${r3(llmTotal)},"extra_total":${r3(total - oracleTotal)},"n_queries":${corrected.size},"n_failed":${corrected.count(_._2 < 0)},"n_retimed":${outliers.size},"calibration_s":${r3(calibrationS)},"calibration_end_s":${r3(calibrationEndS)},"calibration_max_s":${r3(calibrationMaxS)},"n_probes":${probes.size},"host_load_factor":${r3(hostLoadFactor2)}$shuffleJson,"run_id":$runId,"queries":${dict(slowest)},"sf":"$sfDir"}"""
     println(summary)

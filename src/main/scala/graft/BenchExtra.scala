@@ -101,6 +101,25 @@ object BenchExtra {
   private val bm25IdxBuiltFor =
     new java.util.concurrent.atomic.AtomicReference[String]("")
 
+  /** The constant 50-query probe batch for [[bench_bm25_index_probe_full]],
+    * collected ONCE per fixture dir (50 tiny rows — a bounded,
+    * documented driver-side collect) and replayed as a LocalTableScan:
+    * deriving it by filtering the full docs table every run made the
+    * timed "steady-state serving" pass pay a corpus-linear parquet
+    * scan at each sf, diluting the probe-vs-full delta the key exists
+    * to isolate (r9 ADVICE). The memo fills during the warmup pass. */
+  private val bm25ProbeBatch =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, String)]]()
+
+  private def bm25ProbeQueries(s: SparkSession, dir: String): DataFrame = {
+    val batch = bm25ProbeBatch.computeIfAbsent(dir, d =>
+      docs(s, d).filter(col("doc_id") % 100 === 0 && col("doc_id") < 5000)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1))))
+    import s.implicits._
+    s.createDataset(batch.toIndexedSeq).toDF("query_id", "text")
+  }
+
   private def microElems(s: SparkSession, dir: String): DataFrame =
     embs(s, dir)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "e")))
@@ -359,8 +378,7 @@ object BenchExtra {
         bm25IdxBuiltFor.set(dir)
       }
       Retrieval.bm25TopKFromIndex("bench_bm25_idx",
-        d.filter(col("doc_id") % 100 === 0 && col("doc_id") < 5000)
-          .select(col("doc_id").as("query_id"), col("text")), 10)
+        bm25ProbeQueries(s, dir), 10)
     }),
     "bench_hits_report_full" -> ((s, dir) => {
       // production HITS path: convergence-reported early stop beside

@@ -211,18 +211,41 @@ object Retrieval {
     * exchanges only the batch side — the stored scan's bucketing
     * satisfies its half of the join distribution (spec-pinned, the
     * [[Dedup.incrementalLshPairsFromIndex]] single-exchange
-    * contract). Self-match suppression as in [[bm25TopK]]. */
+    * contract). Self-match suppression as in [[bm25TopK]].
+    *
+    * TERM PUSHDOWN (r10): the probe batch's distinct vocabulary is
+    * bounded by contract (|queries|·|terms per query| — a serving
+    * batch, not a corpus), so it is collected once (a documented
+    * bounded driver-side collect) and pushed into BOTH stored scans as
+    * an IN-set filter. On the term-bucketed, term-SORTED layout that
+    * filter prunes at three levels — bucket files, parquet row groups
+    * via min/max on the sort key, then rows — which is the entire
+    * point of an inverted index at 100 TB: a probe touches
+    * O(|query vocab| · avg postings/term) bytes, not the corpus. The
+    * join on term subsumes the filter semantically (probe == direct
+    * equality is unchanged; RetrievalSpec pins it). Batches whose
+    * vocabulary exceeds `pushdownTermCap` skip the pushdown (the
+    * IN-set literal itself must stay task-binary-sized) and fall back
+    * to the streamed broadcast join. */
   def bm25TopKFromIndex(prefix: String, queries: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, pushdownTermCap: Int = 100000): DataFrame = {
     val spark = queries.sparkSession
     val meta = spark.table(s"${prefix}_meta").head()
     val (k1, b, nDocs, avgdl) = (meta.getDouble(0), meta.getDouble(1),
       meta.getLong(2), meta.getDouble(3))
-    val postings = spark.table(s"${prefix}_postings")
-    val dfreq = spark.table(s"${prefix}_df")
     val qterms = queries
       .select(col("query_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "").distinct()
+    // +1 sentinel: take(cap+1) proves overflow without collecting an
+    // unbounded frame when a caller violates the bounded-batch contract
+    val vocab = qterms.select("term").distinct().take(pushdownTermCap + 1)
+      .map(_.getString(0))
+    val termFilter: DataFrame => DataFrame =
+      if (vocab.length <= pushdownTermCap)
+        _.filter(col("term").isInCollection(vocab.toIndexedSeq))
+      else identity
+    val postings = termFilter(spark.table(s"${prefix}_postings"))
+    val dfreq = termFilter(spark.table(s"${prefix}_df"))
     val qdfreq = dfreq.join(
       broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
     val scored = broadcast(qterms)

@@ -100,6 +100,66 @@ object FixtureGen {
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  /** Heaps'-law vocabulary size for a corpus of `nDocs` documents:
+    * ~50k terms at the sf0.1 anchor (5,000 docs), growing as
+    * sqrt(corpus) — V = 50000·√(nDocs/5000), floored at 1,000. The
+    * exponent β=0.5 is the classic mid-range Heaps fit for web text
+    * (Baeza-Yates & Ribeiro-Neto, Modern Information Retrieval §6.5:
+    * β≈0.4–0.6). */
+  private[sources] def heapsVocabSize(nDocs: Long): Int =
+    math.max(1000L, math.round(50000.0 * math.sqrt(nDocs / 5000.0))).toInt
+
+  /** Realistic-vocabulary documents variant: same schema, lang/source
+    * mix and length histogram as [[documents]] (alias-sampled from
+    * `srcDir`), but each word is drawn from a `vocabSize`-term Zipf(1)
+    * vocabulary instead of the shipped fixtures' ~31-word generator
+    * vocabulary. Purpose (r9 verdict task 1): on a ~31-word vocabulary
+    * every BM25 query term matches essentially EVERY posting, so the
+    * standing postings index's selectivity — the entire point of an
+    * inverted index at 100 TB — is unmeasurable, and the degenerate
+    * scoring join is what blew the sf100 bm25 leg's disk. A Zipf
+    * vocabulary gives real term selectivity (head terms are stopword-
+    * like, the tail is rare) while staying fully deterministic.
+    *
+    * Zipf draw, O(1) per word and whole-stage-codegen-safe: for
+    * Zipf(s=1) over ranks 1..V the CDF is H_r/H_V ≈ ln(r)/ln(V), so
+    * the inverse-CDF transform of a hash-uniform u is rank = ⌊V^u⌋ =
+    * ⌊exp(u·ln V)⌋ (clamped to [1, V]) — no alias table needed (an
+    * alias table cannot represent a 50k+-term vocabulary in 4096
+    * slots), no per-element search, no UDF. Terms are "w<rank>", so
+    * rank 1 ("w1") is the most frequent term and frequencies fall off
+    * as 1/rank. Every row remains a pure function of (seed, id):
+    * regeneration is reproducible at any scale. */
+  def documentsZipf(spark: SparkSession, srcDir: String, nDocs: Long,
+      vocabSize: Int = 0, seed: Long = 61): DataFrame = {
+    val v = if (vocabSize > 0) vocabSize else heapsVocabSize(nDocs)
+    val src = spark.read.parquet(s"$srcDir/documents.parquet")
+    val langW = src.groupBy("lang").count().orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val sourceW = src.groupBy("source").count().orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val lenW = src.select(size(split(col("text"), " ")).as("n"))
+      .groupBy("n").count().orderBy("n").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val langLit = lit(aliasSlots(langW, Slots))
+    val sourceLit = lit(aliasSlots(sourceW, Slots))
+    val lenLit = lit(aliasSlots(lenW, Slots))
+    val lnV = math.log(v.toDouble)
+    spark.range(nDocs).toDF("doc_id")
+      .withColumn("n_words", element_at(lenLit, slot(seed, "len", col("doc_id"))))
+      .withColumn("text", array_join(
+        transform(sequence(lit(0), col("n_words") - 1), j =>
+          concat(lit("w"),
+            least(lit(v.toLong), greatest(lit(1L),
+              floor(exp(unif01(seed, "zipfw", col("doc_id"), j) * lnV))
+                .cast("long"))))),
+        " "))
+      .withColumn("lang", element_at(langLit, slot(seed, "lang", col("doc_id"))))
+      .withColumn("source", element_at(sourceLit, slot(seed, "src", col("doc_id"))))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   /** Generate `nVecs` unit-norm Gaussian embeddings shaped like the
     * shipped `embeddings` table (ARRAY<FLOAT>[dim], label 0-9). */
   def embeddings(spark: SparkSession, nVecs: Long, dim: Int = 64,
@@ -383,10 +443,22 @@ object FixtureGen {
       writeScaledRelational(spark, srcDir, outDir, mult, seed)
   }
 
-  /** CLI: FixtureGen <srcDir> <outDir> <mult>. */
+  /** Write a Zipf-vocabulary bench fixture dir: documents.parquet ONLY
+    * (the bm25/retrieval bench families read nothing else), at `mult`×
+    * the source row count with a Heaps-scaled vocabulary. The gated
+    * sf fixtures stay untouched — this is a bench fixture VARIANT; legs
+    * record the dir they ran against. */
+  def writeZipf(spark: SparkSession, srcDir: String, outDir: String,
+      mult: Int, seed: Long = 61): Unit = {
+    val nDocs = spark.read.parquet(s"$srcDir/documents.parquet").count() * mult
+    documentsZipf(spark, srcDir, nDocs, seed = seed)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
+  /** CLI: FixtureGen <srcDir> <outDir> <mult> [zipf]. */
   def main(args: Array[String]): Unit = {
     if (args.length < 3) {
-      System.err.println("usage: FixtureGen <srcDir> <outDir> <mult>")
+      System.err.println("usage: FixtureGen <srcDir> <outDir> <mult> [zipf]")
       sys.exit(2)
     }
     val Array(srcDir, outDir, multStr) = args.take(3)
@@ -403,8 +475,13 @@ object FixtureGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    writeScaled(spark, srcDir, outDir, mult)
-    println(s"[fixturegen] wrote ${mult}x of $srcDir to $outDir")
+    if (args.length > 3 && args(3) == "zipf") {
+      writeZipf(spark, srcDir, outDir, mult)
+      println(s"[fixturegen] wrote ${mult}x zipf documents of $srcDir to $outDir")
+    } else {
+      writeScaled(spark, srcDir, outDir, mult)
+      println(s"[fixturegen] wrote ${mult}x of $srcDir to $outDir")
+    }
     spark.stop()
   }
 }

@@ -203,6 +203,29 @@ class RetrievalSpec extends SparkSpec {
       "stored k1/b must actually change scores vs defaults")
   }
 
+  test("standing postings index probe pushes the query vocabulary into the stored scans") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha bravo charlie common pad words"),
+      (2L, "delta echo foxtrot common pad words"),
+      (3L, "alpha delta golf common pad words"),
+    ).toDF("doc_id", "text")
+    Retrieval.writePostingsIndex(d, "bm25_idx_pd", numBuckets = 8)
+    val q = Seq((9L, "alpha golf")).toDF("query_id", "text")
+    val plan = Retrieval.bm25TopKFromIndex("bm25_idx_pd", q, 5)
+      .queryExecution.executedPlan.toString
+    // the bounded query vocabulary must reach the parquet scans as a
+    // pushed IN filter — on the term-sorted bucketed layout that is
+    // bucket + row-group + row pruning, the probe's selectivity path
+    assert("PushedFilters: \\[.*In\\(term".r.findAllIn(plan).size >= 2,
+      s"query vocabulary not pushed into the stored postings/df scans:\n$plan")
+    // and an over-cap batch must NOT try to push an unbounded IN-set
+    val big = Retrieval.bm25TopKFromIndex("bm25_idx_pd", q, 5,
+      pushdownTermCap = 1)
+    assert(big.count() == Retrieval.bm25TopKFromIndex("bm25_idx_pd", q, 5)
+      .count(), "fallback path must return identical results")
+  }
+
   test("standing postings index: stored side unshuffled under a term-key join") {
     import spark.implicits._
     val d = Seq(

@@ -58,6 +58,53 @@ class FixtureGenSpec extends SparkSpec {
     assert(lens.getInt(0) >= 10 && lens.getInt(1) <= 100, lens.toString)
   }
 
+  test("documentsZipf: schema, determinism, Heaps vocab, Zipf skew") {
+    val shipped = spark.read.parquet(s"$sfCorrect/documents.parquet")
+    val gen = FixtureGen.documentsZipf(spark, sfCorrect, 4000L,
+      vocabSize = 20000)
+    assert(gen.schema.map(f => (f.name, f.dataType)) ==
+      shipped.schema.map(f => (f.name, f.dataType)),
+      s"schema drift: ${gen.schema} vs ${shipped.schema}")
+    assert(gen.count() === 4000L)
+    // pure function of (seed, id)
+    val a = gen.orderBy("doc_id").limit(50).collect().map(_.toString)
+    val b = FixtureGen.documentsZipf(spark, sfCorrect, 4000L, vocabSize = 20000)
+      .orderBy("doc_id").limit(50).collect().map(_.toString)
+    assert(a.sameElements(b), "regeneration drifted")
+    // term frequencies: Zipf head — rank-1 term dominates; realistic
+    // tail — thousands of distinct terms, many singletons (the ~31-word
+    // shipped vocabulary has neither property)
+    val tf = gen.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().collect().map(r => (r.getString(0), r.getLong(1)))
+    val byFreq = tf.sortBy(-_._2)
+    assert(byFreq.head._1 == "w1", s"head term ${byFreq.head}")
+    assert(tf.length > 5000, s"only ${tf.length} distinct terms")
+    val singletons = tf.count(_._2 == 1)
+    assert(singletons > 500, s"only $singletons singleton terms — no tail")
+    // head/median skew: rank-1 frequency ≫ median frequency
+    val med = byFreq(byFreq.length / 2)._2
+    assert(byFreq.head._2 > 50 * med,
+      s"head ${byFreq.head._2} vs median $med — not Zipf-skewed")
+    // ranks stay inside the vocabulary bound
+    val maxRank = tf.map(_._1.stripPrefix("w").toLong).max
+    assert(maxRank <= 20000, s"rank $maxRank outside vocab")
+    // lang mix still tracks the source (the retrieval diversified
+    // fixture depends on the English share)
+    def mix(df: org.apache.spark.sql.DataFrame) = {
+      val n = df.count().toDouble
+      df.groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1) / n).toMap
+    }
+    val (sm, gm) = (mix(shipped), mix(gen))
+    sm.foreach { case (lang, p) =>
+      assert(math.abs(gm.getOrElse(lang, 0.0) - p) < 0.03,
+        s"$lang: $p vs ${gm.get(lang)}")
+    }
+    // Heaps sizing: anchor 50k at 5k docs, √10 growth per decade
+    assert(FixtureGen.heapsVocabSize(5000L) === 50000)
+    assert(math.abs(FixtureGen.heapsVocabSize(500000L) - 500000) < 2000)
+  }
+
   test("relational up-scaler: schemas identical, counts scale, FKs resolve, envelopes hold") {
     val out = java.nio.file.Files.createTempDirectory("graft_fixgen_rel")
       .toString
