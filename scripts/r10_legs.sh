@@ -45,13 +45,20 @@ run_leg() { # heap sfdir out shuffle keys...
     exit 1
   fi
   grep -E "\[bench\]" "$log" || true
-  rm -f "$log"
+  # LEG_KEEP_LOG: preserve the full JVM log beside the artifact (the
+  # AQE-diagnosis legs need the DEBUG coalesce lines, not just [bench])
+  if [ -n "${LEG_KEEP_LOG:-}" ]; then
+    mv "$log" "${out%.json}.log"
+  else
+    rm -f "$log"
+  fi
 }
 
 settle() { echo "--- settle 150 s (leg hygiene)"; sleep 150; }
 
 # constant key sets
-BM25K="bench_bm25_index_build_full bench_bm25_index_probe_full bench_bm25_full"
+BM25K="bench_bm25_index_build_full bench_bm25_index_probe_full \
+bench_bm25_index_probe_seldf_full bench_bm25_full"
 
 case "${1:?mode}" in
   fold)
@@ -73,16 +80,20 @@ case "${1:?mode}" in
     du -sh /tmp/zf*
     ;;
   bm25zipf)
-    run_leg 32g /tmp/zf01 bench/r10/r10_bm25z_zf01.json default $BM25K
+    # v2: first-cut legs (r10_bm25z_*) measured a probe floor from the
+    # take(cap+1) incremental-limit jobs + the redundant df semi-join;
+    # both fixed (single collect_set job, pushdown skips the semi-join)
+    # and the seldf (stopword-pruned) row added
+    run_leg 32g /tmp/zf01 bench/r10/r10_bm25z2_zf01.json default $BM25K
     settle
-    run_leg 32g /tmp/zf1  bench/r10/r10_bm25z_zf1.json  default $BM25K
+    run_leg 32g /tmp/zf1  bench/r10/r10_bm25z2_zf1.json  default $BM25K
     settle
-    run_leg 32g /tmp/zf10 bench/r10/r10_bm25z_zf10.json default $BM25K
+    run_leg 32g /tmp/zf10 bench/r10/r10_bm25z2_zf10.json default $BM25K
     ;;
   bm25zipf100)
     # fifth decade of the bm25 standing index on the zipf fixture —
     # separated from bm25zipf so the disk high-water mark is observable
-    run_leg 32g /tmp/zf100 bench/r10/r10_bm25z_zf100.json default $BM25K
+    run_leg 32g /tmp/zf100 bench/r10/r10_bm25z2_zf100.json default $BM25K
     ;;
   starprobe)
     # the r9 weak: q3 star probe crossed the broadcast->SMJ cliff at
@@ -96,11 +107,11 @@ case "${1:?mode}" in
     # the unexplained reproducible 155 s at initialPartitionNum=128 vs
     # ~92 s at 32/256 (BASELINE.md r9): one leg at 128 with AQE
     # coalesce logging, one at 160 to bracket
-    LEG_EXTRA_ENV="SPARK_GRAFT_AQE_LOG=1" \
+    LEG_EXTRA_ENV="SPARK_GRAFT_AQE_LOG=1" LEG_KEEP_LOG=1 \
       run_leg 32g /tmp/sf10 bench/r10/r10_mh128_sf10.json 128 \
       bench_minhash_rowlocal_full
     settle
-    LEG_EXTRA_ENV="SPARK_GRAFT_AQE_LOG=1" \
+    LEG_EXTRA_ENV="SPARK_GRAFT_AQE_LOG=1" LEG_KEEP_LOG=1 \
       run_leg 32g /tmp/sf10 bench/r10/r10_mh160_sf10.json 160 \
       bench_minhash_rowlocal_full
     ;;

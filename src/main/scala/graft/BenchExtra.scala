@@ -380,6 +380,24 @@ object BenchExtra {
       Retrieval.bm25TopKFromIndex("bench_bm25_idx",
         bm25ProbeQueries(s, dir), 10)
     }),
+    "bench_bm25_index_probe_seldf_full" -> ((s, dir) => {
+      // stopword-pruned probe (maxDfFrac = 0.2): the production
+      // serving knob beside the exact probe row — on a Zipf corpus
+      // the handful of head terms that sit in >20% of documents carry
+      // most of the scoring-join volume while contributing idf ≤
+      // ln(1+4) ≈ 1.61 per term (vs ~5-6 for tail terms); pruning
+      // them is the Lucene-stopword / MaxScore move. APPROXIMATE by
+      // design (RetrievalSpec pins direct/index agreement under the
+      // same knob, and the exact row above stays the gate); the delta
+      // vs bench_bm25_index_probe_full is what the knob buys per batch.
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      if (bm25IdxBuiltFor.get != dir) {
+        Retrieval.writePostingsIndex(d, "bench_bm25_idx")
+        bm25IdxBuiltFor.set(dir)
+      }
+      Retrieval.bm25TopKFromIndex("bench_bm25_idx",
+        bm25ProbeQueries(s, dir), 10, maxDfFrac = 0.2)
+    }),
     "bench_hits_report_full" -> ((s, dir) => {
       // production HITS path: convergence-reported early stop beside
       // the fixed-10-iteration gated twin (graph_hits) — the report

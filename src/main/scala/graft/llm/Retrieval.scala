@@ -63,11 +63,12 @@ object Retrieval {
     * callers with an independent query-id space are unaffected as
     * long as their ids don't collide with corpus ids. */
   def bm25TopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      maxDfFrac: Double = 1.0): DataFrame = {
     val qterms = queries
       .select(col("query_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "").distinct()
-    val scored = bm25PartialsF(corpus, qterms, k1, b)
+    val scored = bm25PartialsF(corpus, qterms, k1, b, maxDfFrac)
       .groupBy("query_id", "doc_id")
       .agg(sum("bm25_term").as("bm25"))
     scored.withColumn("rank", row_number().over(
@@ -80,7 +81,7 @@ object Retrieval {
   /** Shared BM25 partial-score pipeline (float): one row per
     * (query_id, doc_id, term) with the BM25 term contribution. */
   private def bm25PartialsF(corpus: DataFrame, qterms: DataFrame,
-      k1: Double, b: Double): DataFrame = {
+      k1: Double, b: Double, maxDfFrac: Double = 1.0): DataFrame = {
     val toks = corpus
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
@@ -99,8 +100,16 @@ object Retrieval {
     // to |query vocab| rows first; THAT frame is bounded and broadcast-
     // safe. Contrast idfScore/lmScore, which score every token and must
     // carry the full vocab by design.
-    val qdfreq = dfreq.join(
+    val qdfreqAll = dfreq.join(
       broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
+    // optional stopword pruning — [[bm25TopKFromIndex]]'s maxDfFrac
+    // knob, applied here so the two paths agree under the same setting
+    // (the inner join on the pruned broadcast drops the term's
+    // partials; the index path drops its postings at the scan)
+    val qdfreq = if (maxDfFrac < 1.0)
+      qdfreqAll.crossJoin(broadcast(dl.agg(count(lit(1)).as("nd"))))
+        .filter(col("df") <= lit(maxDfFrac) * col("nd")).drop("nd")
+    else qdfreqAll
     broadcast(qterms)
       .join(tf, "term")
       .filter(col("doc_id") =!= col("query_id"))
@@ -228,7 +237,8 @@ object Retrieval {
     * IN-set literal itself must stay task-binary-sized) and fall back
     * to the streamed broadcast join. */
   def bm25TopKFromIndex(prefix: String, queries: DataFrame,
-      k: Int, pushdownTermCap: Int = 100000): DataFrame = {
+      k: Int, pushdownTermCap: Int = 100000,
+      maxDfFrac: Double = 1.0): DataFrame = {
     val spark = queries.sparkSession
     val meta = spark.table(s"${prefix}_meta").head()
     val (k1, b, nDocs, avgdl) = (meta.getDouble(0), meta.getDouble(1),
@@ -236,18 +246,51 @@ object Retrieval {
     val qterms = queries
       .select(col("query_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "").distinct()
-    // +1 sentinel: take(cap+1) proves overflow without collecting an
-    // unbounded frame when a caller violates the bounded-batch contract
-    val vocab = qterms.select("term").distinct().take(pushdownTermCap + 1)
-      .map(_.getString(0))
+    // ONE map-side job for the vocabulary (collect_set partial-aggs per
+    // partition, no shuffle): the first cut used take(cap+1), whose
+    // incremental-limit scale-up (1 → 4 → 16 → all partitions) ran up
+    // to 4 sequential mini-jobs per probe — measurable floor at serving
+    // batch sizes. Cap enforcement moves after the collect; the batch
+    // is bounded by contract, the cap only guards a contract violation.
+    val vocab = queries
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .agg(collect_set(col("term"))).head().getSeq[String](0)
+    val pushdown = vocab.length <= pushdownTermCap
+    // Optional high-df (stopword) pruning, the classic lexical-serving
+    // knob (Lucene stopword filtering / MaxScore's skip-the-flat-lists
+    // intuition): a Zipf head term sits in ~every document, so its
+    // postings dominate the scoring-join volume while its idf
+    // ln(1+(N−df+0.5)/(df+0.5)) → ~0 contributes almost nothing to any
+    // rank. maxDfFrac < 1 drops query terms with df > maxDfFrac·N
+    // BEFORE the postings scan (the df lookup against the vocab-pruned
+    // stored df table is query-vocabulary-sized). APPROXIMATE by
+    // construction — ranks can shift where near-ties hinge on a
+    // stopword's residual idf — so the default 1.0 keeps the exact
+    // contract (probe == direct, spec-pinned); [[bm25TopK]] takes the
+    // same knob so the two paths agree under the same setting.
+    val dfCap = (maxDfFrac * nDocs).toLong
+    val prunedVocab: Seq[String] =
+      if (pushdown && maxDfFrac < 1.0)
+        spark.table(s"${prefix}_df")
+          .filter(col("term").isInCollection(vocab) && col("df") <= dfCap)
+          .agg(collect_set(col("term"))).head().getSeq[String](0)
+      else vocab
     val termFilter: DataFrame => DataFrame =
-      if (vocab.length <= pushdownTermCap)
-        _.filter(col("term").isInCollection(vocab.toIndexedSeq))
+      if (pushdown) _.filter(col("term").isInCollection(prunedVocab))
       else identity
     val postings = termFilter(spark.table(s"${prefix}_postings"))
-    val dfreq = termFilter(spark.table(s"${prefix}_df"))
-    val qdfreq = dfreq.join(
-      broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
+    val dfreq = {
+      val base = termFilter(spark.table(s"${prefix}_df"))
+      if (maxDfFrac < 1.0) base.filter(col("df") <= dfCap) else base
+    }
+    // the pushed IN-set already restricts the stored df scan to the
+    // query vocabulary — the broadcast semi-join of the pre-pushdown
+    // form is redundant there and skipped (one fewer broadcast build
+    // per probe; the fallback path still needs it)
+    val qdfreq = if (pushdown) dfreq
+      else dfreq.join(
+        broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
     val scored = broadcast(qterms)
       .join(postings, "term")
       .filter(col("doc_id") =!= col("query_id"))

@@ -226,6 +226,40 @@ class RetrievalSpec extends SparkSpec {
       .count(), "fallback path must return identical results")
   }
 
+  test("maxDfFrac stopword pruning: index and direct paths agree, knob binds") {
+    import spark.implicits._
+    // "common" sits in every doc (df/N = 1) — pruned at maxDfFrac 0.5;
+    // rare terms differentiate the docs
+    val d = Seq(
+      (1L, "alpha bravo common filler"),
+      (2L, "alpha charlie common filler"),
+      (3L, "delta echo common filler"),
+      (4L, "delta foxtrot common filler"),
+    ).toDF("doc_id", "text")
+    Retrieval.writePostingsIndex(d, "bm25_idx_df")
+    val q = Seq((9L, "alpha common"), (8L, "delta common"))
+      .toDF("query_id", "text")
+    val viaIndex = Retrieval.bm25TopKFromIndex("bm25_idx_df", q, 4,
+        maxDfFrac = 0.5)
+      .select("query_id", "rank", "doc_id", "bm25")
+    val direct = Retrieval.bm25TopK(d, q, 4, maxDfFrac = 0.5)
+      .select("query_id", "rank", "doc_id", "bm25")
+    assert(viaIndex.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(viaIndex).count() == 0,
+      "pruned index probe must match the pruned direct path exactly")
+    // the knob binds: with "common" (and "filler") pruned, docs that
+    // match only through them drop out of the candidate list entirely
+    val exact = Retrieval.bm25TopK(d, q, 4)
+    assert(exact.count() > direct.count(),
+      "pruning universal terms must shrink the candidate list")
+    // and pruned scores carry no contribution from the pruned terms:
+    // every surviving candidate matched a sub-threshold term
+    val prunedDocs = direct.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(prunedDocs.subsetOf(Set(1L, 2L, 3L, 4L)) && prunedDocs.size == 4,
+      s"alpha/delta candidates expected, got $prunedDocs")
+  }
+
   test("standing postings index: stored side unshuffled under a term-key join") {
     import spark.implicits._
     val d = Seq(
