@@ -174,6 +174,54 @@ class PlanQualitySpec extends SparkSpec {
         s"removed: ${(multiScanInventory.toSet -- found.toSet)}")
   }
 
+  /** The r9 sf100 star-probe cliff rule (r10): a star probe whose dim
+    * is FILTERED (tpcds_q3_star_probe's p_type = 'PROMO') flips
+    * broadcast → SortMergeJoin once the dim file outgrows the static
+    * threshold, because without column stats Catalyst estimates the
+    * filtered dim at its UNfiltered scan size. A blanket threshold
+    * raise closes that cliff (sf100 leg: 60.5 → 11.4 s) but also
+    * broadcasts genuinely-full dims — the same leg measured the
+    * UNfiltered-part probes regress (q55 6.5 → 14.8 s): no stat-less
+    * static threshold can separate the two shapes, since their
+    * estimates are equal by construction. WITH the catalog stats the
+    * library already ships (Tables.registerCatalog: ANALYZE + column
+    * stats) and CBO on, FilterEstimation shrinks the filtered dim's
+    * estimate below the full dim's, and ONE threshold between the two
+    * broadcasts the filtered star while keeping the full-dim join
+    * shuffled — asserted here on the real fixture tables. */
+  test("CBO stats separate filtered-dim broadcast from full-dim shuffle (star-cliff rule)") {
+    Tables.registerCatalog(spark, sfSmoke, analyze = true, namespace = "cbostar")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      def est(sql: String): BigInt =
+        spark.sql(sql).queryExecution.optimizedPlan.stats.sizeInBytes
+      val filteredEst =
+        est("SELECT p_partkey, p_brand FROM cbostar.part WHERE p_type = 'PROMO'")
+      val fullEst = est("SELECT p_partkey, p_brand FROM cbostar.part")
+      assert(filteredEst < fullEst,
+        s"CBO must shrink the filtered dim estimate: $filteredEst vs $fullEst")
+      val mid = (filteredEst + fullEst) / 2
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", mid.toString)
+      def plan(dimFilter: String): String = spark.sql(
+        s"""SELECT p_brand, COUNT(*) AS n
+           |FROM cbostar.lineitem JOIN cbostar.part ON l_partkey = p_partkey
+           |$dimFilter GROUP BY p_brand""".stripMargin)
+        .queryExecution.executedPlan.toString
+      val starPlan = plan("WHERE p_type = 'PROMO'")
+      assert(starPlan.contains("BroadcastHashJoin"),
+        s"filtered star dim must broadcast under the stats-based threshold:\n$starPlan")
+      val fullPlan = plan("")
+      assert(!fullPlan.contains("BroadcastHashJoin"),
+        s"full dim must NOT broadcast under the same threshold:\n$fullPlan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.cbo.enabled")
+      Tables.names.foreach(n =>
+        spark.sql(s"DROP TABLE IF EXISTS cbostar.$n"))
+      spark.sql("DROP NAMESPACE IF EXISTS cbostar")
+    }
+  }
+
   test("no oracle query caches a stray InMemoryTableScan") {
     val cached = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
