@@ -398,6 +398,20 @@ object BenchExtra {
       Retrieval.bm25TopKFromIndex("bench_bm25_idx",
         bm25ProbeQueries(s, dir), 10, maxDfFrac = 0.2)
     }),
+    "bench_bm25_index_probe_2p_full" -> ((s, dir) => {
+      // EXACT two-phase MaxScore probe (tail-selective phase 1, the
+      // candidate-bounded head rescore, per-query exactness
+      // certificate with one-phase fallback): same results as the
+      // exact probe row, expected near the seldf row's cost where the
+      // certificate holds — the exact serving path at scale
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      if (bm25IdxBuiltFor.get != dir) {
+        Retrieval.writePostingsIndex(d, "bench_bm25_idx")
+        bm25IdxBuiltFor.set(dir)
+      }
+      Retrieval.bm25TopKFromIndexTwoPhase("bench_bm25_idx",
+        bm25ProbeQueries(s, dir), 10)
+    }),
     "bench_hits_report_full" -> ((s, dir) => {
       // production HITS path: convergence-reported early stop beside
       // the fixed-10-iteration gated twin (graph_hits) — the report

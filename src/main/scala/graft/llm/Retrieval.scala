@@ -311,6 +311,164 @@ object Retrieval {
       .select("query_id", "rank", "doc_id", "bm25")
   }
 
+  /** Exact two-phase probe — the relational MaxScore/WAND move (Turtle
+    * & Flood, Inf. Proc. & Mgmt 1995; Broder et al. CIKM 2003), for
+    * serving batches where the Zipf head dominates scoring-join volume
+    * (zf100: the one-phase exact probe steps 16.2×/decade on head
+    * postings mass alone — BASELINE r10):
+    *
+    *  - PHASE 1 scores only TAIL terms (stored df ≤ headDfFrac·N) —
+    *    the same selective join as the maxDfFrac-pruned probe — and
+    *    keeps the top k·overfetch candidates per query;
+    *  - PHASE 2 rescores ONLY those candidates with the HEAD terms:
+    *    the head-postings scan is pruned by BOTH IN-sets (head terms
+    *    AND the collected candidate doc ids — each bounded, the doc
+    *    set by |queries|·k·overfetch), so its output is
+    *    candidate-sized, never corpus-sized; total = tail + head
+    *    contribution, exact BM25 arithmetic per term;
+    *  - CERTIFICATE: a doc outside the candidate set scores at most
+    *    tailCut(q) + headBound(q) — tailCut is the lowest admitted
+    *    phase-1 tail score (only when the overfetch window filled;
+    *    otherwise every tail-matching doc IS a candidate and outside
+    *    docs carry no tail term at all), headBound =
+    *    Σ_{head terms of q} idf·(k1+1), the tf→∞ saturation limit of
+    *    the BM25 term contribution. If the query's exact k-th
+    *    rescored score strictly exceeds that bound, no outside doc
+    *    can displace the top k — provably exact for that query.
+    *    Queries that fail (all-head queries, sparse tail matches)
+    *    fall back to the one-phase exact probe, merged in — full-join
+    *    volume is paid only for them.
+    *
+    * Returns (query_id, rank, doc_id, bm25, certified). Ranks agree
+    * with [[bm25TopKFromIndex]] (spec-pinned on distinct-score
+    * fixtures; the split tail+head summation can differ from the
+    * one-phase sum by final-digit ULPs, so exact-tie rank order
+    * between equal-scored docs is the one caveat). */
+  def bm25TopKFromIndexTwoPhase(prefix: String, queries: DataFrame,
+      k: Int, headDfFrac: Double = 0.2, overfetch: Int = 4,
+      pushdownTermCap: Int = 100000): DataFrame = {
+    val spark = queries.sparkSession
+    val meta = spark.table(s"${prefix}_meta").head()
+    val (k1, b, nDocs, avgdl) = (meta.getDouble(0), meta.getDouble(1),
+      meta.getLong(2), meta.getDouble(3))
+    val dfCap = (headDfFrac * nDocs).toLong
+    val qterms = queries
+      .select(col("query_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "").distinct()
+    val vocab = queries
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .agg(collect_set(col("term"))).head().getSeq[String](0)
+    require(vocab.length <= pushdownTermCap,
+      s"two-phase probe needs a bounded batch vocabulary (${vocab.length})")
+    // one pass over the vocab-pruned stored df table classifies the
+    // query vocabulary into tail/head (bounded driver-side collect)
+    val qdf = spark.table(s"${prefix}_df")
+      .filter(col("term").isInCollection(vocab))
+      .select(col("term"), col("df")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val tailVocab = qdf.filter(_._2 <= dfCap).map(_._1).toIndexedSeq
+    val headVocab = qdf.filter(_._2 > dfCap).map(_._1).toIndexedSeq
+    def idfOf(df: Long): Double =
+      math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+    val scoreExpr =
+      log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5))) *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("dl") / lit(avgdl)))
+    def scored(voc: IndexedSeq[String],
+        extraFilter: DataFrame => DataFrame = identity): DataFrame = {
+      val postings = extraFilter(spark.table(s"${prefix}_postings")
+        .filter(col("term").isInCollection(voc)))
+      val dfreq = spark.table(s"${prefix}_df")
+        .filter(col("term").isInCollection(voc))
+      broadcast(qterms.filter(col("term").isInCollection(voc)))
+        .join(postings, "term")
+        .filter(col("doc_id") =!= col("query_id"))
+        .join(broadcast(dfreq), "term")
+        .withColumn("bm25_term", scoreExpr)
+    }
+    // ---- phase 1: tail-only scores, top k·overfetch per query
+    val tailScores = scored(tailVocab)
+      .groupBy("query_id", "doc_id").agg(sum("bm25_term").as("tail_bm25"))
+    val cand = tailScores.withColumn("p1rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("tail_bm25").desc, col("doc_id"))))
+      .filter(col("p1rank") <= k * overfetch)
+    val tailCut = cand.groupBy("query_id")
+      .agg(min("tail_bm25").as("tail_cut"), max("p1rank").as("max_rank"))
+    // ---- phase 2: head contributions for candidate docs only; the
+    // candidate DOC ids prune the head-postings scan row-level (a
+    // bounded collect: |queries|·k·overfetch rows)
+    val candIds = cand.select("query_id", "doc_id")
+    val candDocIds = candIds.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toIndexedSeq
+    val headContrib =
+      if (headVocab.isEmpty || candDocIds.isEmpty)
+        spark.emptyDataFrame
+          .select(lit(0L).as("query_id"), lit(0L).as("doc_id"),
+            lit(0.0).as("head_bm25")).limit(0)
+      else scored(headVocab,
+          _.filter(col("doc_id").isInCollection(candDocIds)))
+        .join(broadcast(candIds), Seq("query_id", "doc_id"), "left_semi")
+        .groupBy("query_id", "doc_id").agg(sum("bm25_term").as("head_bm25"))
+    val exact = cand.select("query_id", "doc_id", "tail_bm25")
+      .join(headContrib, Seq("query_id", "doc_id"), "left")
+      .withColumn("bm25",
+        col("tail_bm25") + coalesce(col("head_bm25"), lit(0.0)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("bm25").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+    // ---- per-query certificate
+    val headBoundMap = qdf.filter(_._2 > dfCap)
+      .map { case (t, d) => (t, idfOf(d) * (k1 + 1.0)) }.toMap
+    val qHeadBound =
+      if (headVocab.isEmpty)
+        qterms.select("query_id").distinct()
+          .withColumn("head_bound", lit(0.0))
+      else qterms.filter(col("term").isInCollection(headVocab))
+        .withColumn("imax", element_at(
+          map(headBoundMap.toSeq.flatMap { case (t, v) =>
+            Seq(lit(t), lit(v)) }: _*), col("term")))
+        .groupBy("query_id").agg(sum("imax").as("head_bound"))
+    val kth = exact.groupBy("query_id")
+      .agg(min("bm25").as("kth_bm25"), count(lit(1)).as("n_topk"))
+    val cert = kth
+      .join(tailCut, "query_id")
+      .join(qHeadBound, Seq("query_id"), "left")
+      .withColumn("head_bound", coalesce(col("head_bound"), lit(0.0)))
+      .withColumn("outside_bound",
+        when(col("max_rank") === k * overfetch,
+          col("tail_cut") + col("head_bound"))
+          .otherwise(col("head_bound")))
+      // STRICT >: an outside doc tying the kth score could still win
+      // the doc_id tie-break
+      .withColumn("certified",
+        col("n_topk") === k && col("kth_bm25") > col("outside_bound"))
+      .select("query_id", "certified")
+    // queries with no tail matches never reach cert — fail closed
+    val certAll = qterms.select("query_id").distinct()
+      .join(cert, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("certified"), lit(false)).as("certified"))
+    val okQ = certAll.filter(col("certified")).select("query_id")
+    val badQ = certAll.filter(!col("certified")).select("query_id")
+      .collect().map(_.getLong(0))
+    val certifiedPart = exact
+      .join(broadcast(okQ), Seq("query_id"), "left_semi")
+      .withColumn("certified", lit(true))
+      .select("query_id", "rank", "doc_id", "bm25", "certified")
+    if (badQ.isEmpty) certifiedPart
+    else certifiedPart.unionByName(
+      bm25TopKFromIndex(prefix,
+          queries.filter(col("query_id").isInCollection(badQ.toIndexedSeq)),
+          k, pushdownTermCap)
+        .withColumn("certified", lit(false))
+        .select("query_id", "rank", "doc_id", "bm25", "certified"))
+  }
+
   // ------------------------------------------- micro-int gated twins
 
   private def docs(s: SparkSession, dir: String): DataFrame =

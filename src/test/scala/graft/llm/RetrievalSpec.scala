@@ -260,6 +260,40 @@ class RetrievalSpec extends SparkSpec {
       s"alpha/delta candidates expected, got $prunedDocs")
   }
 
+  test("two-phase MaxScore probe: certified queries exact, all-head queries fall back") {
+    import spark.implicits._
+    // corpus with real head/tail separation: "common" in every doc
+    // (head at headDfFrac 0.3: cap = 6 of 20), "grp<j>" in 5 docs each
+    // and "u<i>" unique (both tail)
+    val d = (0 until 20).map(i =>
+      (i.toLong, s"common grp${i % 4} u$i")).toDF("doc_id", "text")
+    Retrieval.writePostingsIndex(d, "bm25_idx_2p", numBuckets = 8)
+    val q = Seq((100L, "common u3 grp1"), (101L, "common"))
+      .toDF("query_id", "text")
+    val twoPhase = Retrieval.bm25TopKFromIndexTwoPhase("bm25_idx_2p", q,
+      k = 3, headDfFrac = 0.3)
+    val onePhase = Retrieval.bm25TopKFromIndex("bm25_idx_2p", q, 3)
+    // rank-for-rank agreement with the one-phase exact probe on BOTH
+    // queries (certified path and fallback path)
+    val tp = twoPhase.select("query_id", "rank", "doc_id")
+    val op = onePhase.select("query_id", "rank", "doc_id")
+    assert(tp.exceptAll(op).count() == 0 && op.exceptAll(tp).count() == 0,
+      "two-phase ranks must equal the one-phase exact probe")
+    // the tail-discriminating query is CERTIFIED (phase 2 proved no
+    // outside doc can displace the top k); the all-head query cannot
+    // be certified and went through the fallback
+    val certOf = twoPhase.select("query_id", "certified").distinct()
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(certOf(100L), "tail-discriminating query should be certified")
+    assert(!certOf(101L), "all-head query must fail closed to the fallback")
+    // phase-2 scan pruning: certified results carry full BM25 (head
+    // contribution included) — the top doc for query 100 must be doc 3
+    // (matches BOTH tail terms u3 and grp1)
+    val top100 = twoPhase.filter(col("query_id") === 100L &&
+      col("rank") === 1).select("doc_id").head().getLong(0)
+    assert(top100 === 3L, s"expected doc 3 on top, got $top100")
+  }
+
   test("standing postings index: stored side unshuffled under a term-key join") {
     import spark.implicits._
     val d = Seq(
