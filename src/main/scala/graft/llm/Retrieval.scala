@@ -389,81 +389,76 @@ object Retrieval {
         .join(broadcast(dfreq), "term")
         .withColumn("bm25_term", scoreExpr)
     }
-    // ---- phase 1: tail-only scores, top k·overfetch per query
-    val tailScores = scored(tailVocab)
+    // ---- phase 1: tail-only scores, top k·overfetch per query —
+    // executed ONCE and collected: the candidate frame is bounded
+    // (|queries|·k·overfetch rows) and feeds phase 2, the exact
+    // re-rank AND the certificate, so leaving it lazy re-runs the
+    // whole tail-scoring DAG per downstream action (the first cut
+    // measured 5× the one-phase probe on exactly that — 4 recomputes)
+    val candRows = scored(tailVocab)
       .groupBy("query_id", "doc_id").agg(sum("bm25_term").as("tail_bm25"))
-    val cand = tailScores.withColumn("p1rank", row_number().over(
+      .withColumn("p1rank", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("tail_bm25").desc, col("doc_id"))))
       .filter(col("p1rank") <= k * overfetch)
-    val tailCut = cand.groupBy("query_id")
-      .agg(min("tail_bm25").as("tail_cut"), max("p1rank").as("max_rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3)))
+    // driver-side per-query tail cut / window-exhaustion flags
+    val byQ = candRows.groupBy(_._1)
+    val tailCut = byQ.view.mapValues(_.map(_._3).min).toMap
+    val windowFull = byQ.view.mapValues(_.map(_._4).max == k * overfetch).toMap
+    val candDocIds = candRows.map(_._2).distinct.toIndexedSeq
+    import spark.implicits._
+    val candIds = candRows.map(t => (t._1, t._2)).toIndexedSeq
+      .toDF("query_id", "doc_id")
     // ---- phase 2: head contributions for candidate docs only; the
-    // candidate DOC ids prune the head-postings scan row-level (a
-    // bounded collect: |queries|·k·overfetch rows)
-    val candIds = cand.select("query_id", "doc_id")
-    val candDocIds = candIds.select("doc_id").distinct().collect()
-      .map(_.getLong(0)).toIndexedSeq
-    val headContrib =
-      if (headVocab.isEmpty || candDocIds.isEmpty)
-        spark.emptyDataFrame
-          .select(lit(0L).as("query_id"), lit(0L).as("doc_id"),
-            lit(0.0).as("head_bm25")).limit(0)
+    // candidate DOC ids prune the head-postings scan row-level, so
+    // the output is candidate-sized — collected (bounded) and merged
+    // driver-side
+    val headContrib: Map[(Long, Long), Double] =
+      if (headVocab.isEmpty || candDocIds.isEmpty) Map.empty
       else scored(headVocab,
           _.filter(col("doc_id").isInCollection(candDocIds)))
         .join(broadcast(candIds), Seq("query_id", "doc_id"), "left_semi")
         .groupBy("query_id", "doc_id").agg(sum("bm25_term").as("head_bm25"))
-    val exact = cand.select("query_id", "doc_id", "tail_bm25")
-      .join(headContrib, Seq("query_id", "doc_id"), "left")
-      .withColumn("bm25",
-        col("tail_bm25") + coalesce(col("head_bm25"), lit(0.0)))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("bm25").desc, col("doc_id"))))
-      .filter(col("rank") <= k)
-    // ---- per-query certificate
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+    // ---- exact re-rank + per-query certificate, all driver-side on
+    // the bounded candidate set
     val headBoundMap = qdf.filter(_._2 > dfCap)
       .map { case (t, d) => (t, idfOf(d) * (k1 + 1.0)) }.toMap
-    val qHeadBound =
-      if (headVocab.isEmpty)
-        qterms.select("query_id").distinct()
-          .withColumn("head_bound", lit(0.0))
-      else qterms.filter(col("term").isInCollection(headVocab))
-        .withColumn("imax", element_at(
-          map(headBoundMap.toSeq.flatMap { case (t, v) =>
-            Seq(lit(t), lit(v)) }: _*), col("term")))
-        .groupBy("query_id").agg(sum("imax").as("head_bound"))
-    val kth = exact.groupBy("query_id")
-      .agg(min("bm25").as("kth_bm25"), count(lit(1)).as("n_topk"))
-    val cert = kth
-      .join(tailCut, "query_id")
-      .join(qHeadBound, Seq("query_id"), "left")
-      .withColumn("head_bound", coalesce(col("head_bound"), lit(0.0)))
-      .withColumn("outside_bound",
-        when(col("max_rank") === k * overfetch,
-          col("tail_cut") + col("head_bound"))
-          .otherwise(col("head_bound")))
+    val qHeadTerms: Map[Long, Seq[String]] = qterms
+      .filter(col("term").isInCollection(headVocab))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val allQ = qterms.select("query_id").distinct().collect()
+      .map(_.getLong(0))
+    val topk: Map[Long, Seq[(Long, Double)]] = byQ.view.mapValues { rows =>
+      rows.map(t => (t._2,
+          t._3 + headContrib.getOrElse((t._1, t._2), 0.0)))
+        .sortBy { case (doc, s) => (-s, doc) }.take(k).toSeq
+    }.toMap
+    val certified: Map[Long, Boolean] = allQ.map { q =>
+      val tk = topk.getOrElse(q, Nil)
+      val headBound = qHeadTerms.getOrElse(q, Nil)
+        .map(headBoundMap.getOrElse(_, 0.0)).sum
+      val outsideBound =
+        if (windowFull.getOrElse(q, false)) tailCut(q) + headBound
+        else headBound
       // STRICT >: an outside doc tying the kth score could still win
-      // the doc_id tie-break
-      .withColumn("certified",
-        col("n_topk") === k && col("kth_bm25") > col("outside_bound"))
-      .select("query_id", "certified")
-    // queries with no tail matches never reach cert — fail closed
-    val certAll = qterms.select("query_id").distinct()
-      .join(cert, Seq("query_id"), "left")
-      .select(col("query_id"),
-        coalesce(col("certified"), lit(false)).as("certified"))
-    val okQ = certAll.filter(col("certified")).select("query_id")
-    val badQ = certAll.filter(!col("certified")).select("query_id")
-      .collect().map(_.getLong(0))
-    val certifiedPart = exact
-      .join(broadcast(okQ), Seq("query_id"), "left_semi")
-      .withColumn("certified", lit(true))
-      .select("query_id", "rank", "doc_id", "bm25", "certified")
+      // the doc_id tie-break; fewer than k results also fails closed
+      q -> (tk.size == k && tk.last._2 > outsideBound)
+    }.toMap
+    val certifiedPart = allQ.filter(certified).flatMap { q =>
+      topk(q).zipWithIndex.map { case ((doc, s), i) =>
+        (q, i + 1, doc, s, true)
+      }
+    }.toIndexedSeq.toDF("query_id", "rank", "doc_id", "bm25", "certified")
+    val badQ = allQ.filterNot(certified).toIndexedSeq
     if (badQ.isEmpty) certifiedPart
     else certifiedPart.unionByName(
       bm25TopKFromIndex(prefix,
-          queries.filter(col("query_id").isInCollection(badQ.toIndexedSeq)),
+          queries.filter(col("query_id").isInCollection(badQ)),
           k, pushdownTermCap)
         .withColumn("certified", lit(false))
         .select("query_id", "rank", "doc_id", "bm25", "certified"))
