@@ -95,14 +95,16 @@ case "${1:?mode}" in
     # pruned rows (bm25z3 series); zf100 re-runs only the cheap rows —
     # the one-phase exact zf100 number stands in bm25z2
     K2="bench_bm25_index_build_full bench_bm25_index_probe_full \
-bench_bm25_index_probe_seldf_full bench_bm25_index_probe_2p_full"
+bench_bm25_index_probe_seldf_full bench_bm25_index_probe_2p_full \
+bench_bm25_index_probe_shortq_full bench_bm25_index_probe_2p_shortq_full"
     run_leg 32g /tmp/zf1  bench/r10/r10_bm25z3_zf1.json  default $K2
     settle
     run_leg 32g /tmp/zf10 bench/r10/r10_bm25z3_zf10.json default $K2
     settle
     run_leg 32g /tmp/zf100 bench/r10/r10_bm25z3_zf100.json default \
       bench_bm25_index_build_full bench_bm25_index_probe_seldf_full \
-      bench_bm25_index_probe_2p_full
+      bench_bm25_index_probe_2p_full \
+      bench_bm25_index_probe_shortq_full bench_bm25_index_probe_2p_shortq_full
     ;;
   bm25zipf100)
     # fifth decade of the bm25 standing index on the zipf fixture —

@@ -412,6 +412,33 @@ object BenchExtra {
       Retrieval.bm25TopKFromIndexTwoPhase("bench_bm25_idx",
         bm25ProbeQueries(s, dir), 10)
     }),
+    "bench_bm25_index_probe_shortq_full" -> ((s, dir) => {
+      // SHORT-query serving pair, one-phase exact: the standard probe
+      // batch truncated to its first 6 words — real serving queries
+      // are 2-10 terms, not 50-term documents; this pair isolates the
+      // query-length regime where WAND-class pruning operates
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      if (bm25IdxBuiltFor.get != dir) {
+        Retrieval.writePostingsIndex(d, "bench_bm25_idx")
+        bm25IdxBuiltFor.set(dir)
+      }
+      Retrieval.bm25TopKFromIndex("bench_bm25_idx",
+        bm25ProbeQueries(s, dir)
+          .select(col("query_id"),
+            substring_index(col("text"), " ", 6).as("text")), 10)
+    }),
+    "bench_bm25_index_probe_2p_shortq_full" -> ((s, dir) => {
+      // short-query serving pair, two-phase exact with certificate
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      if (bm25IdxBuiltFor.get != dir) {
+        Retrieval.writePostingsIndex(d, "bench_bm25_idx")
+        bm25IdxBuiltFor.set(dir)
+      }
+      Retrieval.bm25TopKFromIndexTwoPhase("bench_bm25_idx",
+        bm25ProbeQueries(s, dir)
+          .select(col("query_id"),
+            substring_index(col("text"), " ", 6).as("text")), 10)
+    }),
     "bench_hits_report_full" -> ((s, dir) => {
       // production HITS path: convergence-reported early stop beside
       // the fixed-10-iteration gated twin (graph_hits) — the report

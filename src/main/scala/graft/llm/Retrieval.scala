@@ -345,8 +345,17 @@ object Retrieval {
     * one-phase sum by final-digit ULPs, so exact-tie rank order
     * between equal-scored docs is the one caveat). */
   def bm25TopKFromIndexTwoPhase(prefix: String, queries: DataFrame,
-      k: Int, headDfFrac: Double = 0.2, overfetch: Int = 4,
+      k: Int, headDfFrac: Double = 0.5, overfetch: Int = 4,
       pushdownTermCap: Int = 100000): DataFrame = {
+    // default headDfFrac = 0.5, NOT the seldf row's 0.2: a term with
+    // df = 0.5N still carries idf = ln 3 ≈ 1.1, and summing k1+1-
+    // saturated bounds over every df ∈ (0.2N, 0.5N) term of a long
+    // query swamps the kth score — measured: at 0.2 most fixture
+    // queries (50-term doc-as-query texts) failed certification and
+    // paid the fallback. At 0.5 only true stopword-band terms
+    // (idf ≤ 1.1) are deferred to phase 2 and the bound stays small.
+    // Long multi-term queries remain the certificate's hard case —
+    // short (2-10 term) serving queries are its natural regime.
     val spark = queries.sparkSession
     val meta = spark.table(s"${prefix}_meta").head()
     val (k1, b, nDocs, avgdl) = (meta.getDouble(0), meta.getDouble(1),
