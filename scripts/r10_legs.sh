@@ -20,6 +20,15 @@ cd /root/repo
 ADDOPENS=$(cat scripts/addopens.txt)   # checked in (r9 ADVICE: /tmp copy was unreproducible)
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 
+# Legs are GLOBALLY SERIALIZED (r10 incident): standing-index bench
+# keys rebuild the same spark-warehouse tables, and two overlapping
+# leg JVMs made one leg fail loudly and the other silently probe the
+# wrong corpus's index (BASELINE r10 two-phase section).
+if pgrep -f "graft.Bench" >/dev/null 2>&1; then
+  echo "refusing to start: another graft.Bench JVM is alive (legs are serialized)" >&2
+  exit 3
+fi
+
 run_main() { # heap class args...
   local heap="$1" cls="$2"; shift 2
   java -Xmx"$heap" $ADDOPENS \
