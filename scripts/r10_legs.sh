@@ -24,7 +24,9 @@ CP="target/scala-2.13/classes:/opt/spark/jars/*"
 # keys rebuild the same spark-warehouse tables, and two overlapping
 # leg JVMs made one leg fail loudly and the other silently probe the
 # wrong corpus's index (BASELINE r10 two-phase section).
-if pgrep -f "graft.Bench" >/dev/null 2>&1; then
+# (anchored on the java executable: a plain `pgrep -f graft.Bench`
+# self-matches shell wrappers whose argv embeds this script's text)
+if pgrep -f "^java .*graft\.Bench" >/dev/null 2>&1; then
   echo "refusing to start: another graft.Bench JVM is alive (legs are serialized)" >&2
   exit 3
 fi
