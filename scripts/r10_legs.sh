@@ -117,6 +117,22 @@ bench_bm25_index_probe_shortq_full bench_bm25_index_probe_2p_shortq_full"
       bench_bm25_index_probe_2p_full \
       bench_bm25_index_probe_shortq_full bench_bm25_index_probe_2p_shortq_full
     ;;
+  bm25bmx)
+    # exact block-max probe (bm25z4): the always-exact pruned serving
+    # row beside the one-phase exact and the short-query pair; zf100
+    # skips the 443 s one-phase long-query row (stands in bm25z2) and
+    # the 70.8 s one-phase shortq row (stands in bm25z3)
+    K4="bench_bm25_index_build_full bench_bm25_index_probe_full \
+bench_bm25_index_probe_bmx_full bench_bm25_index_probe_shortq_full \
+bench_bm25_index_probe_bmx_shortq_full"
+    run_leg 32g /tmp/zf1  bench/r10/r10_bm25z4_zf1.json  default $K4
+    settle
+    run_leg 32g /tmp/zf10 bench/r10/r10_bm25z4_zf10.json default $K4
+    settle
+    run_leg 32g /tmp/zf100 bench/r10/r10_bm25z4_zf100.json default \
+      bench_bm25_index_build_full bench_bm25_index_probe_bmx_full \
+      bench_bm25_index_probe_bmx_shortq_full
+    ;;
   bm25zipf100)
     # fifth decade of the bm25 standing index on the zipf fixture —
     # separated from bm25zipf so the disk high-water mark is observable

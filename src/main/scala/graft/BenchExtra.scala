@@ -439,6 +439,31 @@ object BenchExtra {
           .select(col("query_id"),
             substring_index(col("text"), " ", 6).as("text")), 10)
     }),
+    "bench_bm25_index_probe_bmx_full" -> ((s, dir) => {
+      // EXACT block-max probe (doc_id-range blocks, seed-then-prune —
+      // Ding & Suel recast relationally): always exact, no per-query
+      // fallback cliff; the long-query row where the two-phase
+      // certificate struggles is exactly its target
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      if (bm25IdxBuiltFor.get != dir) {
+        Retrieval.writePostingsIndex(d, "bench_bm25_idx")
+        bm25IdxBuiltFor.set(dir)
+      }
+      Retrieval.bm25TopKFromIndexBlockMax("bench_bm25_idx",
+        bm25ProbeQueries(s, dir), 10)
+    }),
+    "bench_bm25_index_probe_bmx_shortq_full" -> ((s, dir) => {
+      // short-query serving pair, block-max exact
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      if (bm25IdxBuiltFor.get != dir) {
+        Retrieval.writePostingsIndex(d, "bench_bm25_idx")
+        bm25IdxBuiltFor.set(dir)
+      }
+      Retrieval.bm25TopKFromIndexBlockMax("bench_bm25_idx",
+        bm25ProbeQueries(s, dir)
+          .select(col("query_id"),
+            substring_index(col("text"), " ", 6).as("text")), 10)
+    }),
     "bench_hits_report_full" -> ((s, dir) => {
       // production HITS path: convergence-reported early stop beside
       // the fixed-10-iteration gated twin (graph_hits) — the report
