@@ -442,8 +442,10 @@ object BenchExtra {
     "bench_bm25_index_probe_bmx_full" -> ((s, dir) => {
       // EXACT block-max probe (doc_id-range blocks, seed-then-prune —
       // Ding & Suel recast relationally): always exact, no per-query
-      // fallback cliff; the long-query row where the two-phase
-      // certificate struggles is exactly its target
+      // fallback cliff. Measured r10: loses to the two-phase probe at
+      // every scale — the keep-list prunes after the scoring join, so
+      // it cuts agg volume but not the posting stream (BASELINE r10
+      // block-max section); kept as the documented negative result
       val d = docs(s, dir).select(col("doc_id"), col("text"))
       if (bm25IdxBuiltFor.get != dir) {
         Retrieval.writePostingsIndex(d, "bench_bm25_idx")

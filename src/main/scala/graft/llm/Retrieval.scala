@@ -541,7 +541,16 @@ object Retrieval {
     * (partial-score groupBy, top-k window) see pruned volume. Versus
     * [[bm25TopKFromIndexTwoPhase]]: no fallback cliff on long
     * queries — pruning degrades gracefully per block instead of per
-    * query. Ranks agree with [[bm25TopKFromIndex]] rank-for-rank
+    * query. MEASURED VERDICT (r10 bm25z4 legs, BASELINE): the
+    * relational form loses to the two-phase probe at every scale and
+    * both query shapes, because the keep-list semi-join prunes AFTER
+    * the scoring join — it cuts aggregation volume but the join still
+    * streams every term-matched posting, twice; term-level pruning
+    * (two-phase/maxDfFrac) is what cuts the stream a batch plan pays
+    * for. Kept as the exact, spec-pinned negative result; block
+    * skipping could reach the scan only on a doc-sorted, per-query
+    * layout this library does not emulate. Ranks agree with
+    * [[bm25TopKFromIndex]] rank-for-rank
     * (spec-pinned; same per-posting expression chain). Requires an
     * index written with the r10 `<prefix>_blockmax`/block_span layout
     * — older indexes need a rebuild. */
