@@ -169,6 +169,27 @@ bench_bm25_index_probe_bmx_shortq_full"
     run_leg 32g /tmp/sf100 bench/r10/r10_hits_sf100.json default \
       bench_hits_report_full graph_hits
     ;;
+  optlegs)
+    # optimization-session targeted legs (perplexity-threshold driver
+    # fold + graph edge checkpoint): run once on the PRE-change classes
+    # (..._before) and once on the POST-change classes (..._after) —
+    # see OPTIMIZATION_r10.md. Controls included on purpose.
+    OK="graph_domain_rank graph_personalized_rank graph_hits \
+graph_degree_stats bench_hits_report_full curate_perplexity_buckets \
+bench_perplexity_full trace_normalize window_rank dedup_exact"
+    run_leg 32g /root/testdata/sf0.1 \
+      bench/r10/r10_opt_after_sf01.json default $OK
+    ;;
+  graphcurve)
+    # sf1/sf10 graph legs for the edge-checkpoint change (before-side =
+    # committed r8 same-heap curve legs). Fixtures regenerated via
+    # zipfgen-style FixtureGen calls: <src> <out> 10|100.
+    GK="graph_domain_rank graph_personalized_rank graph_hits \
+graph_degree_stats bench_hits_report_full trace_normalize"
+    run_leg 32g /tmp/sf1  bench/r10/r10_graph_after_sf1.json  default $GK
+    settle
+    run_leg 32g /tmp/sf10 bench/r10/r10_graph_after_sf10.json default $GK
+    ;;
   *) echo "unknown mode $1"; exit 2;;
 esac
 echo "done"

@@ -238,15 +238,23 @@ object Curation {
     *
     * Exact tertiles WITHOUT a corpus-sized global sort: score_micro
     * lives in [0, 10⁶], so the value-count frame `(score_micro, c)`
-    * is bounded by the unit range — corpus-INDEPENDENT — and the
-    * cumulative counts over it run through
-    * [[graft.operators.Scale.prefixSumsDistributed]] (range-bucketed
-    * partial sums + driver-folded offsets; no unpartitioned WindowExec
-    * anywhere). Thresholds are rank-selected values — t_k = min score
-    * whose cumulative count reaches ⌈k·n/3⌉, computed in integer
-    * arithmetic `(k·n + 2) DIV 3` — so ties cannot make the cut
+    * is bounded by the unit range — corpus-INDEPENDENT — and its
+    * cumulative fold runs on the DRIVER over one bounded collect
+    * (≤ 1e6 + 1 rows by construction; the same bounded-collect
+    * discipline as the retrieval probes' query vocabulary).
+    * Thresholds are rank-selected values — t_k = min score whose
+    * cumulative count reaches ⌈k·n/3⌉, computed in integer arithmetic
+    * `(k·n + 2) DIV 3` — so ties cannot make the cut
     * engine-dependent, and bucket assignment is one map-only
     * comparison against the broadcast one-row threshold frame.
+    * (r10: the fold WAS [[graft.operators.Scale.prefixSumsDistributed]]
+    * + a distributed rank-select; correct, but it cost three extra
+    * driver actions — emptiness probe, axis max, bucket partials —
+    * EACH re-running the whole LM-scoring DAG upstream of the bounded
+    * frame, and left a duplicate of that DAG under the final plan's
+    * threshold subtree: 8 scans of `documents` per run where the
+    * rewritten form pays 4 in the scoring arm only. Same integer
+    * arithmetic, bit-identical thresholds.)
     * Documents with no bigrams (< 2 words) cannot be assessed and are
     * bucketed 'tail'. */
   def perplexityBuckets(df: DataFrame, idCol: String = "doc_id",
@@ -272,24 +280,35 @@ object Curation {
     * reference corpus, reuse across scoring runs and streams). See
     * [[perplexityBuckets]] for the corpus-independent shape. */
   def perplexityThresholds(scored: DataFrame): DataFrame = {
+    val spark = scored.sparkSession
+    // ONE action over the scoring DAG: the value-count frame is bounded
+    // by the [0, 1e6] score range (≤ 1e6 + 1 rows — corpus-independent
+    // by construction), so it is collected once and folded driver-side
+    // in exact Long arithmetic. The degenerate (nothing assessable)
+    // corpus falls out naturally as an empty collect → null thresholds.
     val vc = scored.filter(col("score_micro").isNotNull)
       .groupBy("score_micro").agg(count(lit(1)).as("c"))
-    if (vc.isEmpty)  // degenerate corpus: nothing assessable
-      scored.sparkSession.sql(
+      .orderBy("score_micro")
+      .collect()
+    if (vc.isEmpty)
+      spark.sql(
         "SELECT CAST(NULL AS BIGINT) AS t1, CAST(NULL AS BIGINT) AS t2")
     else {
-      val cum = graft.operators.Scale
-        .prefixSumsDistributed(vc, "score_micro", "c")
-        .withColumn("cum", (col("prefix") + col("c")).cast("long"))
-      val nRow = vc.agg(sum("c").cast("long").as("n"))
-      cum.crossJoin(broadcast(nRow))
-        .agg(
-          min(when(col("cum") >=
-            org.apache.spark.sql.functions.expr("(n + 2) DIV 3"),
-            col("score_micro"))).as("t1"),
-          min(when(col("cum") >=
-            org.apache.spark.sql.functions.expr("(2 * n + 2) DIV 3"),
-            col("score_micro"))).as("t2"))
+      val n = vc.iterator.map(_.getLong(1)).sum
+      // min score whose INCLUSIVE cumulative count reaches the target
+      // rank — identical to the former distributed rank-select
+      def rankValue(target: Long): Long = {
+        var cum = 0L
+        var i = 0
+        while (i < vc.length && cum + vc(i).getLong(1) < target) {
+          cum += vc(i).getLong(1); i += 1
+        }
+        vc(math.min(i, vc.length - 1)).getLong(0)
+      }
+      val t1 = rankValue((n + 2) / 3)
+      val t2 = rankValue((2 * n + 2) / 3)
+      import spark.implicits._
+      Seq((t1, t2)).toDF("t1", "t2")
     }
   }
 

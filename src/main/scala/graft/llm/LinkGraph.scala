@@ -71,9 +71,21 @@ object LinkGraph {
   private def prImpl(edges: DataFrame, maxIters: Int,
       teleport: Option[DataFrame], tolMicro: Long,
       wantReport: Boolean): (DataFrame, Seq[(Int, Long)]) = {
+    // The edge frame is checkpointed ONCE before iterating (r10): the
+    // loop bodies below are each materialized eagerly (localCheckpoint
+    // per round cuts lineage), so a lazy `e` re-runs its whole
+    // derivation DAG — corpus-sized for [[fixtureEdges]], which
+    // extracts URLs from every document — in EVERY round's contrib
+    // join AND dangling anti-join: ~2·iters corpus scans per call
+    // where one suffices. [[Dedup.nearDupClusters]] already
+    // checkpoints its edges for exactly this reason; same move here.
+    // outw (node-cardinality-bounded) is consumed twice per round —
+    // checkpointed too.
     val e = edges.select(col("src"), col("dst"),
       col("w").cast("long").as("w"))
+      .localCheckpoint(true)
     val outw = e.groupBy("src").agg(sum("w").as("ow"))
+      .localCheckpoint(true)
     val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val nRow = nodes0.agg(count(lit(1)).as("n"))
@@ -167,8 +179,12 @@ object LinkGraph {
 
   private def hitsImpl(edges: DataFrame, maxIters: Int, tolMicro: Long,
       wantReport: Boolean): (DataFrame, Seq[(Int, Long, Long)]) = {
+    // edge frame checkpointed once before iterating — see [[prImpl]]:
+    // each of the 2·iters half-step materializations would otherwise
+    // re-run the (corpus-sized, for the fixture) edge derivation DAG
     val e = edges.select(col("src"), col("dst"),
       col("w").cast("long").as("w"))
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)

@@ -519,4 +519,40 @@ class CurationSpec extends SparkSpec {
     // draws spread over the corpus, not one hot row
     assert(a.map(_.getLong(2)).distinct.length > 10)
   }
+
+  test("perplexity thresholds: driver fold == rank-select definition, ties and empties") {
+    import spark.implicits._
+    // r10 rework pin: perplexityThresholds collects the bounded
+    // value-count frame and folds on the driver — this test re-states
+    // the ORIGINAL definition (t_k = min score whose inclusive
+    // cumulative count reaches (k·n + 2) DIV 3) independently and
+    // checks it on tie-heavy and skewed score distributions.
+    def replica(scores: Seq[Long]): (Long, Long) = {
+      val sorted = scores.sorted
+      val n = sorted.length.toLong
+      def sel(target: Long): Long = sorted((target - 1).toInt.max(0))
+      (sel((n + 2) / 3), sel((2 * n + 2) / 3))
+    }
+    val cases = Seq(
+      Seq.fill(9)(5L),                         // all-tie corpus
+      (1L to 10L),                             // distinct ascending
+      Seq(0L, 0L, 0L, 0L, 0L, 0L, 1000000L),   // zero-heavy + max value
+      Seq(7L),                                 // single doc
+      Seq(3L, 3L, 9L, 9L, 9L, 9L, 2L, 1L)).map(_.toSeq)
+    cases.foreach { scores =>
+      val scored = scores.zipWithIndex
+        .map { case (s, i) => (i.toLong, 1L, s) }
+        .toDF("doc_id", "n_bigrams", "score_micro")
+      val th = Curation.perplexityThresholds(scored).head()
+      val (t1, t2) = replica(scores)
+      assert(th.getLong(0) == t1 && th.getLong(1) == t2,
+        s"thresholds (${th.get(0)}, ${th.get(1)}) != replica ($t1, $t2) on $scores")
+    }
+    // degenerate corpus: nothing assessable -> null thresholds
+    val empty = Seq.empty[(Long, Long, Long)]
+      .toDF("doc_id", "n_bigrams", "score_micro")
+      .withColumn("score_micro", lit(null).cast("long"))
+    val thE = Curation.perplexityThresholds(empty).head()
+    assert(thE.isNullAt(0) && thE.isNullAt(1))
+  }
 }
