@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// -oD: per-test wall-clock durations in the log — the r10 driver's
+// `sbt test` run was cut at its harness budget and the artifact could
+// not say WHERE the 40 minutes went; durations make the suite's cost
+// diffable so slow specs can be found and cut (VERDICT r10 item 4).
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -171,9 +171,13 @@ bench_bm25_index_probe_bmx_shortq_full"
     ;;
   optlegs)
     # optimization-session targeted legs (perplexity-threshold driver
-    # fold + graph edge checkpoint): run once on the PRE-change classes
-    # (..._before) and once on the POST-change classes (..._after) —
-    # see OPTIMIZATION_r10.md. Controls included on purpose.
+    # fold + graph edge checkpoint). This mode emits ONLY the
+    # r10_opt_after_sf01.json leg: the committed before-side artifact
+    # (r10_opt_before_sf01.json) was captured MANUALLY at the
+    # pre-change commit (2d0ad3c^) with the same key set — re-running
+    # it requires checking that commit out first (r10 ADVICE: the old
+    # comment implied this script produced both). Controls included on
+    # purpose.
     OK="graph_domain_rank graph_personalized_rank graph_hits \
 graph_degree_stats bench_hits_report_full curate_perplexity_buckets \
 bench_perplexity_full trace_normalize window_rank dedup_exact"

@@ -116,7 +116,12 @@ object Bench {
       case "auto" =>
         val bytes = dirBytes(new java.io.File(sfDir))
         math.min(512L << 20, math.max(10L << 20, bytes / 64)) >> 20
-      case n => n.toLong
+      // integer MB count, "MB" suffix tolerated (same parse as
+      // graft.Explain — r10 ADVICE)
+      case n => try n.trim.stripSuffix("MB").stripSuffix("mb").trim.toLong
+        catch { case _: NumberFormatException => sys.error(
+          s"SPARK_GRAFT_BROADCAST must be 'auto' or an integer MB " +
+            s"count (optionally 'MB'-suffixed), got '$n'") }
     }
     broadcastMb.foreach(m => Console.err.println(
       s"[bench] scale-aware broadcast: autoBroadcastJoinThreshold=${m}MB"))
@@ -314,6 +319,14 @@ object Bench {
     Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(outPath, fileJson + "\n")
     Console.err.println(s"[bench] summary written to $outPath")
+    // The summary ALSO goes to stderr, last, behind a grep-able prefix:
+    // the r10 driver's 8-core scaling leg ran to completion but its
+    // stdout one-line JSON fell outside the captured window
+    // ("parsed": null in BENCH_r10_c8.json) and the round lost its
+    // per-query low/high-core ratios — a record the driver keeps only
+    // a ~2 KB stderr tail of can still be parsed from this line
+    // (VERDICT r10 item 7).
+    Console.err.println(s"[bench-summary] $summary")
     spark.stop()
   }
 }

@@ -33,6 +33,20 @@ object BenchExtra {
     *    sf0.1, so that series stays comparable); bench_cdc_full's
     *    revision offset corpus-derived (+900000 collides at sf ≥ ~18). */
   val workloadRev: Map[String, Int] = Map(
+    // r11 (VERDICT r10 item 6 — both keys changed semantics in r10
+    // WITHOUT a bump; rev 3 retroactively marks the break so curve.py
+    // flags legs straddling it):
+    //  - bench_bm25_index_build_full: r10 added the blockmax table to
+    //    the build (3.6→7.6 s); r11 makes it opt-in and the build key
+    //    measures the recommended (no-summary) layout again — rev-2
+    //    legs are comparable to NEITHER side;
+    //  - bench_bm25_index_probe_full: the r10 probe-batch memo
+    //    redefined the timed region (the 50-query batch is collected
+    //    once per fixture dir in warmup and replayed as a
+    //    LocalTableScan, so the timed pass stopped paying a
+    //    corpus-linear docs scan per probe).
+    "bench_bm25_index_build_full" -> 3,
+    "bench_bm25_index_probe_full" -> 3,
     "bench_bm25_full" -> 2,
     "bench_ann_lsh_full" -> 2,
     "bench_ann_pq_full" -> 2,
@@ -100,6 +114,26 @@ object BenchExtra {
     * serve a probe. */
   private val bm25IdxBuiltFor =
     new java.util.concurrent.atomic.AtomicReference[String]("")
+
+  /** Separate standing index FOR THE BLOCK-MAX PROBE KEYS ONLY, built
+    * with the opt-in block summary (blockCount = 256 — the r10 layout
+    * those keys measure). Since r11 the default build skips the
+    * summary (the block-max probe lost the serving bakeoff, so the
+    * recommended path stopped paying its build cost — VERDICT r10
+    * item 2); the negative-result keys keep measuring the real thing
+    * against their own prefix instead of forcing the cost onto
+    * bench_bm25_index_build_full. */
+  private val bm25BmxIdxBuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+
+  private def withBmxIdx(s: SparkSession, dir: String): Unit = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    if (bm25BmxIdxBuiltFor.get != dir) {
+      Retrieval.writePostingsIndex(d, "bench_bm25_bmx_idx",
+        blockCount = 256)
+      bm25BmxIdxBuiltFor.set(dir)
+    }
+  }
 
   /** The constant 50-query probe batch for [[bench_bm25_index_probe_full]],
     * collected ONCE per fixture dir (50 tiny rows — a bounded,
@@ -445,23 +479,18 @@ object BenchExtra {
       // fallback cliff. Measured r10: loses to the two-phase probe at
       // every scale — the keep-list prunes after the scoring join, so
       // it cuts agg volume but not the posting stream (BASELINE r10
-      // block-max section); kept as the documented negative result
-      val d = docs(s, dir).select(col("doc_id"), col("text"))
-      if (bm25IdxBuiltFor.get != dir) {
-        Retrieval.writePostingsIndex(d, "bench_bm25_idx")
-        bm25IdxBuiltFor.set(dir)
-      }
-      Retrieval.bm25TopKFromIndexBlockMax("bench_bm25_idx",
+      // block-max section); kept as the documented negative result.
+      // Probes its OWN block-summary-bearing index (withBmxIdx) since
+      // the r11 opt-in split — the probe-side layout and cost are
+      // unchanged (same postings/df tables, same plan).
+      withBmxIdx(s, dir)
+      Retrieval.bm25TopKFromIndexBlockMax("bench_bm25_bmx_idx",
         bm25ProbeQueries(s, dir), 10)
     }),
     "bench_bm25_index_probe_bmx_shortq_full" -> ((s, dir) => {
       // short-query serving pair, block-max exact
-      val d = docs(s, dir).select(col("doc_id"), col("text"))
-      if (bm25IdxBuiltFor.get != dir) {
-        Retrieval.writePostingsIndex(d, "bench_bm25_idx")
-        bm25IdxBuiltFor.set(dir)
-      }
-      Retrieval.bm25TopKFromIndexBlockMax("bench_bm25_idx",
+      withBmxIdx(s, dir)
+      Retrieval.bm25TopKFromIndexBlockMax("bench_bm25_bmx_idx",
         bm25ProbeQueries(s, dir)
           .select(col("query_id"),
             substring_index(col("text"), " ", 6).as("text")), 10)

@@ -66,10 +66,18 @@ object Explain {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // parse as an integer MB count (an optional "MB" suffix tolerated:
+    // "10MB" used to become the invalid conf "10MBMB" — r10 ADVICE);
+    // non-numeric values fail fast with a clear message
     val spark = sys.env.get("SPARK_GRAFT_BROADCAST")
-      .fold(builder)(m => builder.config(
-        "spark.sql.autoBroadcastJoinThreshold",
-        if (m.trim == "-1") "-1" else s"${m.trim}MB"))
+      .fold(builder) { m =>
+        val mb = try m.trim.stripSuffix("MB").stripSuffix("mb").trim.toInt
+          catch { case _: NumberFormatException => sys.error(
+            s"SPARK_GRAFT_BROADCAST must be an integer MB count " +
+              s"(optionally 'MB'-suffixed) or -1, got '$m'") }
+        builder.config("spark.sql.autoBroadcastJoinThreshold",
+          if (mb == -1) "-1" else s"${mb}MB")
+      }
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val outDir = sys.env.get("SPARK_GRAFT_EXPLAIN_OUT")

@@ -286,10 +286,21 @@ object Curation {
     // by construction), so it is collected once and folded driver-side
     // in exact Long arithmetic. The degenerate (nothing assessable)
     // corpus falls out naturally as an empty collect → null thresholds.
+    // score_micro is cast to long IN the grouping projection (the old
+    // Spark-SQL rank-select coerced numeric types; a caller passing an
+    // int-typed score column must not hit getLong ClassCastException —
+    // r10 ADVICE), and the collect is capped at 1e6+2 rows so a frame
+    // violating the [0, 1e6] contract fails the require below instead
+    // of collecting corpus-cardinality rows onto the driver.
     val vc = scored.filter(col("score_micro").isNotNull)
-      .groupBy("score_micro").agg(count(lit(1)).as("c"))
+      .groupBy(col("score_micro").cast("long").as("score_micro"))
+      .agg(count(lit(1)).as("c"))
       .orderBy("score_micro")
+      .limit(1000002)
       .collect()
+    require(vc.length <= 1000001,
+      "perplexityThresholds: score_micro violates the [0, 1e6] integer " +
+        s"contract (> 1000001 distinct values collected)")
     if (vc.isEmpty)
       spark.sql(
         "SELECT CAST(NULL AS BIGINT) AS t1, CAST(NULL AS BIGINT) AS t2")

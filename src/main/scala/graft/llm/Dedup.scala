@@ -138,6 +138,22 @@ object Dedup {
     * verifies no fixture corpus is affected. */
   def jaccardPairs(shingles: DataFrame, threshold: Double,
       maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    // The hashed shingle frame feeds FOUR plan arms (df aggregate,
+    // rare anti-join, candidate self-join, verify-side set build), so
+    // each arm re-runs the explode+hash DAG — an obvious
+    // localCheckpoint candidate. MEASURED (r11, clean legs at three
+    // decades) and REJECTED: checkpointing the hashed (16-byte-row)
+    // frame wins ~2x at sf0.1 (9.7→4.6 s, fits in storage memory),
+    // is flat at sf1 (8.7→8.9 s), and LOSES 2.6x/3.9x at sf10
+    // (jaccard 52.4→136.3 s, containment 49.1→189.3 s): the exploded
+    // frame is ~shingles-per-doc x the corpus, so materializing it
+    // spills and every arm re-READS from disk, while the lazy form
+    // re-derives it from the compressed columnar scan inside
+    // whole-stage codegen — recompute is cheaper than materialize at
+    // every scale that matters (same verdict as the r8 string-frame
+    // persist, 43.6→80.6 s; bench/r11/r11_jacc_sf{1,10}.json +
+    // r11_opt_{before2,after}_sf01.json carry the curve). The family
+    // stays LAZY by measurement, not by omission.
     val hashed = hashShingles(shingles)
     // Heavy hitters are few by definition (Zipf), so the cap is an
     // anti-join against a small aggregated frame — a hash aggregate +
@@ -174,6 +190,8 @@ object Dedup {
     * on candidates only — never all-pairs. */
   def containmentPairs(shingles: DataFrame, threshold: Double,
       maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    // same four-consumer shape as [[jaccardPairs]]: LAZY by
+    // measurement — see the checkpoint experiment verdict there
     val hashed = hashShingles(shingles)
     val frequent = hashed.groupBy("shingle")
       .agg(count(lit(1)).as("df")).filter(col("df") > maxShingleDf)

@@ -166,8 +166,9 @@ object Retrieval {
     *    the probe semi-joins it down to the query vocabulary first
     *    (the [[bm25PartialsF]] pruning discipline, stored form);
     *  - `<prefix>_blockmax` (term, block, bound) bucketed on term —
-    *    the block-max summary (Ding & Suel VLDB 2011's block-max
-    *    skip data in relational form): blocks are doc_id RANGES
+    *    OPT-IN (blockCount > 0; default 0 skips it): the block-max
+    *    summary (Ding & Suel VLDB 2011's block-max skip data in
+    *    relational form): blocks are doc_id RANGES
     *    (block = doc_id / block_span, ≤ `blockCount` blocks total),
     *    so a doc's every term lives in ONE block, and bound is the
     *    largest exact per-posting BM25 contribution
@@ -177,7 +178,13 @@ object Retrieval {
     *    whose bound sum cannot reach a known kth score are skipped
     *    EXACTLY ([[bm25TopKFromIndexBlockMax]]). Size ≤
     *    Σ_t min(df_t, blockCount) rows — tail terms contribute ~1,
-    *    only the Zipf head pays the full blockCount;
+    *    only the Zipf head pays the full blockCount. Opt-in because
+    *    the block-max probe lost the r10 serving bakeoff at every
+    *    scale (BASELINE r10) — nothing on the recommended path reads
+    *    the table, yet building it cost an extra tf⋈dl⋈df join, a
+    *    (term, block) groupBy and a third bucketed write on EVERY
+    *    index build (bench_bm25_index_build_full 3.6 → 7.6 s, the one
+    *    structural regression in the r10 driver tail — r11 fix);
     *  - `<prefix>_meta` one row (k1, b, n_docs, avgdl, total_len,
     *    block_span): scoring parameters AND corpus statistics pinned
     *    AT INDEX TIME and read back by the probe, so writer and
@@ -187,13 +194,13 @@ object Retrieval {
     *    drift). block_span appended r10 — position-based readers of
     *    columns 0–4 are unaffected.
     * Build cost: the same single postings shuffle [[bm25TopK]] pays
-    * once per run, plus one doc-key join to denormalize dl and one
-    * term-key join + (term, block) groupBy for the block summary —
-    * linear, paid once per corpus snapshot instead of per query
-    * batch. */
+    * once per run, plus one doc-key join to denormalize dl (and, only
+    * when blockCount > 0, one term-key join + (term, block) groupBy
+    * for the block summary) — linear, paid once per corpus snapshot
+    * instead of per query batch. */
   def writePostingsIndex(corpus: DataFrame, prefix: String,
       k1: Double = 1.2, b: Double = 0.75, numBuckets: Int = 32,
-      blockCount: Int = 256): Unit = {
+      blockCount: Int = 0): Unit = {
     val toks = corpus
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
@@ -224,20 +231,26 @@ object Retrieval {
     val (nDocs, totalLen, maxId) =
       (stats.getLong(0), stats.getDouble(1), stats.getLong(2))
     val avgdl = totalLen / nDocs
-    val span = math.max(1L, maxId / blockCount + 1)
-    val blockmax = tf.join(dl, "doc_id")
-      .withColumn("block", (col("doc_id") / lit(span)).cast("long"))
-      .join(dfFrame, "term")
-      .withColumn("contrib",
-        log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) /
-          (col("df") + lit(0.5))) *
-          (col("tf") * lit(k1 + 1.0)) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) +
-            lit(b) * col("dl") / lit(avgdl))))
-      .groupBy("term", "block").agg(max("contrib").as("bound"))
-    graft.sources.Ingest.writeBucketedTable(blockmax,
-      s"${prefix}_blockmax", Seq("term"), numBuckets,
-      sortCols = Seq("term"))
+    // block_span = 0 is the no-block-summary sentinel the block-max
+    // probe checks; position-based readers of meta columns 0-4 are
+    // unaffected either way
+    val span =
+      if (blockCount <= 0) 0L else math.max(1L, maxId / blockCount + 1)
+    if (blockCount > 0) {
+      val blockmax = tf.join(dl, "doc_id")
+        .withColumn("block", (col("doc_id") / lit(span)).cast("long"))
+        .join(dfFrame, "term")
+        .withColumn("contrib",
+          log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+            (col("tf") * lit(k1 + 1.0)) /
+            (col("tf") + lit(k1) * (lit(1.0 - b) +
+              lit(b) * col("dl") / lit(avgdl))))
+        .groupBy("term", "block").agg(max("contrib").as("bound"))
+      graft.sources.Ingest.writeBucketedTable(blockmax,
+        s"${prefix}_blockmax", Seq("term"), numBuckets,
+        sortCols = Seq("term"))
+    }
     import corpus.sparkSession.implicits._
     graft.sources.Ingest.writeManagedTable(
       Seq((k1, b, nDocs, avgdl, totalLen, span))
@@ -559,8 +572,9 @@ object Retrieval {
       pushdownTermCap: Int = 100000): DataFrame = {
     val spark = queries.sparkSession
     val meta = spark.table(s"${prefix}_meta").head()
-    require(meta.length >= 6,
-      s"$prefix lacks block_span — rebuild with the r10 writePostingsIndex")
+    require(meta.length >= 6 && meta.getLong(5) > 0,
+      s"$prefix lacks a block summary — rebuild with " +
+        "writePostingsIndex(..., blockCount > 0) (opt-in since r11)")
     val (k1, b, nDocs, avgdl, span) = (meta.getDouble(0),
       meta.getDouble(1), meta.getLong(2), meta.getDouble(3),
       meta.getLong(5))

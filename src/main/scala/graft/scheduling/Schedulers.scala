@@ -19,9 +19,23 @@ package graft.scheduling
 object Schedulers {
 
   /** CI series as exact micro-unit prefix sums: prefix(i) = Σ ci[0..i)
-    * in 1e-6 units; length numSlots+1 (carbon.py `make_ci_prefix`). */
-  final case class CarbonProfileMicro(prefixMicro: Array[Long], slotSec: Double) {
-    val numSlots: Int = prefixMicro.length - 1
+    * in 1e-6 units; length numSlots+1 (carbon.py `make_ci_prefix`).
+    *
+    * `horizonSlots` (default -1 = the array length) lets a caller hand
+    * in a PREFIX-TRUNCATED array while keeping the true CI horizon for
+    * the end-clipping math: the greedy fold below provably never reads
+    * an index past its access bound (see [[graft.scheduling
+    * .SchedulingQueries]] sched_greedy_defer), so at corpus scale the
+    * caller collects only that bounded prefix instead of one row per
+    * corpus event — results are bit-identical because every
+    * windowSumMicro index stays inside the collected range while
+    * lastPossible/clipping still see the true horizon. */
+  final case class CarbonProfileMicro(prefixMicro: Array[Long], slotSec: Double,
+      horizonSlots: Int = -1) {
+    val numSlots: Int =
+      if (horizonSlots >= 0) horizonSlots else prefixMicro.length - 1
+    require(horizonSlots < 0 || horizonSlots >= prefixMicro.length - 1,
+      "horizonSlots must be >= the materialized prefix range")
     val dtHours: Double = slotSec / 3600.0
 
     /** Window sum over [s, s+d) clipped at the horizon; 0 when the

@@ -165,7 +165,29 @@ object SchedulingQueries {
     import s.implicits._
     val wl = Workload.fixtureWorkload(s, dir).orderBy("query_id").collect()
       .map(r => SchedQuery("q" + r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
-    val ciRows = ciSlots(s, dir).orderBy("slot").collect()
+    // The CI collect is BOUNDED by the workload and the search
+    // horizon, never the corpus (r10 VERDICT item 3: the old
+    // unconditional collect was one row per `events` row — corpus-
+    // sized at large sf). True bound of every prefix index the greedy
+    // fold can read: per round the cursor advances by at most
+    // searchRange + d (bestStart <= cursor + searchRange, then
+    // + bestDur), so over N = |wl| rounds every candidate window
+    // [s, s+d) ends below (N+1)·(searchRange + maxD). Slots at or
+    // past that index can influence NOTHING in the output
+    // (placements only — no realised-carbon total here), so the
+    // collect is clamped to it; the TRUE horizon still feeds
+    // CarbonProfileMicro so end-clipping (lastPossible, window
+    // truncation) is unchanged and results stay bit-identical. At the
+    // fixture scales the bound (~33M slots) exceeds the corpus and
+    // the collected rows are exactly the old ones.
+    val searchRangeSlots = 43200 // ceil(12 h / 1 s slots), as below
+    val maxD = if (wl.isEmpty) 0 else wl.map(_.predSlots).max
+    val accessBound = (wl.length.toLong + 1) * (searchRangeSlots.toLong + maxD)
+    // one count over the events scan (parquet row-group metadata —
+    // no data pass) gives the true horizon
+    val nSlots = ev(s, dir).count()
+    val ciRows = ciSlots(s, dir)
+      .filter(col("slot") < accessBound).orderBy("slot").collect()
     val prefix = new Array[Long](ciRows.length + 1)
     var i = 0
     while (i < ciRows.length) {
@@ -173,7 +195,8 @@ object SchedulingQueries {
         ciRows(i).getDecimal(1).movePointRight(6).longValueExact()
       i += 1
     }
-    val profile = Schedulers.CarbonProfileMicro(prefix, slotSec = 1.0)
+    val profile = Schedulers.CarbonProfileMicro(prefix, slotSec = 1.0,
+      horizonSlots = math.min(nSlots, Int.MaxValue.toLong).toInt)
     val schedule = Schedulers.greedyLowCarbonDefer(wl, profile,
       searchHours = 12.0, candidateStepSlots = 3600)
     val placements = Schedulers.replaySequential(wl, schedule, blockByPred = true)

@@ -36,16 +36,45 @@ class PlanQualitySpec extends SparkSpec {
     "text_pmi_bigrams"       // one-row total-bigrams normalizer crossed onto pairs
   )
 
-  test("no oracle query plans a cartesian/nested-loop join unintentionally") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val plan = fn(spark, sfSmoke).queryExecution.executedPlan.toString
-        val unkeyed = plan.contains("CartesianProduct") ||
-          plan.contains("BroadcastNestedLoopJoin")
-        if (unkeyed && !intendedUnkeyed.contains(name)) Some(name) else None
+  /** ONE sweep for the three suite-wide plan gates (unkeyed joins,
+    * unpartitioned windows, stray caches): each used to construct and
+    * physically plan all 262 oracle queries SEPARATELY — three of the
+    * four slowest tests in the suite (3:04 + 2:37 + 2:19 at local[4],
+    * r11 -oD durations) for one plan build's worth of information.
+    * Folding them into a single pass keeps every assertion and cuts
+    * ~5 min off `sbt test` (VERDICT r10 item 4: the driver's test run
+    * must fit its harness budget). */
+  test("plan sweep: no unintended cartesian/nested-loop, no unpartitioned window, no stray cache") {
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    val unkeyedOffenders = Seq.newBuilder[String]
+    val windowOffenders = Seq.newBuilder[String]
+    val windowStale = Seq.newBuilder[String]
+    val cached = Seq.newBuilder[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val qe = fn(spark, sfSmoke).queryExecution
+      val plan = qe.executedPlan.toString
+      val unkeyed = plan.contains("CartesianProduct") ||
+        plan.contains("BroadcastNestedLoopJoin")
+      if (unkeyed && !intendedUnkeyed.contains(name)) unkeyedOffenders += name
+      val gw = qe.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w.nodeName
+      }
+      if (gw.nonEmpty && !intendedGlobalWindow.contains(name))
+        windowOffenders += name
+      if (gw.isEmpty && intendedGlobalWindow.contains(name))
+        windowStale += name
+      if (plan.contains("InMemoryTableScan")) cached += name
     }
-    assert(offenders.isEmpty,
-      s"unintended cartesian/nested-loop joins in: $offenders")
+    assert(unkeyedOffenders.result().isEmpty,
+      s"unintended cartesian/nested-loop joins in: ${unkeyedOffenders.result()}")
+    assert(windowOffenders.result().isEmpty,
+      "unpartitioned global windows (single-task sort at scale) in: " +
+        s"${windowOffenders.result()}")
+    assert(windowStale.result().isEmpty,
+      s"global-window allowlist entries now clean: ${windowStale.result()}")
+    assert(cached.result().isEmpty,
+      s"unexpected cached scans in: ${cached.result()}")
   }
 
   test("allowlist stays minimal: every listed query still plans unkeyed") {
@@ -68,25 +97,6 @@ class PlanQualitySpec extends SparkSpec {
     "tpcds_q44_dual_ranks",  // dual global ranks over the per-supplier aggregate
     "sqlx_chained_cte_ma3"   // 3-month moving average over the monthly frame
   )
-
-  test("no oracle query plans an unpartitioned WindowExec unintentionally") {
-    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
-    def globalWindows(name: String): Seq[String] =
-      SparkEntry.queries(name)(spark, sfSmoke)
-        .queryExecution.sparkPlan.collect {
-          case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
-          case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w.nodeName
-        }
-    val offenders = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(intendedGlobalWindow.contains)
-      .filter(globalWindows(_).nonEmpty)
-    assert(offenders.isEmpty,
-      s"unpartitioned global windows (single-task sort at scale) in: $offenders")
-    // keep the allowlist honest too
-    val stale = intendedGlobalWindow.toSeq.sorted
-      .filter(globalWindows(_).isEmpty)
-    assert(stale.isEmpty, s"global-window allowlist entries now clean: $stale")
-  }
 
   /** r5 canon sweep (VERDICT r4 item 6): every canon file that
     * references the same base table more than once, with the reason the
@@ -222,12 +232,39 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
-  test("no oracle query caches a stray InMemoryTableScan") {
-    val cached = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val plan = fn(spark, sfSmoke).queryExecution.executedPlan.toString
-        if (plan.contains("InMemoryTableScan")) Some(name) else None
-    }
-    assert(cached.isEmpty, s"unexpected cached scans in: $cached")
+  /** r11: the library-level half of the star-cliff rule (VERDICT r10
+    * item 1). The canon query path resolves TEMP VIEWS, which cannot
+    * carry catalog/column stats, so the CBO separation above is out of
+    * reach there and the q3-class FILTERED-dim star probes pin their
+    * broadcast with an explicit BROADCAST(part) hint in the shared
+    * Spark/DuckDB text (DuckDB parses the hint syntax as a plain block
+    * comment — results unchanged, oracle-verified).
+    * autoBroadcastJoinThreshold = -1
+    * reproduces at gate scale the estimate-over-threshold state every
+    * dim reaches at sf100: hinted probes must still broadcast; the
+    * UNhinted full-dim probe (tpcds_q55_brand_probe) must not — the
+    * r10 sf100 leg measured broadcasting a genuinely-full dim 2.3x
+    * WORSE, so hinting it would re-open the other side of the cliff.
+    * tpcds_q45_geo_membership is DELIBERATELY unhinted too: hinting
+    * its p_size=1 membership arm produced a topologically-identical
+    * plan with two fewer Exchanges yet measured 2.3x SLOWER at sf100
+    * (82.4 s -> 171-190 s, reproduced across two clean legs) — the
+    * reverted experiment is recorded in plans/r11/
+    * tpcds_q45_geo_membership_hintexp_*.txt and OPTIMIZATION_r11.md. */
+  test("filtered-dim star probes broadcast by hint at any threshold; full-dim stays unhinted") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def plan(key: String): String =
+        graft.sources.TpcdsPromoted.queries(key)(spark, sfSmoke)
+          .queryExecution.executedPlan.toString
+      for (k <- Seq("tpcds_q3_star_probe", "tpcds_q61_promo_ratio"))
+        assert(plan(k).contains("BroadcastHashJoin"),
+          s"$k must broadcast its filtered dim via the hint at threshold -1")
+      for (k <- Seq("tpcds_q55_brand_probe", "tpcds_q45_geo_membership"))
+        assert(!plan(k).contains("BroadcastHashJoin"),
+          s"$k must stay unhinted (no broadcast at -1) — see the " +
+            "measured negative results in OPTIMIZATION_r11.md")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
 }

@@ -329,6 +329,33 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("postings index default build skips the block summary (opt-in since r11)") {
+    import spark.implicits._
+    // r10 measured the block-max probe OUT of the serving bakeoff, yet
+    // every build still paid the summary's extra tf⋈dl⋈df join +
+    // (term, block) groupBy + third bucketed write
+    // (bench_bm25_index_build_full 3.6→7.6 s). Default is now
+    // blockCount = 0: no blockmax table, block_span = 0 sentinel in
+    // meta, the block-max probe fails fast with a rebuild hint, and
+    // the exact probes are unaffected.
+    val d = (0 until 6).map(i =>
+      (i.toLong, s"alpha beta u$i")).toDF("doc_id", "text")
+    Retrieval.writePostingsIndex(d, "bm25_idx_nobm", numBuckets = 4)
+    val meta = spark.table("bm25_idx_nobm_meta").head()
+    assert(meta.getLong(5) === 0L,
+      s"default build must write the 0 sentinel, got ${meta.getLong(5)}")
+    assert(!spark.catalog.tableExists("bm25_idx_nobm_blockmax"),
+      "default build must not write a blockmax table")
+    val q = Seq((100L, "alpha u3")).toDF("query_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25TopKFromIndexBlockMax("bm25_idx_nobm", q, 2)
+    }
+    assert(e.getMessage.contains("block summary"),
+      s"unexpected failure message: ${e.getMessage}")
+    assert(Retrieval.bm25TopKFromIndex("bm25_idx_nobm", q, 2).count() > 0,
+      "exact probe must work against a summary-less index")
+  }
+
   test("standing postings index: stored side unshuffled under a term-key join") {
     import spark.implicits._
     val d = Seq(

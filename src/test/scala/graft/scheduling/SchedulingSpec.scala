@@ -102,6 +102,33 @@ class SchedulingSpec extends SparkSpec {
     assert(scheduleFitsSequential(qs, sched, ciLen = 1000))
   }
 
+  test("greedy on a truncated prefix + true horizon == greedy on the full profile") {
+    // r11 (VERDICT r10 item 3): sched_greedy_defer collects the CI
+    // prefix only up to the fold's access bound
+    // (N+1)·(searchRange + maxD) instead of one row per corpus event;
+    // CarbonProfileMicro.horizonSlots keeps the true horizon for the
+    // end-clipping math. This pins the equivalence on a case where
+    // the truncation is REAL (bound < ciLen) and the valley sits
+    // inside reach, so the schedule is non-trivial.
+    val ci = Array.tabulate(400)(i =>
+      if (i >= 40 && i < 60) 1.0 else 50.0 + (i % 7))
+    val full = profile(ci)
+    val qs = Seq(SchedQuery("q0", 3, 4), SchedQuery("q1", 5, 2),
+      SchedQuery("q2", 2, 2))
+    val searchRange = 30 // = ceil((30/3600 h) / (1 s slot / 3600))
+    val maxD = qs.map(_.predSlots).max
+    val bound = (qs.length + 1) * (searchRange + maxD)
+    assert(bound < ci.length, "test must exercise real truncation")
+    val truncated = CarbonProfileMicro(
+      full.prefixMicro.take(bound + 1), 1.0, horizonSlots = ci.length)
+    assert(truncated.numSlots === ci.length)
+    val a = greedyLowCarbonDefer(qs, full,
+      searchHours = 30.0 / 3600.0, candidateStepSlots = 5)
+    val b = greedyLowCarbonDefer(qs, truncated,
+      searchHours = 30.0 / 3600.0, candidateStepSlots = 5)
+    assert(a === b, "truncated-prefix schedule must be bit-identical")
+  }
+
   test("greedy schedule never overlaps under pred-blocking and fits horizon") {
     val ci = Array.tabulate(5000)(i => ((i * 37) % 89) + 1.0)
     val p = profile(ci)
